@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Canonical SparkSession configuration for the graft engine.
+ *
+ * All entrypoints (Verify, Bench, tests, user sessions) go through
+ * [[configure]] so the semantics-bearing settings are applied uniformly:
+ *
+ *  - `spark.sql.session.timeZone=UTC` — oracle parity (DuckDB renders naive
+ *    UTC timestamps).
+ *  - `spark.sql.legacy.parquet.nanosAsLong=true` — the `events` table ships
+ *    INT64 TIMESTAMP(NANOS) which Spark otherwise refuses to read
+ *    ([PARQUET_TYPE_ILLEGAL]); we read ns-as-long and floor-divide to µs,
+ *    which matches DuckDB's own ns→µs truncation on read.
+ *  - AQE on — runtime re-planning (broadcast conversion, skew-join
+ *    splitting, partition coalescing) is the scale story for the join/agg
+ *    surface; at 100 TB these decisions must be made from runtime stats,
+ *    not static estimates.
+ */
+object GraftSession {
+
+  /** Apply graft's standard configs to any builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  /**
+   * Local session for tests/tools. `cores` also sizes
+   * `spark.sql.shuffle.partitions` — in local mode there is no reason for
+   * shuffle parallelism to exceed thread count (the 200 default just
+   * creates tiny-task overhead).
+   */
+  def local(cores: Int = 4, appName: String = "graft"): SparkSession = {
+    val spark = configure(
+      SparkSession
+        .builder()
+        .master(s"local[$cores]")
+        .appName(appName)
+        .config("spark.sql.shuffle.partitions", cores.toString)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

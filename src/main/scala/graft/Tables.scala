@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Loaders for the driver-generated parquet tables (TESTDATA.md).
+ *
+ * All loads are plain `spark.read.parquet` — schema comes from the files,
+ * filters/projections push down to the scan. The one normalization is the
+ * `events` table: its `ts` column is INT64 TIMESTAMP(NANOS), which Spark
+ * reads only with `spark.sql.legacy.parquet.nanosAsLong=true` (as a raw
+ * LongType of nanoseconds). We floor-divide to microseconds and rebuild a
+ * TimestampType column — the exact truncation DuckDB applies when it reads
+ * the same file, so oracle comparisons see identical instants.
+ */
+object Tables {
+
+  val tpch: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  val extended: Seq[String] = Seq("events", "documents", "embeddings")
+
+  val all: Seq[String] = tpch ++ extended
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case _        => spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** `events` with `ts` normalized from ns-long to a µs TimestampType. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}

@@ -1,0 +1,310 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The relational surface (SURVEY.md §2.2/§2.3): categories the reference
+ * has no implementation for, standardized on Catalyst built-ins and proven
+ * against the DuckDB oracle. Zero custom planner work — the scale story is
+ * Catalyst's (pushdown, partial aggregation, AQE join planning).
+ *
+ * Scale notes (100 TB):
+ *  - dimension joins broadcast explicitly (`region`/`nation`/`supplier`);
+ *    fact-fact joins go through AQE which converts to broadcast/skew-split
+ *    from runtime stats,
+ *  - every groupBy is partial-aggregated map-side by Catalyst before the
+ *    shuffle,
+ *  - window queries shuffle once on the partition key; ORDER BY of the
+ *    final result is a range-partitioned sort (no single-node gather until
+ *    the driver collects the final, already-reduced result).
+ */
+object RelationalQueries {
+
+  val all: Seq[Declared] = Seq(
+    // filter with compound predicate → pushed to parquet scan
+    Declared(
+      "q_filter",
+      Some(
+        """SELECT event_id, user_id, value FROM events
+          |WHERE event_type = 'error' AND value > 100 ORDER BY event_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .filter(col("event_type") === "error" && col("value") > 100)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    },
+
+    // hash aggregation, partial+final
+    Declared(
+      "q_agg",
+      Some(
+        """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+          |       round(avg(value), 4) AS avg_value
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum("value"), 4).as("sum_value"),
+          round(avg("value"), 4).as("avg_value"))
+        .orderBy("event_type")
+    },
+
+    // tumbling window, batch form (streaming form in graft.streaming)
+    Declared(
+      "q_tumble",
+      Some(
+        """SELECT date_trunc('hour', ts) AS w, count(*) AS n
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("w"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("w")
+    },
+
+    // exact distinct
+    Declared(
+      "q_distinct",
+      Some("SELECT count(DISTINCT user_id) AS n_users FROM events")
+    ) { (spark, dir) =>
+      Tables.events(spark, dir).agg(countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // TPC-H Q1 shape: wide aggregate over the fact table
+    Declared(
+      "q_tpch1",
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |       round(sum(l_quantity), 4) AS sum_qty,
+          |       round(sum(l_extendedprice), 4) AS sum_base_price,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+          |       round(avg(l_quantity), 4) AS avg_qty,
+          |       count(*) AS n
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // 3-way dimension join; dims broadcast (≤ a few MB even at 100 TB fact scale)
+    Declared(
+      "q_join3",
+      Some(
+        """SELECT r_name, n_name, count(*) AS customers, round(sum(c_acctbal), 4) AS acctbal
+          |FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.customer(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("customers"), round(sum("c_acctbal"), 4).as("acctbal"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // fact-dimension equi join (AQE decides broadcast vs shuffled hash)
+    Declared(
+      "q_joinfact",
+      Some(
+        """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("total"))
+        .orderBy("c_mktsegment")
+    },
+
+    // semi join (IN-subquery)
+    Declared(
+      "q_semi",
+      Some(
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+          |ORDER BY c_custkey""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val bigOrders = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000)
+      Tables.customer(spark, dir)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // anti join (NOT IN; o_custkey is non-null so anti ≡ NOT IN).
+    // Filtered to "no large order" so the result is non-trivially non-empty.
+    Declared(
+      "q_anti",
+      Some(
+        """SELECT c_custkey FROM customer
+          |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.customer(spark, dir)
+        .join(
+          Tables.orders(spark, dir).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    },
+
+    // ranking window: top-3 per group
+    Declared(
+      "q_window",
+      Some(
+        """SELECT * FROM (
+          |  SELECT event_type, event_id, value,
+          |         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+          |  FROM events) t
+          |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("event_type"), col("event_id"), col("value"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("event_type", "rn")
+    },
+
+    // analytic window: lag with per-user frame
+    Declared(
+      "q_lag",
+      Some(
+        """SELECT user_id, event_id,
+          |       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 4) AS dv
+          |FROM events ORDER BY user_id, event_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          round(col("value") - lag(col("value"), 1).over(w), 4).as("dv"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // rollup (grouping sets / cube use the same Expand machinery)
+    Declared(
+      "q_rollup",
+      Some(
+        """SELECT event_type, CAST(user_id % 4 AS INT) AS cohort, count(*) AS n
+          |FROM events GROUP BY ROLLUP(event_type, CAST(user_id % 4 AS INT))
+          |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST, n""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .withColumn("cohort", (col("user_id") % 4).cast("int"))
+        .rollup("event_type", "cohort")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_first, col("cohort").asc_nulls_first, col("n"))
+    },
+
+    // set ops: INTERSECT / UNION / EXCEPT (distinct semantics in both engines)
+    Declared(
+      "q_intersect",
+      Some(
+        """SELECT user_id FROM events WHERE event_type = 'purchase'
+          |INTERSECT
+          |SELECT user_id FROM events WHERE event_type = 'error'
+          |ORDER BY user_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      ev.filter(col("event_type") === "purchase").select("user_id")
+        .intersect(ev.filter(col("event_type") === "error").select("user_id"))
+        .orderBy("user_id")
+    },
+    Declared(
+      "q_union",
+      Some(
+        """SELECT user_id FROM events WHERE event_type = 'signup'
+          |UNION
+          |SELECT user_id FROM events WHERE event_type = 'click'
+          |ORDER BY user_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      ev.filter(col("event_type") === "signup").select("user_id")
+        .union(ev.filter(col("event_type") === "click").select("user_id"))
+        .distinct()
+        .orderBy("user_id")
+    },
+    Declared(
+      "q_except",
+      Some(
+        """SELECT user_id FROM events WHERE event_type = 'signup' AND value > 180
+          |EXCEPT
+          |SELECT user_id FROM events WHERE event_type = 'click' AND value > 180
+          |ORDER BY user_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      ev.filter(col("event_type") === "signup" && col("value") > 180).select("user_id")
+        .except(ev.filter(col("event_type") === "click" && col("value") > 180).select("user_id"))
+        .orderBy("user_id")
+    },
+
+    // global top-K (Catalyst plans TakeOrderedAndProject: per-partition
+    // top-K then a K-row merge on the driver — no global sort)
+    Declared(
+      "q_topk",
+      Some(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // scalar function surface (string/date/math); length cast to BIGINT to
+    // match DuckDB's type
+    Declared(
+      "q_scalar",
+      Some(
+        """SELECT event_id, upper(event_type) AS et_upper, substring(event_type, 1, 2) AS et2,
+          |       length(props) AS props_len, round(sqrt(abs(value)), 4) AS sq,
+          |       date_trunc('day', ts) AS d
+          |FROM events ORDER BY event_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .select(
+          col("event_id"),
+          upper(col("event_type")).as("et_upper"),
+          substring(col("event_type"), 1, 2).as("et2"),
+          length(col("props")).cast("long").as("props_len"),
+          round(sqrt(abs(col("value"))), 4).as("sq"),
+          date_trunc("day", col("ts")).as("d"))
+        .orderBy("event_id")
+    }
+  )
+}
