@@ -29,6 +29,27 @@ object Similarity {
   def cosineSimilarity(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /**
+   * cos(a, p) against a probe whose norm ‖p‖ is already known — the
+   * at-scale path for probe scans: a SINGLE fold per row accumulates both
+   * a·p and ‖a‖² (struct accumulator, still fully codegen'd), instead of
+   * three independent array traversals, and the constant ‖p‖ is computed
+   * once on the 1-row probe side rather than per scanned row.
+   */
+  def cosineVsProbe(a: Column, probe: Column, probeNorm: Column): Column = {
+    val acc = aggregate(
+      zip_with(a, probe, (x, y) => {
+        val xd = x.cast("double")
+        struct((xd * y.cast("double")).as("dot"), (xd * xd).as("nsq"))
+      }),
+      struct(lit(0.0).as("dot"), lit(0.0).as("nsq")),
+      (s, e) => struct(
+        (s.getField("dot") + e.getField("dot")).as("dot"),
+        (s.getField("nsq") + e.getField("nsq")).as("nsq"))
+    )
+    acc.getField("dot") / (sqrt(acc.getField("nsq")) * probeNorm)
+  }
+
   /** Squared euclidean distance Σ (aᵢ−bᵢ)². */
   def squaredL2Distance(a: Column, b: Column): Column =
     aggregate(

@@ -29,9 +29,12 @@ object EventLog {
   /** Reference default max record size in bytes (`cmd/server/server.go:46`). */
   val DefaultMaxRecordBytes: Long = 512 * 1024
 
-  /** `{earliest, latest}` pair (reference `logRange`, `server.go:40-43`). */
+  /** `{earliest, latest}` pair (reference `logRange`, `server.go:40-43`).
+    * Emptiness is signalled by `latest == -1` alone (the reference's
+    * `getRange` check, `server.go:310-313`) — an inconsistent pair with
+    * `earliest < 0 <= latest` is still a readable log. */
   final case class LogRange(earliest: Long, latest: Long) {
-    def isEmpty: Boolean = earliest < 0 && latest < 0
+    def isEmpty: Boolean = latest < 0
   }
 
   /**
@@ -131,12 +134,19 @@ object EventLog {
    * stringified offset (`README.md:56`), `eventclass` is the extension
    * attribute (`main.go:128`). Narrow map — no shuffle.
    */
+  /** The CloudEvent envelope attributes, in canonical order. Anything not in
+    * this set (e.g. the bookkeeping `offset` column) is NOT part of the
+    * marshaled record (`main.go:134-138` serializes the CloudEvent only). */
+  val EnvelopeCols: Seq[String] =
+    Seq("specversion", "id", "source", "type", "datacontenttype", "time", "eventclass", "data")
+
   def envelope(
       log: DataFrame,
       source: String = "https://graft.local/sdk",
       offsetCol: String = "event_id",
       typeCol: String = "event_type",
-      timeCol: String = "ts"
+      timeCol: String = "ts",
+      eventclass: Column = lit("event")
   ): DataFrame = {
     val payload = struct(log.columns.map(col).toIndexedSeq: _*)
     log.select(
@@ -147,7 +157,7 @@ object EventLog {
       concat(lit("vmware.vsphere."), col(typeCol), lit(".v0")).as("type"),
       lit("application/json").as("datacontenttype"),
       col(timeCol).as("time"),
-      lit("event").as("eventclass"),
+      eventclass.as("eventclass"),
       payload.as("data")
     )
   }
@@ -159,10 +169,18 @@ object EventLog {
    * `server.go:294-296`, inverted: we store columns and serialize on
    * demand; Catalyst prunes whichever side is unused).
    */
-  def serialized(enveloped: DataFrame): DataFrame =
-    enveloped.withColumn("value", to_json(struct(enveloped.columns.map(col).toIndexedSeq: _*)))
+  /** The marshaled CloudEvent: envelope attributes only — bookkeeping
+    * columns like `offset` are not part of the stored bytes
+    * (`main.go:134-138` marshals the CloudEvent, nothing else). */
+  private def envelopeStruct(enveloped: DataFrame): Column =
+    struct(enveloped.columns.filter(EnvelopeCols.contains).map(col).toIndexedSeq: _*)
 
-  /** Record-size guard (O5, `server.go:46`): rows whose serialized form exceeds the cap. */
+  def serialized(enveloped: DataFrame): DataFrame =
+    enveloped.withColumn("value", to_json(envelopeStruct(enveloped)))
+
+  /** Record-size guard (O5, `server.go:46`): rows whose serialized form
+    * exceeds the cap — measured on the canonical record bytes, matching
+    * memlog's check on the marshaled CloudEvent. */
   def oversized(enveloped: DataFrame, maxBytes: Long = DefaultMaxRecordBytes): Column =
-    octet_length(to_json(struct(enveloped.columns.map(col).toIndexedSeq: _*))) > maxBytes
+    octet_length(to_json(envelopeStruct(enveloped))) > maxBytes
 }

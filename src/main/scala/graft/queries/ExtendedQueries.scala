@@ -71,12 +71,13 @@ object ExtendedQueries {
       )
     ) { (spark, dir) =>
       val emb   = Tables.embeddings(spark, dir)
-      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("p"))
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p"), Similarity.l2Norm(col("embedding")).as("p_norm"))
       emb
         .crossJoin(broadcast(probe))
         .select(
           col("vec_id"),
-          round(Similarity.cosineSimilarity(col("embedding"), col("p")), 4).as("sim"))
+          round(Similarity.cosineVsProbe(col("embedding"), col("p"), col("p_norm")), 4).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
     }
