@@ -25,9 +25,11 @@ object Similarity {
   /** ‖a‖₂ in double precision. */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
-  /** cos(a, b) = a·b / (‖a‖‖b‖). NaN when either vector is all-zero. */
+  /** cos(a, b) = a·b / (‖a‖‖b‖). NULL when either vector is all-zero
+    * (cosine undefined; `nullif` keeps the expression ANSI-safe — Spark 4's
+    * default ANSI mode makes a plain divide-by-zero a runtime error). */
   def cosineSimilarity(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+    dotProduct(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0))
 
   /**
    * cos(a, p) against a probe whose norm ‖p‖ is already known — the
@@ -47,7 +49,7 @@ object Similarity {
         (s.getField("dot") + e.getField("dot")).as("dot"),
         (s.getField("nsq") + e.getField("nsq")).as("nsq"))
     )
-    acc.getField("dot") / (sqrt(acc.getField("nsq")) * probeNorm)
+    acc.getField("dot") / nullif(sqrt(acc.getField("nsq")) * probeNorm, lit(0.0))
   }
 
   /** Squared euclidean distance Σ (aᵢ−bᵢ)². */

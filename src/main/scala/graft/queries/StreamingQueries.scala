@@ -1,0 +1,72 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.streaming.Ingest
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * Streaming parity queries (SURVEY §7 Phase 2), run through REAL Structured
+ * Streaming machinery (the DSv2 EventFeed source, micro-batch rate
+ * limiting, the offset-log sink, stateful windowed aggregation) and then
+ * verified against the DuckDB oracle on the equivalent batch semantics —
+ * the reference's guarantee that replaying the same events produces the
+ * same log/query results regardless of arrival pacing.
+ */
+object StreamingQueries {
+
+  private val runId = new AtomicInteger(0)
+
+  val all: Seq[Declared] = Seq(
+    // EP3 end-to-end: feed → envelope → serialize → offset-log sink; then
+    // read the log BACK through from_json. offset == event_id proves the
+    // O2 bootstrap alignment; field round-trip proves O3/O4/O12.
+    Declared(
+      "q_stream",
+      Some(
+        """SELECT event_id AS offset, event_id, ts, user_id, event_type, round(value, 4) AS value
+          |FROM events ORDER BY offset""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val result = Ingest.run(spark, dir, maxBatchSize = 2000, segmentSize = Int.MaxValue / 4)
+      Ingest.parsed(Ingest.logFrame(spark, result.log))
+        .select(
+          col("offset"),
+          col("ce.data.event_id").as("event_id"),
+          col("ce.data.ts").as("ts"),
+          col("ce.data.user_id").as("user_id"),
+          col("ce.data.event_type").as("event_type"),
+          round(col("ce.data.value"), 4).as("value"))
+        .orderBy("offset")
+    },
+
+    // Stateful streaming tumbling-window aggregation (SURVEY §2.2): the
+    // window state lives in the streaming state store across micro-batches;
+    // complete-mode memory sink holds the final windows.
+    Declared(
+      "q_stream_window",
+      Some(
+        """SELECT date_trunc('hour', ts) AS w, count(*) AS n
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val table = s"graft_stream_window_${runId.incrementAndGet()}"
+      val q = Ingest.feed(spark, dir, maxBatchSize = 2000)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("complete")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-window-ckpt").toString)
+        .start()
+      q.awaitTermination()
+      spark.table(table)
+        .select(col("window.start").as("w"), col("n"))
+        .orderBy("w")
+    }
+  )
+}

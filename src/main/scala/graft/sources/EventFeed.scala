@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * O1/O2 — the polling event source as a DataSource-v2 `MicroBatchStream`
+ * (reference: the vCenter `EventHistoryCollector` loop,
+ * `cmd/server/main.go:86-110` — 1 s poll, ≤50 events per pull, begin time
+ * `now − 5m`).
+ *
+ * Spark-first shape: the reference's poll pacing maps to micro-batch rate
+ * limiting (`latestOffset()` advances by at most `maxBatchSize` per
+ * trigger — the same mechanism as the Kafka source's
+ * `maxOffsetsPerTrigger`), and the replay-begin time maps to the
+ * `startingTimestamp` option (the collector's `WithTime(&start)`).
+ *
+ * The feed replays `events.parquet` in `ts`/`event_id` order — the hermetic
+ * stand-in for the live vCenter SOAP endpoint (cf. the reference's own
+ * `vcsim`-backed e2e test, `main_test.go:30-97`). Rows are materialized
+ * once, driver-side, at stream start: this emulation IS the single-node
+ * event feed (≤50 ev/s in the reference — trivially driver-sized); the
+ * 100 TB analytics path reads Kafka/files directly and never routes through
+ * this class.
+ *
+ * Options: `path` (parquet file), `maxBatchSize` (default 50),
+ * `startingTimestamp` (ISO timestamp; only events with `ts >=` it replay).
+ */
+class EventFeedProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = EventFeed.Schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform], properties: util.Map[String, String]): Table =
+    new EventFeedTable(new CaseInsensitiveStringMap(properties))
+}
+
+object EventFeed {
+  /** The raw event schema (TESTDATA `events`; `ts` normalized to µs). */
+  val Schema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("user_id", LongType, nullable = true),
+    StructField("event_type", StringType, nullable = true),
+    StructField("value", DoubleType, nullable = true),
+    StructField("props", StringType, nullable = true)
+  ))
+
+  val DefaultMaxBatchSize = 50
+
+  /** One materialized feed row: (event_id, ts_micros, user_id, event_type, value, props). */
+  type FeedRow = (Long, java.lang.Long, java.lang.Long, String, java.lang.Double, String)
+
+  /** Load + order the feed driver-side (the poll-loop emulation). */
+  def load(path: String, startingTimestamp: Option[String]): Array[FeedRow] = {
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions._
+    var df = spark.read.parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    startingTimestamp.foreach(t => df = df.filter(col("ts") >= to_timestamp(lit(t))))
+    df.orderBy("ts", "event_id")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .collect()
+      .map { r =>
+        (r.getLong(0),
+         if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getTimestamp(1).getTime * 1000 + r.getTimestamp(1).getNanos / 1000 % 1000),
+         if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)),
+         r.getString(3),
+         if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4)),
+         r.getString(5))
+      }
+  }
+}
+
+class EventFeedTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"event_feed(${options.get("path")})"
+  override def schema(): StructType = EventFeed.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new EventFeedScan(opts)
+    }
+}
+
+class EventFeedScan(options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = EventFeed.Schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new EventFeedMicroBatchStream(
+      path = Option(options.get("path")).getOrElse(
+        throw new IllegalArgumentException("eventfeed: 'path' option is required")),
+      maxBatchSize =
+        Option(options.get("maxBatchSize")).map(_.toInt).getOrElse(EventFeed.DefaultMaxBatchSize),
+      startingTimestamp = Option(options.get("startingTimestamp"))
+    )
+}
+
+/** Stream offset = count of feed rows emitted so far (dense row index). */
+case class FeedPosition(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+class EventFeedMicroBatchStream(
+    path: String,
+    maxBatchSize: Int,
+    startingTimestamp: Option[String]
+) extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private lazy val rows: Array[EventFeed.FeedRow] = EventFeed.load(path, startingTimestamp)
+
+  override def initialOffset(): Offset = FeedPosition(0L)
+  override def deserializeOffset(json: String): Offset = FeedPosition(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  // --- admission control: ≤ maxBatchSize rows per trigger (the 50-events
+  // per-poll cap, `main.go:107` — same mechanism as Kafka
+  // maxOffsetsPerTrigger) -----------------------------------------------
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxBatchSize.toLong)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s   = start.asInstanceOf[FeedPosition].n
+    val cap = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => r.maxRows()
+      case _                                                            => maxBatchSize.toLong
+    }
+    FeedPosition(math.min(rows.length.toLong, s + cap))
+  }
+
+  override def reportLatestOffset(): Offset = FeedPosition(rows.length.toLong)
+
+  /** Trigger.AvailableNow: the bounded replay target is the full feed. */
+  override def prepareForTriggerAvailableNow(): Unit = { rows; () }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used via SupportsAdmissionControl")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FeedPosition].n.toInt
+    val e = end.asInstanceOf[FeedPosition].n.toInt
+    if (e <= s) Array.empty
+    else Array(EventFeedPartition(rows.slice(s, e)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val slice = partition.asInstanceOf[EventFeedPartition].rows
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < slice.length }
+        override def get(): InternalRow = {
+          val r = slice(i)
+          new GenericInternalRow(Array[Any](
+            r._1,
+            if (r._2 == null) null else r._2.longValue(),
+            if (r._3 == null) null else r._3.longValue(),
+            if (r._4 == null) null else UTF8String.fromString(r._4),
+            if (r._5 == null) null else r._5.doubleValue(),
+            if (r._6 == null) null else UTF8String.fromString(r._6)
+          ))
+        }
+        override def close(): Unit = ()
+      }
+    }
+  }
+}
+
+case class EventFeedPartition(rows: Array[EventFeed.FeedRow]) extends InputPartition

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.operators.EventLog
+import graft.sources.EventFeedProvider
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/**
+ * EP3 — the ingestion pipeline (reference `cmd/server/main.go:63-162`),
+ * Spark-first: a Structured Streaming query
+ *
+ *   EventFeed source (O1/O2: poll pacing, begin time)
+ *     → envelope projection (O3: narrow map, executor-parallel)
+ *     → to_json serialize (O4: narrow map)
+ *     → foreachBatch offset-log sink (O5/O6: dense offsets, retention).
+ *
+ * Offset assignment happens at the micro-batch boundary — the one
+ * serialization point in the pipeline, mirroring the reference's
+ * single-writer collector goroutine. Everything upstream of the sink is
+ * shuffle-free (`.explain` shows a single WholeStageCodegen span over the
+ * scan).
+ *
+ * The log is bootstrapped on the first record: start offset = first event's
+ * id, so `offset == event_id` for the log's lifetime (O2,
+ * `main.go:113-125`).
+ */
+object Ingest {
+
+  /** CloudEvent envelope schema for parsing stored bytes back (§1.2). */
+  def envelopeSchema(dataSchema: StructType): StructType = StructType(Seq(
+    StructField("specversion", StringType),
+    StructField("id", StringType),
+    StructField("source", StringType),
+    StructField("type", StringType),
+    StructField("datacontenttype", StringType),
+    StructField("time", TimestampType),
+    StructField("eventclass", StringType),
+    StructField("data", dataSchema)
+  ))
+
+  /** The raw-event payload schema inside `data`. */
+  val DataSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** The streaming feed DataFrame (readStream through the DSv2 source). */
+  def feed(
+      spark: SparkSession,
+      dir: String,
+      maxBatchSize: Int = 50,
+      startingTimestamp: Option[String] = None
+  ): DataFrame = {
+    val r = spark.readStream
+      .format(classOf[EventFeedProvider].getName)
+      .option("path", s"$dir/events.parquet")
+      .option("maxBatchSize", maxBatchSize)
+    startingTimestamp.foreach(t => r.option("startingTimestamp", t))
+    r.load()
+  }
+
+  /**
+   * Drain the feed into a fresh OffsetLog (Trigger.AvailableNow = run the
+   * bounded replay to completion in rate-limited micro-batches) and return
+   * the populated log. Records are the canonical serialized CloudEvents;
+   * oversize records are rejected by the log exactly like memlog
+   * (`RecordTooLarge`), surfaced in `IngestResult.rejected`.
+   */
+  def run(
+      spark: SparkSession,
+      dir: String,
+      maxBatchSize: Int = 50,
+      segmentSize: Int = 1000,
+      maxRecordBytes: Long = EventLog.DefaultMaxRecordBytes,
+      startingTimestamp: Option[String] = None
+  ): IngestResult = {
+    val enveloped  = EventLog.envelope(feed(spark, dir, maxBatchSize, startingTimestamp))
+    val serialized = EventLog.serialized(enveloped).select("offset", "value")
+
+    // the sink; bootstrapped lazily from the first observed event id (O2)
+    var log: OffsetLog = null
+    var rejected       = 0L
+
+    val q = serialized.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // micro-batch = the single-writer serialization point; events are
+        // already feed-ordered, re-assert order on the tiny batch
+        val rows = batch.orderBy("offset").collect()
+        rows.foreach { r =>
+          if (log == null)
+            log = new OffsetLog(r.getLong(0), segmentSize, maxRecordBytes)
+          log.write(r.getString(1).getBytes("UTF-8")) match {
+            case Left(_)  => rejected += 1
+            case Right(_) => ()
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    IngestResult(if (log == null) new OffsetLog(0, segmentSize, maxRecordBytes) else log, rejected)
+  }
+
+  /** The retained log as a DataFrame of (offset, value) — the queryable sink
+    * table every batch operator (range/point/page/watch replay) runs over. */
+  def logFrame(spark: SparkSession, log: OffsetLog): DataFrame = {
+    import spark.implicits._
+    log.snapshot.map { case (o, b) => (o, new String(b, "UTF-8")) }.toDF("offset", "value")
+  }
+
+  /** Parse stored CloudEvent bytes back to typed columns (O12 / §1.2). */
+  def parsed(frame: DataFrame): DataFrame =
+    frame.withColumn("ce", from_json(col("value"), envelopeSchema(DataSchema)))
+}
+
+final case class IngestResult(log: OffsetLog, rejected: Long)
