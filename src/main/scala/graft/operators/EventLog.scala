@@ -175,8 +175,15 @@ object EventLog {
   private def envelopeStruct(enveloped: DataFrame): Column =
     struct(enveloped.columns.filter(EnvelopeCols.contains).map(col).toIndexedSeq: _*)
 
+  /** JSON timestamp rendering: RFC3339 with full microsecond precision (the
+    * reference's CloudEvent `time` keeps sub-second precision,
+    * `README.md:60,64`; Spark's default truncates to millis). */
+  val JsonTimestampFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   def serialized(enveloped: DataFrame): DataFrame =
-    enveloped.withColumn("value", to_json(envelopeStruct(enveloped)))
+    enveloped.withColumn("value",
+      to_json(envelopeStruct(enveloped),
+        Map("timestampFormat" -> JsonTimestampFormat)))
 
   /** Record-size guard (O5, `server.go:46`): rows whose serialized form
     * exceeds the cap — measured on the canonical record bytes, matching

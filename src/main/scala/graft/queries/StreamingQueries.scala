@@ -25,20 +25,20 @@ object StreamingQueries {
     Declared(
       "q_stream",
       Some(
-        """SELECT event_id AS offset, event_id, ts, user_id, event_type, round(value, 4) AS value
-          |FROM events ORDER BY offset""".stripMargin
+        """SELECT event_id AS log_offset, event_id, ts, user_id, event_type, round(value, 4) AS value
+          |FROM events ORDER BY log_offset""".stripMargin
       )
     ) { (spark, dir) =>
       val result = Ingest.run(spark, dir, maxBatchSize = 2000, segmentSize = Int.MaxValue / 4)
       Ingest.parsed(Ingest.logFrame(spark, result.log))
         .select(
-          col("offset"),
+          col("offset").as("log_offset"),
           col("ce.data.event_id").as("event_id"),
           col("ce.data.ts").as("ts"),
           col("ce.data.user_id").as("user_id"),
           col("ce.data.event_type").as("event_type"),
           round(col("ce.data.value"), 4).as("value"))
-        .orderBy("offset")
+        .orderBy("log_offset")
     },
 
     // Stateful streaming tumbling-window aggregation (SURVEY §2.2): the

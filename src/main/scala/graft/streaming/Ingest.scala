@@ -119,7 +119,9 @@ object Ingest {
 
   /** Parse stored CloudEvent bytes back to typed columns (O12 / §1.2). */
   def parsed(frame: DataFrame): DataFrame =
-    frame.withColumn("ce", from_json(col("value"), envelopeSchema(DataSchema)))
+    frame.withColumn("ce",
+      from_json(col("value"), envelopeSchema(DataSchema),
+        Map("timestampFormat" -> EventLog.JsonTimestampFormat)))
 }
 
 final case class IngestResult(log: OffsetLog, rejected: Long)
