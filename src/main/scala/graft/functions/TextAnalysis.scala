@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for the training-data pipeline surface:
+ * tokenization, token counting, language identification, quality scoring,
+ * and document fingerprinting. The reference has no text processing (its
+ * payloads are opaque JSON, SURVEY §2.2) — these standardize on Spark
+ * built-ins / higher-order functions so everything stays codegen'd and
+ * narrow (no UDFs, no shuffles until the caller aggregates).
+ *
+ * Every function is expressible with identical semantics in ANSI-ish SQL
+ * (the DuckDB oracle mirrors each formula), which is what makes the
+ * declared queries hash-checkable.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " +")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /**
+   * BPE-ish subword count: runs of letters, runs of digits, and individual
+   * other non-space characters each count as one token — the usual
+   * regex-pretokenizer upper bound on BPE vocab pieces.
+   */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+
+  // --- language identification (marker-token heuristic) -------------------
+
+  /** Per-language marker tokens (tiny stopword profiles). Deterministic and
+    * SQL-portable; swap in full stopword tables for production corpora. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des")
+  )
+
+  private def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(x => x: Any): _*))).cast("long")
+
+  /**
+   * Guess the language: the marker profile with the most hits wins; ties
+   * resolve in `LangMarkers` order; zero hits everywhere => "und".
+   */
+  def languageId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> markerHits(text, ms) }
+    val best   = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s > 0 && s === best, lang).otherwise(acc)
+    }
+  }
+
+  // --- quality scoring ----------------------------------------------------
+
+  /** Fraction of characters that are neither lowercase letters nor spaces. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[a-z ]", "")).cast("double") /
+      nullif(length(text).cast("double"), lit(0.0))
+
+  /** Fraction of tokens that are (English-profile) stopwords. */
+  def stopwordRatio(text: Column): Column =
+    markerHits(text, LangMarkers.head._2).cast("double") /
+      nullif(tokenCount(text).cast("double"), lit(0.0))
+
+  /** Length score: saturating n_chars / cap. */
+  def lengthScore(nChars: Column, cap: Int = 500): Column =
+    least(nChars.cast("double") / cap, lit(1.0))
+
+  /**
+   * Composite quality score in [0,1]: long-enough documents with low
+   * punctuation noise and a natural stopword rate score high. Deliberately
+   * simple + portable; each component is independently queryable.
+   */
+  def qualityScore(text: Column, nChars: Column): Column =
+    round(
+      lit(0.4) * lengthScore(nChars) +
+        lit(0.3) * (lit(1.0) - least(punctRatio(text) * 10, lit(1.0))) +
+        lit(0.3) * least(stopwordRatio(text) * 5, lit(1.0)),
+      4)
+
+  // --- fingerprinting -----------------------------------------------------
+
+  /** Exact-content fingerprint (md5 of the raw text). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Normalized fingerprint: collapse whitespace runs before hashing so
+    * documents differing only in spacing collide. */
+  def normalizedFingerprint(text: Column): Column =
+    md5(trim(regexp_replace(text, " +", " ")))
+}

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Near-duplicate detection for the training-data pipeline: exact n-gram
+ * Jaccard, MinHash + LSH banding, and SimHash. The reference has no dedup
+ * (vCenter keys are unique by construction, SURVEY §2.2) — this is the
+ * extended surface, built Spark-first:
+ *
+ *  - shingling / minhashing / simhashing are narrow maps over the scan,
+ *    entirely in codegen'd higher-order functions + `xxhash64` (no UDFs);
+ *  - candidate generation shuffles once on the LSH band bucket — the ONLY
+ *    quadratic-risk step, and its cost is per-bucket, not per-corpus;
+ *  - verification joins candidate pairs back to shingle sets and computes
+ *    exact Jaccard with `array_intersect` — cost ∝ candidates, not n².
+ *
+ * At 100 TB: exact all-pairs Jaccard is O(n²) and exists only as the
+ * small-corpus oracle [[exactJaccardPairs]]; the scale path is
+ * [[minhashLshPairs]] whose shuffle keys (band buckets) distribute
+ * uniformly by construction (minhash values are uniform), so no salting is
+ * needed; band-bucket skew (a degenerate shingle shared by everything)
+ * is bounded by `array_distinct` shingling and AQE skew-join splitting.
+ */
+object Dedup {
+
+  /** Prime modulus for minhash arithmetic (fits 32 bits so `a*x+b` stays
+    * within long range under ANSI overflow checking). */
+  val P: Long = 2147483647L
+
+  /** `numHashes` (a,b) seed pairs, deterministic (seed=42). */
+  def seeds(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((rnd.nextLong(P - 1) + 1, rnd.nextLong(P)))
+  }
+
+  /** Distinct word n-gram shingles of `text` (default 3-word shingles).
+    * Texts shorter than n words yield an empty array — the `when` guard is
+    * required because `sequence(1, 0)` counts DOWN in Spark and the
+    * resulting indices would fail ANSI `element_at`. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = split(text, " +")
+    when(size(w) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))))
+      .otherwise(array())
+  }
+
+  /** MinHash signature (array of `numHashes` long minima) of a shingle-array
+    * column. One `array_min` pass per hash function, all codegen'd. */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column = {
+    val sig = seeds(numHashes).map { case (a, b) =>
+      array_min(transform(shingleCol,
+        sh => pmod(lit(a) * pmod(xxhash64(sh), lit(P)) + lit(b), lit(P))))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH band hashes: split the signature into `bands` bands of
+    * `rows = numHashes / bands` and hash each band. */
+  def bandHashes(sigCol: Column, numHashes: Int, bands: Int): Column = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64((0 until r).map(i => element_at(sigCol, b * r + i + 1)): _*).as("h"))
+    }: _*)
+  }
+
+  /**
+   * Candidate near-duplicate pairs via MinHash-LSH banding: documents
+   * sharing any band bucket. Returns (da, db, sa, sb) with da < db and the
+   * two shingle arrays for downstream verification.
+   */
+  def lshCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): DataFrame = {
+    val shingled = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+    val banded = shingled
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"), col("sh"),
+        explode(bandHashes(col("sig"), numHashes, bands)).as("bh"))
+      .select(col("id"), col("sh"), col("bh.band").as("band"), col("bh.h").as("h"))
+    // shuffle on the band bucket; pairs form only within a bucket
+    val a = banded.select(col("band"), col("h"), col("id").as("da"), col("sh").as("sa"))
+    val b = banded.select(col("band"), col("h"), col("id").as("db"), col("sh").as("sb"))
+    a.join(b, Seq("band", "h")).where(col("da") < col("db"))
+      .select("da", "db", "sa", "sb")
+      .dropDuplicates("da", "db")
+  }
+
+  /** Exact Jaccard over candidate pairs (the verification step). */
+  def verifiedPairs(candidates: DataFrame, threshold: Double): DataFrame = {
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val union = (size(col("sa")) + size(col("sb"))).cast("double") - inter
+    candidates
+      .withColumn("jaccard", inter / union)
+      .where(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-dup pairs, exact-verified at `threshold`. */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String, threshold: Double = 0.8): DataFrame =
+    verifiedPairs(lshCandidates(docs, idCol, textCol), threshold)
+
+  /**
+   * Exact all-pairs n-gram Jaccard (explode + equi-join on shingle; shuffle
+   * keys are shingles). O(n²) worst case — the small-corpus oracle against
+   * which the LSH path is verified; never the 100 TB path.
+   */
+  def exactJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleSize: Int = 3
+  ): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleSize)).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("da"), col("b.id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("id", "db").withColumnRenamed("n", "nb"), "db")
+      .withColumn("jaccard", col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
+      .where(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // --- SimHash ------------------------------------------------------------
+
+  /**
+   * 64-bit SimHash over whitespace tokens: each token's `xxhash64` votes
+   * ±1 per bit position; the sign of each tally is the signature bit.
+   * Expressed as one `aggregate` fold with a 64-slot array accumulator —
+   * narrow, codegen'd, no shuffle.
+   */
+  // shiftright/shiftleft with a COLUMN shift amount (the Scala helpers only
+  // take Int literals; the underlying SQL expressions accept expressions)
+  private def shr(x: Column, n: Column): Column = call_function("shiftright", x, n)
+  private def shl(x: Column, n: Column): Column = call_function("shiftleft", x, n)
+
+  def simhash(text: Column): Column = {
+    val toks = split(text, " +")
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (c, i) => c + when(shr(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, shl(lit(1L), i)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * SimHash near-dup pairs: block on the four 16-bit quarters of the
+   * signature (candidates = pairs agreeing on ≥1 quarter), then verify
+   * exact hamming distance ≤ maxDistance. Pigeonhole guarantees full
+   * recall only for distance ≤ 3 (4+ differing bits can touch all four
+   * quarters); for near-dups (distance ≤ 8 out of 64) the differing bits
+   * cluster rarely enough that recall is high in practice — the standard
+   * SimHash block-and-verify tradeoff. Shuffle key = (quarter index,
+   * quarter value), uniform by hash construction.
+   */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String, maxDistance: Int = 8): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val blocked = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map { q =>
+        struct(lit(q).as("q"),
+          shiftright(col("sig"), q * 16).bitwiseAND(0xFFFFL).as("v"))
+      }: _*)).as("blk"))
+      .select(col("id"), col("sig"), col("blk.q").as("q"), col("blk.v").as("v"))
+    val a = blocked.select(col("q"), col("v"), col("id").as("da"), col("sig").as("siga"))
+    val b = blocked.select(col("q"), col("v"), col("id").as("db"), col("sig").as("sigb"))
+    a.join(b, Seq("q", "v")).where(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        hammingDistance(col("siga"), col("sigb")).as("distance"))
+      .dropDuplicates("da", "db")
+      .where(col("distance") <= maxDistance)
+  }
+}

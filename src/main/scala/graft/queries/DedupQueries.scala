@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Similarity
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/**
+ * Near-duplicate detection surface. The exact n-gram Jaccard pair set is
+ * the shared oracle: q_neardup computes it the exact way (explode +
+ * shingle-join), q_minhash_lsh computes it the scale way (LSH banding +
+ * exact verification) — BOTH hash-check against the same DuckDB SQL, which
+ * is the strongest possible statement that the approximate path loses
+ * nothing at the declared threshold (the corpus' near-dup pairs sit at
+ * jaccard ≥ 0.98, where 16-band/4-row MinHash recall is 1 − ~1e-22).
+ */
+object DedupQueries {
+
+  /** DuckDB mirror of the exact 3-word-shingle Jaccard pair query. */
+  private val exactPairsSql =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-2),
+      |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |       FROM w WHERE len(w) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON da = sa.doc_id
+      |JOIN sizes sb ON db = sb.doc_id
+      |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+      |ORDER BY da, db""".stripMargin
+
+  val all: Seq[Declared] = Seq(
+    // exact n-gram Jaccard near-dup pairs (the small-corpus ground truth)
+    Declared("q_neardup", Some(exactPairsSql)) { (spark, dir) =>
+      Dedup.exactJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", threshold = 0.8)
+        .orderBy("da", "db")
+    },
+
+    // MinHash-LSH + exact verify — SAME oracle as q_neardup: the scale path
+    // must find exactly the pairs the exact path finds
+    Declared("q_minhash_lsh", Some(exactPairsSql)) { (spark, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text", threshold = 0.8)
+        .orderBy("da", "db")
+    },
+
+    // dedup keeper selection: drop the higher doc_id of every near-dup pair
+    Declared(
+      "q_dedup_keep",
+      Some(
+        s"""WITH pairs AS ($exactPairsSql)
+           |SELECT count(*) AS kept FROM documents
+           |WHERE doc_id NOT IN (SELECT db FROM pairs)""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val docs  = Tables.documents(spark, dir)
+      val drop  = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+        .select(col("db").as("doc_id")).distinct()
+      docs.join(drop, Seq("doc_id"), "left_anti").agg(count(lit(1)).as("kept"))
+    },
+
+    // SimHash signatures (xxhash64-based — not expressible in the oracle;
+    // rows-only check; pair recall asserted against exact pairs in DedupSpec)
+    Declared("q_simhash", None) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // embedding-cosine near-dup pairs, exact (the small-corpus oracle; the
+    // scale path is the LSH-bucketed variant in Ann)
+    Declared(
+      "q_embdup",
+      Some(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+          |SELECT a.vec_id AS va, b.vec_id AS vb, round(list_cosine_similarity(a.v, b.v), 4) AS sim
+          |FROM e a JOIN e b ON a.vec_id < b.vec_id
+          |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+          |ORDER BY va, vb""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+      a.join(b, col("va") < col("vb"))
+        .withColumn("sim", Similarity.cosineSimilarity(col("ea"), col("eb")))
+        .where(col("sim") >= 0.45)
+        .select(col("va"), col("vb"), round(col("sim"), 4).as("sim"))
+        .orderBy("va", "vb")
+    }
+  )
+}

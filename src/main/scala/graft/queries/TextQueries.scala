@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis surface for the training-data pipeline (language-ID,
+ * quality scoring, token counting, fingerprinting), all oracle-checked:
+ * every heuristic is a deterministic formula the DuckDB SQL mirrors
+ * exactly. Narrow maps over the documents scan — no shuffle until the
+ * final aggregate/sort.
+ */
+object TextQueries {
+
+  // the DuckDB-side mirror of TextAnalysis.LangMarkers scores
+  private def duckScore(markers: Seq[String]): String =
+    s"len(list_filter(regexp_split_to_array(text, ' +'), t -> t IN (${markers.map(m => s"'$m'").mkString(",")})))"
+
+  private val duckLangCase: String = {
+    val scores = TextAnalysis.LangMarkers.map { case (l, ms) => l -> duckScore(ms) }
+    val best   = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val whens = scores
+      .map { case (l, s) => s"WHEN $s > 0 AND $s = $best THEN '$l'" }
+      .mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  val all: Seq[Declared] = Seq(
+    // token counting: whitespace tokens + BPE-ish subword pieces
+    Declared(
+      "q_tokens",
+      Some(
+        """SELECT doc_id,
+          |       len(regexp_split_to_array(text, ' +')) AS n_tokens,
+          |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subwords
+          |FROM documents ORDER BY doc_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    },
+
+    // language identification (marker-token heuristic) + corpus profile
+    Declared(
+      "q_lang",
+      Some(
+        s"""SELECT $duckLangCase AS lang_guess, count(*) AS docs
+           |FROM documents GROUP BY 1 ORDER BY lang_guess""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .groupBy(TextAnalysis.languageId(col("text")).as("lang_guess"))
+        .agg(count(lit(1)).as("docs"))
+        .orderBy("lang_guess")
+    },
+
+    // quality scoring: per-document components + composite
+    Declared(
+      "q_quality",
+      Some(
+        """SELECT doc_id,
+          |       round(least(n_chars / 500.0, 1.0), 4) AS len_score,
+          |       round(len(regexp_replace(text, '[a-z ]', '', 'g')) * 1.0 / nullif(len(text), 0), 4) AS punct_ratio,
+          |       round(len(list_filter(regexp_split_to_array(text, ' +'), t -> t IN ('the','a','of','and','to'))) * 1.0
+          |             / nullif(len(regexp_split_to_array(text, ' +')), 0), 4) AS stop_ratio
+          |FROM documents ORDER BY doc_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(
+          col("doc_id"),
+          round(TextAnalysis.lengthScore(col("n_chars")), 4).as("len_score"),
+          round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+          round(TextAnalysis.stopwordRatio(col("text")), 4).as("stop_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // exact-content fingerprints (md5), the exact-dedup primitive
+    Declared(
+      "q_fingerprint",
+      Some(
+        """SELECT doc_id, md5(text) AS fp,
+          |       md5(trim(regexp_replace(text, ' +', ' ', 'g'))) AS fp_norm
+          |FROM documents ORDER BY doc_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(
+          col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.normalizedFingerprint(col("text")).as("fp_norm"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("shingles: distinct word n-grams, empty below n words") {
+    val df = Seq((1, "a b c d"), (2, "a b"), (3, "x x x x x")).toDF("id", "text")
+    val out = df.select(col("id"), Dedup.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(out(1) === Seq("a b c", "b c d"))
+    assert(out(2) === Seq.empty)          // shorter than the shingle size
+    assert(out(3) === Seq("x x x"))       // distinct collapses repeats
+  }
+
+  test("minhash signature is deterministic and equal for equal shingle sets") {
+    val df = Seq((1, "a b c d e"), (2, "a b c d e"), (3, "p q r s t")).toDF("id", "text")
+    val sigs = df.select(col("id"), Dedup.minhashSignature(Dedup.shingles(col("text"))).as("sig"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1) === sigs(2))
+    assert(sigs(1) !== sigs(3))
+    assert(sigs(1).length === 64)
+  }
+
+  test("LSH candidate pairs are a superset of exact near-dup pairs (recall=1 here)") {
+    val docs = Tables.documents(spark, dir)
+    val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.lshCandidates(docs, "doc_id", "text")
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(exact.subsetOf(lsh),
+      s"LSH missed ${(exact -- lsh).size} of ${exact.size} exact pairs")
+  }
+
+  test("minhashLshPairs == exactJaccardPairs at threshold 0.8") {
+    val docs = Tables.documents(spark, dir)
+    val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh === exact)
+  }
+
+  test("simhash: equal text equal hash; near-dup pairs have small hamming distance") {
+    val df = Seq((1, "the quick brown fox jumps over the lazy dog"),
+                 (2, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val hs = df.select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))
+    assert(hs(0) === hs(1))
+
+    // the corpus' planted near-dups (jaccard >= 0.8) should mostly sit within
+    // hamming distance 8 of each other
+    val docs  = Tables.documents(spark, dir)
+    val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("da", "db")
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+    val withDist = exact
+      .join(sigs.select(col("doc_id").as("da"), col("sig").as("siga")), "da")
+      .join(sigs.select(col("doc_id").as("db"), col("sig").as("sigb")), "db")
+      .select(Dedup.hammingDistance(col("siga"), col("sigb")).as("d"))
+      .collect().map(_.getInt(0))
+    assert(withDist.nonEmpty)
+    val close = withDist.count(_ <= 8)
+    assert(close.toDouble / withDist.length >= 0.8,
+      s"only $close/${withDist.length} near-dup pairs within hamming 8")
+  }
+
+  test("simhashPairs finds the planted near-dups via quarter blocking") {
+    val docs  = Tables.documents(spark, dir)
+    val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxDistance = 8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = exact.intersect(sim)
+    assert(found.size.toDouble / exact.size >= 0.8,
+      s"simhash found ${found.size}/${exact.size} planted pairs")
+  }
+}
