@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column plumbing: image/audio/video payloads as opaque
+ * `BINARY` columns with typed metadata, plus the decode / feature-extract /
+ * frame-sample operators a training-data pipeline hangs off them.
+ *
+ * The real codec calls are STUBBED (this container has no image/audio
+ * libraries): [[StubDecoder]] is a deterministic fake standing where
+ * libjpeg/ffmpeg bindings would go. Everything AROUND the stub — the
+ * schema, the binary column handling, the partition-wise batched execution
+ * shape ([[decodeFeatures]] is `mapPartitions`, the Scala analog of a
+ * PySpark `mapInPandas` batch UDF: per-partition iterator in, per-partition
+ * iterator out, decoder state initialized once per partition, never per
+ * row), and the pure-SQL byte-level operators — is real and tested.
+ *
+ * Scale: binary payloads ride in Parquet like any column (row-group
+ * pruning still works on the metadata columns); decode is a narrow map,
+ * so the 100 TB path is scan → decode → feature columns with zero
+ * shuffles until the caller aggregates.
+ */
+object Multimodal {
+
+  /** Typed metadata carried alongside every media payload. */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType),       // image | audio | video | text
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),     // pixels / samples-per-frame
+    StructField("height", IntegerType)
+  ))
+
+  /**
+   * Synthesize a media table from the documents corpus: the utf-8 bytes of
+   * `text` play the opaque payload (deterministic, hermetic). Kind/width/
+   * height derive from byte length so metadata predicates are exercisable.
+   */
+  def mediaFrame(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        when(col("n_chars") % 3 === 0, "image")
+          .when(col("n_chars") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height")
+      ).as("meta"))
+
+  /** Frame sampling: every `frameBytes`-byte slice of the payload, pure SQL
+    * (`substring` on BINARY) — the batch-shape analog of video frame
+    * extraction. */
+  def frameSample(media: org.apache.spark.sql.Column, frameBytes: Int = 64): org.apache.spark.sql.Column =
+    transform(
+      sequence(lit(0), greatest(floor((octet_length(media) - 1) / lit(frameBytes)).cast("int"), lit(0))),
+      i => substring(media, i * frameBytes + 1, lit(frameBytes)))
+
+  /** One decoded-feature row per asset. */
+  case class MediaFeatures(
+      asset_id: Long, kind: String, n_bytes: Long,
+      n_frames: Int, mean_byte: Double, digest: Long)
+
+  /**
+   * The stubbed codec. A real implementation would JNI into libjpeg/ffmpeg
+   * here; this fake is deterministic over the payload bytes so tests and
+   * oracle-adjacent checks stay exact. Constructed once per PARTITION (cf.
+   * [[decodeFeatures]]) — the expensive-init-amortization pattern that
+   * matters when the decoder is a native library.
+   */
+  final class StubDecoder(frameBytes: Int = 64) {
+    def decode(assetId: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
+      val nFrames  = if (payload.isEmpty) 0 else (payload.length + frameBytes - 1) / frameBytes
+      val meanByte = if (payload.isEmpty) 0.0
+                     else payload.map(b => (b & 0xFF).toDouble).sum / payload.length
+      var h = 1125899906842597L // deterministic rolling hash of the bytes
+      payload.foreach(b => h = h * 31 + (b & 0xFF))
+      MediaFeatures(assetId, kind, payload.length.toLong, nFrames, meanByte, h)
+    }
+  }
+
+  /**
+   * Partition-wise batched decode (the `mapInPandas` shape in Scala):
+   * iterator-in/iterator-out over whole partitions, one decoder instance
+   * per partition. Narrow — no shuffle.
+   */
+  def decodeFeatures(spark: SparkSession, media: DataFrame, frameBytes: Int = 64): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("asset_id", "meta.kind", "media")
+      .mapPartitions { rows: Iterator[Row] =>
+        val decoder = new StubDecoder(frameBytes) // once per partition
+        rows.map(r => decoder.decode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
+      }
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnnSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("brute-force top-k: probe itself ranks first with sim 1") {
+    val top = Ann.bruteForceTopK(Tables.embeddings(spark, dir), probeId = 0L, k = 10).collect()
+    assert(top.length === 10)
+    assert(top.head.getLong(0) === 0L)
+    assert(top.head.getDouble(1) === 1.0)
+    // descending similarity
+    val sims = top.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("LSH top-k recovers planted clusters (the regime ANN serves)") {
+    import spark.implicits._
+    // 20 clusters × 10 members: members are tiny perturbations of a random
+    // center (cosine ≈ 0.999) — top-10 for any member is its own cluster
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      c <- 0 until 20
+      center = Array.fill(64)(rnd.nextGaussian().toFloat)
+      m <- 0 until 10
+    } yield ((c * 10 + m).toLong, center.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq)
+    val emb = rows.toDF("vec_id", "embedding")
+
+    val probes = Seq(0L, 55L, 111L, 190L)
+    val recalls = probes.map { p =>
+      val exact  = Ann.bruteForceTopK(emb, p, 10).collect().map(_.getLong(0)).toSet
+      val approx = Ann.lshTopK(emb, p, 10).collect().map(_.getLong(0)).toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 $mean (per-probe: $recalls)")
+  }
+
+  test("LSH on the weak-similarity corpus still finds the probe and prunes the scan") {
+    val emb = Tables.embeddings(spark, dir)
+    // the probe itself must always be found (it shares its own bucket)
+    val self = Ann.lshTopK(emb, 0L, 10).collect().map(_.getLong(0))
+    assert(self.contains(0L))
+    // candidate set ≪ corpus: the multiprobe buckets prune the scan
+    val ps = Ann.planes(64, 8)
+    import org.apache.spark.sql.functions._
+    val bucketed = emb.withColumn("bucket", Ann.lshBucket(col("embedding"), ps))
+    val probeBucket = bucketed.filter(col("vec_id") === 0L).head().getAs[Long]("bucket")
+    val buckets = Ann.multiprobeMasks(8, 2).map(m => probeBucket ^ m)
+    val candidates = bucketed.filter(col("bucket").isin(buckets: _*)).count()
+    val total = emb.count()
+    assert(candidates < total / 2,
+      s"candidates $candidates should prune the $total-row corpus")
+  }
+}
