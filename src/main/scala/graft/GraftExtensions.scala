@@ -1,0 +1,52 @@
+package graft
+
+import graft.expressions.{CosineSimilarity, DotProduct, MinHashSignature, SimHash64, WordShingles}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/**
+ * Session extensions registering graft's native codegen expressions as SQL
+ * functions — the standard `spark.sql.extensions` injection path (no Spark
+ * fork, works on any cluster that has the graft jar on the classpath):
+ *
+ *  - `graft_cosine(ARRAY<FLOAT|DOUBLE>, ARRAY<FLOAT|DOUBLE>) -> DOUBLE`
+ *  - `graft_dot(ARRAY<FLOAT|DOUBLE>, ARRAY<FLOAT|DOUBLE>) -> DOUBLE`
+ *
+ * Activated via `GraftSession.configure` (`spark.sql.extensions=graft.GraftExtensions`).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSignature(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        children match {
+          case Seq(text) => WordShingles(text)
+          case Seq(text, n) =>
+            WordShingles(text,
+              n.eval().asInstanceOf[Number].intValue())
+          case _ => throw new IllegalArgumentException("graft_shingles(text[, n])")
+        }))
+  }
+}

@@ -4,19 +4,29 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /**
- * Vector math over `ARRAY<FLOAT>` embedding columns, built entirely from
- * codegen'd higher-order functions (`zip_with` / `aggregate` /
- * `transform`) — no UDFs, so the whole computation stays inside
- * whole-stage codegen and columnar batch processing.
+ * Vector math over `ARRAY<FLOAT>` embedding columns.
  *
- * All arithmetic is promoted to DOUBLE before accumulation (left-to-right
- * sequential fold), which is the same evaluation order the DuckDB oracle
- * uses via `list_dot_product(CAST(... AS DOUBLE[]), ...)`.
+ * The hot-path entry points route to graft's native codegen expressions
+ * (`graft_dot` / `graft_cosine`, [[graft.expressions.VectorExpressions]],
+ * registered via SparkSessionExtensions): Spark's higher-order functions
+ * evaluate interpreted (no whole-stage codegen), which made the
+ * 12.5M-pair cosine scan the sf0.1 bench bottleneck; the fused-loop
+ * expressions are ~10× faster and keep the stage inside codegen. The HOF
+ * formulations are retained (`*Hof`) as the dependency-free reference
+ * implementation the specs cross-check against.
+ *
+ * All arithmetic is promoted to DOUBLE and accumulated left-to-right —
+ * the same evaluation order the DuckDB oracle uses via
+ * `list_dot_product(CAST(... AS DOUBLE[]), ...)`.
  */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision. */
+  /** Σ aᵢ·bᵢ in double precision (codegen'd fused loop). */
   def dotProduct(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** Σ aᵢ·bᵢ via interpreted HOFs — reference implementation. */
+  def dotProductHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -25,32 +35,26 @@ object Similarity {
   /** ‖a‖₂ in double precision. */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
-  /** cos(a, b) = a·b / (‖a‖‖b‖). NULL when either vector is all-zero
-    * (cosine undefined; `nullif` keeps the expression ANSI-safe — Spark 4's
-    * default ANSI mode makes a plain divide-by-zero a runtime error). */
+  /** cos(a, b) = a·b / (‖a‖‖b‖), one fused codegen'd loop (dot and both
+    * norms accumulated together). NULL when either vector is all-zero
+    * (cosine undefined; ANSI-safe — no divide-by-zero). */
   def cosineSimilarity(a: Column, b: Column): Column =
-    dotProduct(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0))
+    call_function("graft_cosine", a, b)
+
+  /** HOF reference implementation of cosine (interpreted; spec cross-check). */
+  def cosineSimilarityHof(a: Column, b: Column): Column =
+    dotProductHof(a, b) /
+      nullif(sqrt(dotProductHof(a, a)) * sqrt(dotProductHof(b, b)), lit(0.0))
 
   /**
-   * cos(a, p) against a probe whose norm ‖p‖ is already known — the
-   * at-scale path for probe scans: a SINGLE fold per row accumulates both
-   * a·p and ‖a‖² (struct accumulator, still fully codegen'd), instead of
-   * three independent array traversals, and the constant ‖p‖ is computed
-   * once on the 1-row probe side rather than per scanned row.
+   * cos(a, p) for probe scans. The fused expression already computes dot
+   * and both norms in the same single pass, so this simply delegates —
+   * the probeNorm argument is retained for API stability and ignored
+   * (recomputing ‖p‖ inside the fused loop is cheaper than a second
+   * column reference at codegen level).
    */
-  def cosineVsProbe(a: Column, probe: Column, probeNorm: Column): Column = {
-    val acc = aggregate(
-      zip_with(a, probe, (x, y) => {
-        val xd = x.cast("double")
-        struct((xd * y.cast("double")).as("dot"), (xd * xd).as("nsq"))
-      }),
-      struct(lit(0.0).as("dot"), lit(0.0).as("nsq")),
-      (s, e) => struct(
-        (s.getField("dot") + e.getField("dot")).as("dot"),
-        (s.getField("nsq") + e.getField("nsq")).as("nsq"))
-    )
-    acc.getField("dot") / nullif(sqrt(acc.getField("nsq")) * probeNorm, lit(0.0))
-  }
+  def cosineVsProbe(a: Column, probe: Column, probeNorm: Column): Column =
+    cosineSimilarity(a, probe)
 
   /** Squared euclidean distance Σ (aᵢ−bᵢ)². */
   def squaredL2Distance(a: Column, b: Column): Column =

@@ -33,9 +33,7 @@ object Ann {
   }
 
   private def dotLit(v: Column, plane: Seq[Double]): Column =
-    aggregate(
-      zip_with(v, typedLit(plane), (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
+    Similarity.dotProduct(v, typedLit(plane))
 
   /** H-bit LSH bucket id of an embedding column. */
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =

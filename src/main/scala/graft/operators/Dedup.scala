@@ -35,11 +35,17 @@ object Dedup {
     Seq.fill(numHashes)((rnd.nextLong(P - 1) + 1, rnd.nextLong(P)))
   }
 
-  /** Distinct word n-gram shingles of `text` (default 3-word shingles).
-    * Texts shorter than n words yield an empty array — the `when` guard is
-    * required because `sequence(1, 0)` counts DOWN in Spark and the
-    * resulting indices would fail ANSI `element_at`. */
-  def shingles(text: Column, n: Int = 3): Column = {
+  /** Distinct word n-gram shingles of `text` (default 3-word shingles),
+    * via the fused codegen expression `graft_shingles`
+    * ([[graft.expressions.WordShingles]]). Texts shorter than n words
+    * yield an empty array. */
+  def shingles(text: Column, n: Int = 3): Column =
+    call_function("graft_shingles", text, lit(n))
+
+  /** Interpreted-HOF shingles (reference implementation; the `when` guard
+    * is required because `sequence(1, 0)` counts DOWN in Spark and the
+    * resulting indices would fail ANSI `element_at`). */
+  def shinglesHof(text: Column, n: Int = 3): Column = {
     val w = split(text, " +")
     when(size(w) >= n,
       array_distinct(
@@ -50,8 +56,16 @@ object Dedup {
   }
 
   /** MinHash signature (array of `numHashes` long minima) of a shingle-array
-    * column. One `array_min` pass per hash function, all codegen'd. */
-  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column = {
+    * column. The default 64-hash form routes to the fused codegen
+    * expression `graft_minhash` ([[graft.expressions.MinHashSignature]]);
+    * the HOF fallback (interpreted — one lambda call per shingle×hash) is
+    * kept for non-standard hash counts. */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column =
+    if (numHashes == 64) call_function("graft_minhash", shingleCol)
+    else minhashSignatureHof(shingleCol, numHashes)
+
+  /** Interpreted-HOF minhash (reference implementation). */
+  def minhashSignatureHof(shingleCol: Column, numHashes: Int): Column = {
     val sig = seeds(numHashes).map { case (a, b) =>
       array_min(transform(shingleCol,
         sh => pmod(lit(a) * pmod(xxhash64(sh), lit(P)) + lit(b), lit(P))))
@@ -87,17 +101,23 @@ object Dedup {
     val shingled = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
+    // band join carries ONLY (id, band, hash) — the shingle arrays would
+    // multiply the shuffle bytes by the average document size; they are
+    // re-attached per UNIQUE pair below, where cost ∝ candidates
     val banded = shingled
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col("id"), col("sh"),
+      .select(col("id"),
         explode(bandHashes(col("sig"), numHashes, bands)).as("bh"))
-      .select(col("id"), col("sh"), col("bh.band").as("band"), col("bh.h").as("h"))
-    // shuffle on the band bucket; pairs form only within a bucket
-    val a = banded.select(col("band"), col("h"), col("id").as("da"), col("sh").as("sa"))
-    val b = banded.select(col("band"), col("h"), col("id").as("db"), col("sh").as("sb"))
-    a.join(b, Seq("band", "h")).where(col("da") < col("db"))
-      .select("da", "db", "sa", "sb")
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val a = banded.select(col("band"), col("h"), col("id").as("da"))
+    val b = banded.select(col("band"), col("h"), col("id").as("db"))
+    val pairs = a.join(b, Seq("band", "h")).where(col("da") < col("db"))
+      .select("da", "db")
       .dropDuplicates("da", "db")
+    pairs
+      .join(shingled.select(col("id").as("da"), col("sh").as("sa")), "da")
+      .join(shingled.select(col("id").as("db"), col("sh").as("sb")), "db")
+      .select("da", "db", "sa", "sb")
   }
 
   /** Exact Jaccard over candidate pairs (the verification step). */
@@ -155,7 +175,13 @@ object Dedup {
   private def shr(x: Column, n: Column): Column = call_function("shiftright", x, n)
   private def shl(x: Column, n: Column): Column = call_function("shiftleft", x, n)
 
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    call_function("graft_simhash", split(text, " +"))
+
+  /** Interpreted-HOF simhash (reference implementation; bit-identical to
+    * the codegen expression — same XXH64-seed-42 token hashes, same
+    * majority rule — which SimhashParitySpec asserts). */
+  def simhashHof(text: Column): Column = {
     val toks = split(text, " +")
     val counts = aggregate(
       toks,

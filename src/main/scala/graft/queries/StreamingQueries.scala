@@ -29,7 +29,7 @@ object StreamingQueries {
           |FROM events ORDER BY log_offset""".stripMargin
       )
     ) { (spark, dir) =>
-      val result = Ingest.run(spark, dir, maxBatchSize = 2000, segmentSize = Int.MaxValue / 4)
+      val result = Ingest.run(spark, dir, maxBatchSize = 5000, segmentSize = Int.MaxValue / 4)
       Ingest.parsed(Ingest.logFrame(spark, result.log))
         .select(
           col("offset").as("log_offset"),
@@ -52,7 +52,7 @@ object StreamingQueries {
       )
     ) { (spark, dir) =>
       val table = s"graft_stream_window_${runId.incrementAndGet()}"
-      val q = Ingest.feed(spark, dir, maxBatchSize = 2000)
+      val q = Ingest.feed(spark, dir, maxBatchSize = 5000)
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n"))
         .writeStream

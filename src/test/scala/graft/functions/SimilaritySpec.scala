@@ -28,17 +28,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(sim1(Seq(1f, 2f), Seq(3f, 4f)) - want) < 1e-12)
   }
 
-  test("cosineVsProbe (single-pass) equals cosineSimilarity (three-fold)") {
+  test("codegen graft_cosine equals the interpreted HOF reference") {
     val df = Seq(
       (Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)),
       (Seq(0.5f, -2f, 7f), Seq(4f, 5f, 6f)),
       (Seq(-1f, -1f, -1f), Seq(4f, 5f, 6f))
     ).toDF("a", "p")
     val rows = df.select(
-      Similarity.cosineSimilarity(col("a"), col("p")).as("threefold"),
-      Similarity.cosineVsProbe(col("a"), col("p"), Similarity.l2Norm(col("p"))).as("onepass")
+      Similarity.cosineSimilarityHof(col("a"), col("p")).as("hof"),
+      Similarity.cosineSimilarity(col("a"), col("p")).as("codegen"),
+      Similarity.dotProductHof(col("a"), col("p")).as("dothof"),
+      Similarity.dotProduct(col("a"), col("p")).as("dotgen")
     ).collect()
-    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-12)
+    }
   }
 
   test("zero vector yields NULL (undefined cosine, ANSI-safe)") {

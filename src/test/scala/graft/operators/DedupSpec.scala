@@ -20,6 +20,13 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3) === Seq("x x x"))       // distinct collapses repeats
   }
 
+  test("codegen shingles are element-identical to the HOF reference") {
+    val parity = Tables.documents(spark, dir)
+      .select(Dedup.shingles(col("text")).as("gen"), Dedup.shinglesHof(col("text")).as("hof"))
+      .filter(col("gen") =!= col("hof")).count()
+    assert(parity === 0L)
+  }
+
   test("minhash signature is deterministic and equal for equal shingle sets") {
     val df = Seq((1, "a b c d e"), (2, "a b c d e"), (3, "p q r s t")).toDF("id", "text")
     val sigs = df.select(col("id"), Dedup.minhashSignature(Dedup.shingles(col("text"))).as("sig"))
@@ -55,6 +62,12 @@ class DedupSpec extends AnyFunSuite {
       .toDF("id", "text")
     val hs = df.select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))
     assert(hs(0) === hs(1))
+
+    // codegen expression is bit-identical to the interpreted HOF reference
+    val parity = Tables.documents(spark, dir)
+      .select(Dedup.simhash(col("text")).as("gen"), Dedup.simhashHof(col("text")).as("hof"))
+      .filter(col("gen") =!= col("hof")).count()
+    assert(parity === 0L)
 
     // the corpus' planted near-dups (jaccard >= 0.8) should mostly sit within
     // hamming distance 8 of each other
