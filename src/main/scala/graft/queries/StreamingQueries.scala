@@ -67,6 +67,64 @@ object StreamingQueries {
       spark.table(table)
         .select(col("window.start").as("w"), col("n"))
         .orderBy("w")
+    },
+
+    // streaming stateful dedup: dropDuplicates state across micro-batches,
+    // then a downstream stateful aggregation — two chained stateful ops
+    Declared(
+      "q_stream_dedup",
+      Some(
+        """SELECT event_type, count(*) AS n FROM
+          |  (SELECT DISTINCT user_id, event_type FROM events)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val table = s"graft_stream_dedup_${runId.incrementAndGet()}"
+      val q = Ingest.feed(spark, dir, maxBatchSize = 5000)
+        .select("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("complete")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString)
+        .start()
+      q.awaitTermination()
+      spark.table(table).orderBy("event_type")
+    },
+
+    // streaming hopping (sliding) window: each event lands in 2 overlapping
+    // 2h/1h windows; oracle re-derives via a UNION ALL of the two starts
+    Declared(
+      "q_stream_hop",
+      Some(
+        """SELECT w, count(*) AS n FROM (
+          |  SELECT date_trunc('hour', ts) AS w FROM events
+          |  UNION ALL
+          |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS w FROM events)
+          |GROUP BY w ORDER BY w""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val table = s"graft_stream_hop_${runId.incrementAndGet()}"
+      val q = Ingest.feed(spark, dir, maxBatchSize = 5000)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("complete")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-hop-ckpt").toString)
+        .start()
+      q.awaitTermination()
+      spark.table(table)
+        .select(col("window.start").as("w"), col("n"))
+        .orderBy("w")
     }
   )
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-layout scale story: bucketing both sides of a recurring join on
+ * the join key makes the join shuffle-free (no Exchange in the plan) —
+ * at 100 TB this is the difference between re-shuffling the fact table on
+ * every query and scanning co-located buckets. Verified by planning, not
+ * by prose: the test asserts the executed plan contains no shuffle.
+ */
+class LayoutSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("join of co-bucketed tables plans without a shuffle exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val orders   = Tables.orders(spark, "/root/testdata/sf0.001")
+    val customer = Tables.customer(spark, "/root/testdata/sf0.001")
+
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    orders.write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$dir/orders_b").saveAsTable("orders_b")
+    customer.write
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$dir/customer_b").saveAsTable("customer_b")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the test exercises the bucketed SMJ path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+
+      val planBeforeAgg = spark.table("orders_b")
+        .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+        .queryExecution.executedPlan.toString
+      assert(!planBeforeAgg.contains("Exchange"),
+        s"bucketed join should be shuffle-free, plan:\n$planBeforeAgg")
+
+      // and it still computes the right answer
+      val viaBuckets = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val direct = orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(viaBuckets === direct)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("parquet scan prunes columns and pushes filters (pushdown sanity)") {
+    val plan = Tables.orders(spark, "/root/testdata/sf0.001")
+      .filter(col("o_totalprice") > 100000)
+      .select("o_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100000"),
+      s"filter should push to the parquet scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"scan should read only the needed columns:\n$plan")
+  }
+}
