@@ -1,9 +1,11 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, DotProduct, MinHashSignature, SimHash64, WordShingles}
+import graft.expressions.{CosineSimilarity, CountInSet, DotProduct, MinHashSignature, SimHash64, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Session extensions registering graft's native codegen expressions as SQL
@@ -48,5 +50,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               n.eval().asInstanceOf[Number].intValue())
           case _ => throw new IllegalArgumentException("graft_shingles(text[, n])")
         }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_count_in"),
+      new ExpressionInfo(classOf[CountInSet].getName, "graft_count_in"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // second arg: a foldable array of string literals (the word set)
+        val words = children(1).eval().asInstanceOf[ArrayData]
+          .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+        CountInSet(children(0), words)
+      }))
   }
 }

@@ -1,7 +1,16 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** Typed view of an `events` row (the Dataset[T] façade; SURVEY §1.3). */
+final case class EventRow(
+    event_id: Long,
+    ts: java.sql.Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double,
+    props: String)
 
 /**
  * Loaders for the driver-generated parquet tables (TESTDATA.md).
@@ -35,6 +44,12 @@ object Tables {
     spark.read
       .parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Typed events Dataset (case-class Encoder; compile-time field safety). */
+  def eventsDs(spark: SparkSession, dir: String): Dataset[EventRow] = {
+    import spark.implicits._
+    events(spark, dir).as[EventRow]
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")

@@ -1,0 +1,47 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Count of array elements contained in a fixed word set (marker/stopword
+ * hit counting for language-ID and quality scoring). Replaces the
+ * interpreted `size(filter(tokens, t => t.isin(...)))` HOF — one lambda
+ * invocation per token with a linear `In` check — with a single compiled
+ * pass over the array and a hash-set membership probe. Counts OCCURRENCES
+ * (not distinct hits), matching the HOF/oracle formulation exactly.
+ */
+case class CountInSet(child: Expression, words: Seq[String]) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  /** Public for generated code. */
+  def count(arr: ArrayData): Long = {
+    var n = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override def nullSafeEval(input: Any): Any = count(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("countInSet", this, classOf[CountInSet].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.count($arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

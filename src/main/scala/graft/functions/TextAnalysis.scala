@@ -42,7 +42,13 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des")
   )
 
+  /** Occurrences of `markers` tokens in `text` — routed through the
+    * compiled `graft_count_in` ([[graft.expressions.CountInSet]]); the
+    * interpreted HOF form is kept for the spec cross-check. */
   private def markerHits(text: Column, markers: Seq[String]): Column =
+    call_function("graft_count_in", tokens(text), typedLit(markers))
+
+  private[graft] def markerHitsHof(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(markers.map(x => x: Any): _*))).cast("long")
 
   /**

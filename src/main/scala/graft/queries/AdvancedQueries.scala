@@ -247,6 +247,27 @@ object AdvancedQueries {
     Declared("q_approxd", None) { (spark, dir) =>
       Tables.events(spark, dir)
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+    },
+
+    // typed Dataset + custom Aggregator (UDAF): props-length-weighted mean
+    // of value per event type, through groupByKey on the case-class façade
+    Declared(
+      "q_udaf",
+      Some(
+        """SELECT event_type,
+          |       round(sum(value * length(props)) / sum(length(props)), 4) AS wavg
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      )
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables.eventsDs(spark, dir)
+        .map(e => (e.event_type, (e.value, e.props.length.toDouble)))
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(graft.functions.Aggregators.WeightedAvg.toColumn.name("wavg"))
+        .toDF("event_type", "wavg")
+        .select(col("event_type"), round(col("wavg"), 4).as("wavg"))
+        .orderBy("event_type")
     }
   )
 }

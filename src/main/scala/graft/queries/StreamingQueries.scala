@@ -18,6 +18,18 @@ object StreamingQueries {
 
   private val runId = new AtomicInteger(0)
 
+  /** Stateful micro-batch queries pay per-partition state-store overhead on
+    * EVERY batch; for these bounded replays 8 state partitions are
+    * right-sized (32 default = 4× the files/commit churn for no
+    * parallelism win on ≤100k-event batches). The session's shuffle
+    * partitioning is restored afterwards — batch queries keep their own
+    * sizing. */
+  private def withStatePartitions[A](spark: org.apache.spark.sql.SparkSession, n: Int)(f: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val all: Seq[Declared] = Seq(
     // EP3 end-to-end: feed → envelope → serialize → offset-log sink; then
     // read the log BACK through from_json. offset == event_id proves the
@@ -29,7 +41,9 @@ object StreamingQueries {
           |FROM events ORDER BY log_offset""".stripMargin
       )
     ) { (spark, dir) =>
-      val result = Ingest.run(spark, dir, maxBatchSize = 5000, segmentSize = Int.MaxValue / 4)
+      val result = withStatePartitions(spark, 8) {
+        Ingest.run(spark, dir, maxBatchSize = 5000, segmentSize = Int.MaxValue / 4)
+      }
       Ingest.parsed(Ingest.logFrame(spark, result.log))
         .select(
           col("offset").as("log_offset"),
@@ -52,6 +66,7 @@ object StreamingQueries {
       )
     ) { (spark, dir) =>
       val table = s"graft_stream_window_${runId.incrementAndGet()}"
+      withStatePartitions(spark, 8) {
       val q = Ingest.feed(spark, dir, maxBatchSize = 5000)
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n"))
@@ -61,9 +76,10 @@ object StreamingQueries {
         .format("memory")
         .queryName(table)
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-window-ckpt").toString)
+          Ingest.ephemeralCheckpoint("graft-window-ckpt"))
         .start()
       q.awaitTermination()
+      }
       spark.table(table)
         .select(col("window.start").as("w"), col("n"))
         .orderBy("w")
@@ -80,6 +96,7 @@ object StreamingQueries {
       )
     ) { (spark, dir) =>
       val table = s"graft_stream_dedup_${runId.incrementAndGet()}"
+      withStatePartitions(spark, 8) {
       val q = Ingest.feed(spark, dir, maxBatchSize = 5000)
         .select("user_id", "event_type")
         .dropDuplicates("user_id", "event_type")
@@ -91,9 +108,10 @@ object StreamingQueries {
         .format("memory")
         .queryName(table)
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString)
+          Ingest.ephemeralCheckpoint("graft-dedup-ckpt"))
         .start()
       q.awaitTermination()
+      }
       spark.table(table).orderBy("event_type")
     },
 
@@ -110,6 +128,7 @@ object StreamingQueries {
       )
     ) { (spark, dir) =>
       val table = s"graft_stream_hop_${runId.incrementAndGet()}"
+      withStatePartitions(spark, 8) {
       val q = Ingest.feed(spark, dir, maxBatchSize = 5000)
         .groupBy(window(col("ts"), "2 hours", "1 hour"))
         .agg(count(lit(1)).as("n"))
@@ -119,9 +138,10 @@ object StreamingQueries {
         .format("memory")
         .queryName(table)
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-hop-ckpt").toString)
+          Ingest.ephemeralCheckpoint("graft-hop-ckpt"))
         .start()
       q.awaitTermination()
+      }
       spark.table(table)
         .select(col("window.start").as("w"), col("n"))
         .orderBy("w")

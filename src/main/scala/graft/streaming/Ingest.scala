@@ -28,6 +28,21 @@ import org.apache.spark.sql.types._
  */
 object Ingest {
 
+  /** Ephemeral checkpoint dir for bounded replays. Prefers tmpfs
+    * (`/dev/shm`) — the HDFS-backed state store writes per-partition delta
+    * files + commit logs EVERY micro-batch, and fsync-ing those to disk
+    * dominated the streaming bench. Durable pipelines point this at a real
+    * DFS; the state machinery exercised is identical. */
+  def ephemeralCheckpoint(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val dir =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, prefix)
+      else java.nio.file.Files.createTempDirectory(prefix)
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+
   /** CloudEvent envelope schema for parsing stored bytes back (§1.2). */
   def envelopeSchema(dataSchema: StructType): StructType = StructType(Seq(
     StructField("specversion", StringType),
@@ -90,7 +105,7 @@ object Ingest {
     val q = serialized.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString)
+        Ingest.ephemeralCheckpoint("graft-ingest-ckpt"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // micro-batch = the single-writer serialization point; events are
         // already feed-ordered, re-assert order on the tiny batch

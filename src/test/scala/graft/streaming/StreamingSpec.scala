@@ -106,6 +106,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.log.size === 200)
   }
 
+  test("ingest rejects oversize records like memlog (512 KiB guard analog)") {
+    val spark = TestSpark.spark
+    // tiny cap: every serialized CloudEvent exceeds 64 bytes => all rejected
+    val result = Ingest.run(spark, "/root/testdata/sf0.001",
+      maxBatchSize = 500, maxRecordBytes = 64)
+    assert(result.rejected === 1000L)
+    assert(result.log.size === 0)
+  }
+
   test("ingest honors startingTimestamp (the reference's replay-begin window)") {
     val spark = TestSpark.spark
     // midpoint of the sf0.001 time range
