@@ -145,6 +145,40 @@ object StreamingQueries {
       spark.table(table)
         .select(col("window.start").as("w"), col("n"))
         .orderBy("w")
+    },
+
+    // EP1 watch end-to-end: ingest into the offset log, then SUBSCRIBE via
+    // the streaming tail source from offset 900 — the reference's
+    // `?watch=true&offset=900` — and parse the delivered CloudEvent bytes
+    Declared(
+      "q_stream_tail",
+      Some(
+        """SELECT event_id AS log_offset, event_id, user_id, event_type
+          |FROM events WHERE event_id >= 900 ORDER BY log_offset""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val result = withStatePartitions(spark, 8) {
+        Ingest.run(spark, dir, maxBatchSize = 5000, segmentSize = Int.MaxValue / 4)
+      }
+      val table = s"graft_stream_tail_${runId.incrementAndGet()}"
+      withStatePartitions(spark, 8) {
+        val q = graft.streaming.Watch
+          .tail(spark, table, result.log, startingOffset = Some(900L), maxBatchSize = 5000)
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .format("memory")
+          .queryName(table)
+          .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-tail-ckpt"))
+          .start()
+        q.awaitTermination()
+      }
+      Ingest.parsed(spark.table(table))
+        .select(
+          col("offset").as("log_offset"),
+          col("ce.data.event_id").as("event_id"),
+          col("ce.data.user_id").as("user_id"),
+          col("ce.data.event_type").as("event_type"))
+        .orderBy("log_offset")
     }
   )
 }

@@ -1,0 +1,161 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.operators.EventLog.OutOfRange
+import graft.streaming.OffsetLog
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * O10 — the watch/subscribe endpoint (`GET /api/v1/events?watch=true
+ * [&offset=N]`, reference `server.go:130-209`) as a streaming SOURCE over
+ * the offset log: the log is both sink (ingest) and source (tail), the
+ * Kafka shape. Semantics pinned by the reference's tests:
+ *
+ *  - no `startingOffset` → start at `latest+1` resolved AT SUBSCRIBE time —
+ *    pre-existing records are not replayed (`server.go:161-166`,
+ *    `server_test.go:328-337`);
+ *  - `startingOffset=N` → replay from N (`server_test.go:339-348`);
+ *  - purged start → error (the 400, `server_test.go:350-359`);
+ *  - future start → wait, records delivered as they arrive (micro-batches
+ *    pick up whatever the log gained since the last trigger; a checkpointed
+ *    restart resumes exactly where the cursor stopped — the stronger analog
+ *    of the reference's reconnect-with-offset pattern).
+ *
+ * Records are (offset, value) with value = the stored CloudEvent bytes —
+ * the same line-framed payload EP1 writes to the wire. Logs are addressed
+ * through [[OffsetLogRegistry]] (in-process serving construct, like the
+ * log itself).
+ */
+object OffsetLogRegistry {
+  private val logs = new ConcurrentHashMap[String, OffsetLog]()
+  def register(name: String, log: OffsetLog): Unit = logs.put(name, log)
+  def get(name: String): OffsetLog =
+    Option(logs.get(name)).getOrElse(
+      throw new IllegalArgumentException(s"no OffsetLog registered under '$name'"))
+  def remove(name: String): Unit = logs.remove(name)
+}
+
+class LogTailProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = LogTail.Schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform], properties: util.Map[String, String]): Table =
+    new LogTailTable(new CaseInsensitiveStringMap(properties))
+}
+
+object LogTail {
+  val Schema: StructType = StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("value", StringType, nullable = false)
+  ))
+}
+
+class LogTailTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"log_tail(${options.get("log")})"
+  override def schema(): StructType = LogTail.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LogTailScan(opts)
+    }
+}
+
+class LogTailScan(options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = LogTail.Schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LogTailMicroBatchStream(
+      logName = Option(options.get("log")).getOrElse(
+        throw new IllegalArgumentException("logtail: 'log' option is required")),
+      startingOffset = Option(options.get("startingOffset")).map(_.toLong),
+      maxBatchSize = Option(options.get("maxBatchSize")).map(_.toInt).getOrElse(1000))
+}
+
+/** Stream position = next offset to read (dense log cursor). */
+case class LogCursor(next: Long) extends Offset {
+  override def json(): String = next.toString
+}
+
+class LogTailMicroBatchStream(
+    logName: String,
+    startingOffset: Option[Long],
+    maxBatchSize: Int
+) extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private def log: OffsetLog = OffsetLogRegistry.get(logName)
+
+  /** Resolve the subscribe position — reference `server.go:149-166`. */
+  override def initialOffset(): Offset = {
+    val r = log.range
+    startingOffset match {
+      case None => LogCursor(r.latest + 1) // only-new-events default
+      case Some(s) =>
+        if (!r.isEmpty && s < r.earliest)
+          // the reference's 400 on a purged start offset
+          throw new IllegalArgumentException(
+            s"invalid offset: $s out of range [${r.earliest}, ${r.latest}] (${OutOfRange})")
+        LogCursor(s)
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset = LogCursor(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxBatchSize.toLong)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s   = start.asInstanceOf[LogCursor].next
+    val end = log.range.latest + 1
+    val cap = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => r.maxRows()
+      case _                                                            => maxBatchSize.toLong
+    }
+    LogCursor(math.max(s, math.min(end, s + cap)))
+  }
+
+  override def reportLatestOffset(): Offset = LogCursor(log.range.latest + 1)
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("admission-controlled source")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LogCursor].next
+    val e = end.asInstanceOf[LogCursor].next
+    if (e <= s) Array.empty
+    else {
+      // snapshot the records driver-side (the log is an in-process serving
+      // structure; a purged offset inside the window is skipped, mirroring
+      // the page scan's skip semantics server.go:236-238)
+      val rows = (s until e).flatMap(o => log.read(o).toOption.map(b => (o, new String(b, "UTF-8"))))
+      Array(LogTailPartition(rows.toArray))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val slice = partition.asInstanceOf[LogTailPartition].rows
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < slice.length }
+        override def get(): InternalRow = {
+          val (o, v) = slice(i)
+          new GenericInternalRow(Array[Any](o, UTF8String.fromString(v)))
+        }
+        override def close(): Unit = ()
+      }
+    }
+  }
+}
+
+case class LogTailPartition(rows: Array[(Long, String)]) extends InputPartition

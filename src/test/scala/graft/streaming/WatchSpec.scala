@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Watch/subscribe semantics through the REAL streaming tail source,
+ * pinned by the reference's streamEvents vectors (`server_test.go:293-416`).
+ */
+class WatchSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def bytes(i: Int): Array[Byte] = i.toString.getBytes("UTF-8")
+
+  private def drain(df: org.apache.spark.sql.DataFrame, table: String, ckpt: String): Unit = {
+    val q = df.writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(table)
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+  }
+
+  private def values(table: String): Seq[String] = {
+    import spark.implicits._
+    spark.table(table).orderBy("offset").select("value").as[String].collect().toSeq
+  }
+
+  test("watch default start skips existing records; resume delivers only new ones") {
+    val log = new OffsetLog(0, 100)
+    (0 until 3).foreach(i => log.write(bytes(i)))
+    val ckpt = Ingest.ephemeralCheckpoint("graft-watch-default")
+
+    // foreachBatch sink: supports checkpoint recovery (memory sink doesn't)
+    val received = scala.collection.mutable.ArrayBuffer.empty[String]
+    def drainFb(): Unit = {
+      val q = Watch.tail(spark, "w_default", log).writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          received ++= batch.orderBy("offset").collect().map(_.getString(1)); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    drainFb()
+    assert(received.isEmpty) // 3 existing records not replayed
+
+    // new appends arrive on the next run of the SAME checkpointed query
+    (3 until 6).foreach(i => log.write(bytes(i)))
+    drainFb()
+    assert(received.toSeq === Seq("3", "4", "5"))
+  }
+
+  test("watch replay from offset 0 returns all records (server_test.go:339-348)") {
+    val log = new OffsetLog(0, 100)
+    (0 until 3).foreach(i => log.write(bytes(i)))
+    drain(Watch.tail(spark, "w_replay", log, startingOffset = Some(0L)),
+      "w_replay_t", Ingest.ephemeralCheckpoint("graft-watch-replay"))
+    assert(values("w_replay_t") === Seq("0", "1", "2"))
+  }
+
+  test("watch partial replay 10..14 of a truncated log (server_test.go:361-370)") {
+    val log = new OffsetLog(0, 5)
+    (0 until 15).foreach(i => log.write(bytes(i))) // log retains 5..14
+    drain(Watch.tail(spark, "w_partial", log, startingOffset = Some(10L)),
+      "w_partial_t", Ingest.ephemeralCheckpoint("graft-watch-partial"))
+    assert(values("w_partial_t") === Seq("10", "11", "12", "13", "14"))
+  }
+
+  test("watch from a purged offset errors (server_test.go:350-359)") {
+    val log = new OffsetLog(0, 5)
+    (0 until 20).foreach(i => log.write(bytes(i))) // log retains 10..19
+    val ex = intercept[Exception] {
+      drain(Watch.tail(spark, "w_purged", log, startingOffset = Some(0L)),
+        "w_purged_t", Ingest.ephemeralCheckpoint("graft-watch-purged"))
+    }
+    assert(ex.getMessage.contains("invalid offset") ||
+      Option(ex.getCause).exists(_.getMessage.contains("invalid offset")))
+  }
+}
