@@ -1,0 +1,371 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/**
+ * Second-round relational coverage: the §2.2 rows whose ALL/outer/subquery
+ * variants round 1 left implicit — multiset set-ops, outer joins, scalar
+ * subqueries, exact quantiles, deterministic hash sampling, ordered
+ * collect, conditional/argmin-argmax aggregates, string/date scalar
+ * functions, positional explode, VARIANT JSON, theta joins, and an
+ * explicitly salted two-phase aggregation (the skew-mitigation shape,
+ * hash-proven equal to the plain aggregate).
+ *
+ * Scale notes: every query is shuffle-minimal — set ops hash-partition on
+ * the row, outer joins are dimension-broadcast or AQE-planned, the scalar
+ * subquery is a 1-row broadcast crossJoin (never a driver collect), the
+ * salted aggregate is the canonical hot-key split (partial agg on
+ * (key, salt), final agg on key).
+ */
+object CoverageQueries {
+
+  val all: Seq[Declared] = Seq(
+    // UNION ALL — multiset union, no dedup shuffle at all (a pure narrow
+    // concat of the two scans; compare q_union's distinct variant)
+    Declared(
+      "q_union_all",
+      Some(
+        """SELECT user_id FROM events WHERE event_type = 'signup'
+          |UNION ALL
+          |SELECT user_id FROM events WHERE event_type = 'click'
+          |ORDER BY user_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      ev.filter(col("event_type") === "signup").select("user_id")
+        .union(ev.filter(col("event_type") === "click").select("user_id"))
+        .orderBy("user_id")
+    },
+
+    // INTERSECT ALL — multiset intersection (min of per-side multiplicities)
+    Declared(
+      "q_intersect_all",
+      Some(
+        """SELECT user_id FROM events WHERE event_type = 'click'
+          |INTERSECT ALL
+          |SELECT user_id FROM events WHERE event_type = 'view'
+          |ORDER BY user_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      ev.filter(col("event_type") === "click").select("user_id")
+        .intersectAll(ev.filter(col("event_type") === "view").select("user_id"))
+        .orderBy("user_id")
+    },
+
+    // EXCEPT ALL — multiset difference (multiplicity subtraction)
+    Declared(
+      "q_except_all",
+      Some(
+        """SELECT user_id FROM events WHERE event_type = 'click'
+          |EXCEPT ALL
+          |SELECT user_id FROM events WHERE event_type = 'view'
+          |ORDER BY user_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      ev.filter(col("event_type") === "click").select("user_id")
+        .exceptAll(ev.filter(col("event_type") === "view").select("user_id"))
+        .orderBy("user_id")
+    },
+
+    // LEFT OUTER join preserving customers with zero orders; count(key)
+    // ignores the null-extended side, totals coalesce to 0
+    Declared(
+      "q_leftjoin",
+      Some(
+        """SELECT c_custkey, count(o_orderkey) AS n_orders,
+          |       round(coalesce(sum(o_totalprice), 0), 4) AS total
+          |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0)), 4).as("total"))
+        .orderBy("c_custkey")
+    },
+
+    // FULL OUTER join of two aggregated views (per-day purchase vs error
+    // volume) — both sides reduced before the join, so the outer join is
+    // tiny regardless of fact scale
+    Declared(
+      "q_fullouter",
+      Some(
+        """WITH p AS (SELECT date_trunc('day', ts) AS d, count(*) AS purchases
+          |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          |     e AS (SELECT date_trunc('day', ts) AS d, count(*) AS errors
+          |           FROM events WHERE event_type = 'error' GROUP BY 1)
+          |SELECT coalesce(p.d, e.d) AS d,
+          |       coalesce(purchases, 0) AS purchases,
+          |       coalesce(errors, 0) AS errors
+          |FROM p FULL OUTER JOIN e ON p.d = e.d
+          |ORDER BY d""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("day", col("ts")).as("pd"))
+        .agg(count(lit(1)).as("purchases"))
+      val e = ev.filter(col("event_type") === "error")
+        .groupBy(date_trunc("day", col("ts")).as("ed"))
+        .agg(count(lit(1)).as("errors"))
+      p.join(e, col("pd") === col("ed"), "full_outer")
+        .select(
+          coalesce(col("pd"), col("ed")).as("d"),
+          coalesce(col("purchases"), lit(0)).as("purchases"),
+          coalesce(col("errors"), lit(0)).as("errors"))
+        .orderBy("d")
+    },
+
+    // scalar subquery: orders ≥2× the global mean price. The 1-row global
+    // aggregate is broadcast into the scan predicate (no driver round-trip,
+    // no recompute per row)
+    Declared(
+      "q_scalarsub",
+      Some(
+        """SELECT o_orderkey,
+          |       round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 4) AS ratio
+          |FROM orders
+          |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+          |ORDER BY o_orderkey""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val orders = Tables.orders(spark, dir)
+      val mean   = orders.agg(avg("o_totalprice").as("mean_price"))
+      orders
+        .crossJoin(broadcast(mean))
+        .where(col("o_totalprice") > lit(2) * col("mean_price"))
+        .select(
+          col("o_orderkey"),
+          round(col("o_totalprice") / col("mean_price"), 4).as("ratio"))
+        .orderBy("o_orderkey")
+    },
+
+    // exact interpolated quantiles per group (Spark `percentile` ==
+    // DuckDB `quantile_cont`: both linear interpolation over the sorted set)
+    Declared(
+      "q_quantile",
+      Some(
+        """SELECT event_type,
+          |       round(quantile_cont(value, 0.25), 4) AS p25,
+          |       round(quantile_cont(value, 0.5), 4) AS p50,
+          |       round(quantile_cont(value, 0.9), 4) AS p90
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(
+          round(percentile(col("value"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 4).as("p90"))
+        .orderBy("event_type")
+    },
+
+    // deterministic hash sampling — the scale-out alternative to
+    // TABLESAMPLE (engine-RNG samples can't be oracle-compared; an md5
+    // bucket predicate is reproducible everywhere, ~1/16 rate here)
+    Declared(
+      "q_sample",
+      Some(
+        """SELECT event_id, user_id, event_type FROM events
+          |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+          |ORDER BY event_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .where(substring(md5(col("event_id").cast("string")), 1, 1) === "0")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    },
+
+    // ordered collect: per-user sorted event array (collect_list is
+    // unordered by contract → sort_array makes it canonical)
+    Declared(
+      "q_collect",
+      Some(
+        """SELECT user_id, list(event_id ORDER BY event_id) AS event_ids
+          |FROM events WHERE event_type = 'purchase'
+          |GROUP BY user_id ORDER BY user_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("event_id"))).as("event_ids"))
+        .orderBy("user_id")
+    },
+
+    // conditional aggregates: count_if / bool_or / bool_and
+    Declared(
+      "q_condagg",
+      Some(
+        """SELECT event_type,
+          |       count_if(value > 100) AS n_big,
+          |       bool_or(value > 190) AS any_huge,
+          |       bool_and(value >= 0) AS all_nonneg
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(
+          count_if(col("value") > 100).as("n_big"),
+          bool_or(col("value") > 190).as("any_huge"),
+          bool_and(col("value") >= 0).as("all_nonneg"))
+        .orderBy("event_type")
+    },
+
+    // argmin/argmax: value at the newest/oldest event per type (ordering
+    // key event_id is unique → deterministic; max_by == DuckDB arg_max)
+    Declared(
+      "q_argmax",
+      Some(
+        """SELECT event_type,
+          |       arg_max(user_id, event_id) AS latest_user,
+          |       arg_min(user_id, event_id) AS first_user,
+          |       round(arg_max(value, event_id), 4) AS latest_value
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(
+          max_by(col("user_id"), col("event_id")).as("latest_user"),
+          min_by(col("user_id"), col("event_id")).as("first_user"),
+          round(max_by(col("value"), col("event_id")), 4).as("latest_value"))
+        .orderBy("event_type")
+    },
+
+    // string scalar surface: concat_ws / lpad / translate / replace / instr
+    Declared(
+      "q_strfns",
+      Some(
+        """SELECT event_id,
+          |       concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS tag,
+          |       lpad(CAST(user_id AS VARCHAR), 6, '0') AS padded,
+          |       translate(event_type, 'aeiou', 'AEIOU') AS caps_vowels,
+          |       replace(event_type, 'e', '3') AS leeted,
+          |       CAST(strpos(event_type, 'r') AS BIGINT) AS r_pos
+          |FROM events ORDER BY event_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .select(
+          col("event_id"),
+          concat_ws("-", col("event_type"), col("user_id").cast("string")).as("tag"),
+          lpad(col("user_id").cast("string"), 6, "0").as("padded"),
+          translate(col("event_type"), "aeiou", "AEIOU").as("caps_vowels"),
+          regexp_replace(col("event_type"), "e", "3").as("leeted"),
+          instr(col("event_type"), "r").cast("long").as("r_pos"))
+        .orderBy("event_id")
+    },
+
+    // date/time scalar surface: parts + epoch seconds
+    Declared(
+      "q_datefns",
+      Some(
+        """SELECT event_id,
+          |       CAST(extract(year FROM ts) AS BIGINT) AS y,
+          |       CAST(extract(month FROM ts) AS BIGINT) AS mo,
+          |       CAST(extract(day FROM ts) AS BIGINT) AS dom,
+          |       CAST(extract(hour FROM ts) AS BIGINT) AS h,
+          |       CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s
+          |FROM events ORDER BY event_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .select(
+          col("event_id"),
+          year(col("ts")).cast("long").as("y"),
+          month(col("ts")).cast("long").as("mo"),
+          dayofmonth(col("ts")).cast("long").as("dom"),
+          hour(col("ts")).cast("long").as("h"),
+          unix_timestamp(col("ts")).as("epoch_s"))
+        .orderBy("event_id")
+    },
+
+    // positional explode (UDTF shape): token + 1-based position
+    Declared(
+      "q_posexplode",
+      Some(
+        """SELECT doc_id, ord, tok FROM (
+          |  SELECT doc_id,
+          |         unnest(regexp_split_to_array(text, ' +')) AS tok,
+          |         generate_subscripts(regexp_split_to_array(text, ' +'), 1) AS ord
+          |  FROM documents WHERE doc_id < 5)
+          |ORDER BY doc_id, ord""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") < 5)
+        .select(col("doc_id"), posexplode(split(col("text"), " +")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("ord"), col("tok"))
+        .orderBy("doc_id", "ord")
+    },
+
+    // VARIANT (Spark 4 semi-structured type): parse once, extract typed —
+    // the schema-on-read path for the reference's opaque `data` payloads
+    Declared(
+      "q_variant",
+      Some(
+        """SELECT event_id,
+          |       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+          |       json_extract_string(props, '$.source') AS src
+          |FROM events ORDER BY event_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(
+          col("event_id"),
+          variant_get(col("v"), "$.k", "bigint").as("k"),
+          variant_get(col("v"), "$.source", "string").as("src"))
+        .orderBy("event_id")
+    },
+
+    // theta join (equi prefix + inequality refinement): distinct nation
+    // pairs within a region — broadcast + codegen'd BNL refinement
+    Declared(
+      "q_theta",
+      Some(
+        """SELECT a.n_name AS n1, b.n_name AS n2
+          |FROM nation a JOIN nation b
+          |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+          |ORDER BY n1, n2""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val a = Tables.nation(spark, dir).select(
+        col("n_name").as("n1"), col("n_regionkey").as("r1"), col("n_nationkey").as("k1"))
+      val b = Tables.nation(spark, dir).select(
+        col("n_name").as("n2"), col("n_regionkey").as("r2"), col("n_nationkey").as("k2"))
+      a.join(broadcast(b), col("r1") === col("r2") && col("k1") < col("k2"))
+        .select("n1", "n2")
+        .orderBy("n1", "n2")
+    },
+
+    // salted two-phase aggregation — the hot-key mitigation: partial agg on
+    // (key, salt) spreads a skewed key over 16 reducers, final agg merges.
+    // Hash-identical to the plain single-phase oracle by construction.
+    Declared(
+      "q_salted",
+      Some(
+        """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"), sum("value").as("psum"))
+        .groupBy("event_type")
+        .agg(sum("pn").as("n"), round(sum("psum"), 4).as("total"))
+        .orderBy("event_type")
+    }
+  )
+}
