@@ -1,0 +1,199 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.streaming.Ingest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/**
+ * Second-round stateful streaming surface (SURVEY §2.2 rows "streaming
+ * windows: session" and "stateful streaming ops: flatMapGroupsWithState"),
+ * plus stream-stream interval join and the exactly-once file sink. All run
+ * through REAL micro-batch replays of the DSv2 event feed and are verified
+ * against the DuckDB oracle on the equivalent batch semantics.
+ *
+ * Scale: every query's state is keyed and partition-local —
+ * session/dedup/fmgs state shuffles once on the grouping key and lives in
+ * the per-partition state store; the stream-stream join buffers only rows
+ * younger than the watermark. Nothing here collects to the driver.
+ */
+object StatefulStreamingQueries {
+
+  private val runId = new AtomicInteger(0)
+
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Per-user running state for the fmgs query (custom state ≠ any built-in
+    * aggregate: carries an update `version` so the final state per key is
+    * identifiable in update-mode output). */
+  final case class UserState(version: Long, n: Long, total: Double, mx: Double, lastId: Long)
+  final case class UserUpdate(user_id: Long, version: Long, n: Long, total: Double, mx: Double, last_id: Long)
+
+  val all: Seq[Declared] = Seq(
+    // streaming SESSION window (gap-based, state-store merged): per-user
+    // sessions with a 30-minute inactivity gap. Oracle re-derives session
+    // boundaries via lag + running sum — new session iff the gap is >= 30
+    // minutes (session_window merges while strictly inside the gap).
+    Declared(
+      "q_stream_session",
+      Some(
+        """WITH g AS (
+          |  SELECT user_id, ts,
+          |         CASE WHEN lag(ts) OVER w IS NULL
+          |               OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |s AS (
+          |  SELECT user_id, ts,
+          |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM g)
+          |SELECT user_id, min(ts) AS session_start, count(*) AS n
+          |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val table = s"graft_stream_session_${runId.incrementAndGet()}"
+      withStatePartitions(spark, 8) {
+        val q = Ingest.feed(spark, dir, maxBatchSize = 5000)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode("complete")
+          .format("memory")
+          .queryName(table)
+          .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-session-ckpt"))
+          .start()
+        q.awaitTermination()
+      }
+      spark.table(table)
+        .select(col("user_id"), col("session_window.start").as("session_start"), col("n"))
+        .orderBy("user_id", "session_start")
+    },
+
+    // flatMapGroupsWithState: custom per-key state evolved across
+    // micro-batches (count / sum / max / max-id per user), update-mode
+    // emission with a state version; the final version per key must equal
+    // the batch aggregate — proving state survived every batch boundary.
+    Declared(
+      "q_stream_state",
+      Some(
+        """SELECT user_id, count(*) AS n, round(sum(value), 4) AS total,
+          |       round(max(value), 4) AS mx, max(event_id) AS last_id
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val table = s"graft_stream_state_${runId.incrementAndGet()}"
+      withStatePartitions(spark, 8) {
+        val updates = Ingest.feed(spark, dir, maxBatchSize = 5000)
+          .select("user_id", "event_id", "value")
+          .as[(Long, Long, Double)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[UserState, UserUpdate](
+            OutputMode.Update, GroupStateTimeout.NoTimeout) {
+            (user: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[UserState]) =>
+              val prev = state.getOption.getOrElse(UserState(0L, 0L, 0.0, Double.MinValue, Long.MinValue))
+              var n = prev.n; var total = prev.total; var mx = prev.mx; var lastId = prev.lastId
+              rows.foreach { case (_, id, v) =>
+                n += 1; total += v; mx = math.max(mx, v); lastId = math.max(lastId, id)
+              }
+              val next = UserState(prev.version + 1, n, total, mx, lastId)
+              state.update(next)
+              Iterator.single(UserUpdate(user, next.version, n, total, mx, lastId))
+          }
+        val q = updates.writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode("update")
+          .format("memory")
+          .queryName(table)
+          .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-fmgs-ckpt"))
+          .start()
+        q.awaitTermination()
+      }
+      // final state per key = the highest-version update row
+      val w = Window.partitionBy("user_id").orderBy(col("version").desc)
+      spark.table(table)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(
+          col("user_id"), col("n"), round(col("total"), 4).as("total"),
+          round(col("mx"), 4).as("mx"), col("last_id"))
+        .orderBy("user_id")
+    },
+
+    // stream-stream interval join: purchases within 10 minutes after an
+    // error by the same user — two live feeds, watermarked state on both
+    // sides, inner join emits on match (append mode). Same oracle as the
+    // batch q_rangejoin.
+    Declared(
+      "q_stream_join",
+      Some(
+        """SELECT e.event_id AS error_id, p.event_id AS purchase_id
+          |FROM events e JOIN events p
+          |  ON p.user_id = e.user_id
+          | AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 10 MINUTE
+          |WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+          |ORDER BY error_id, purchase_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val table = s"graft_stream_join_${runId.incrementAndGet()}"
+      withStatePartitions(spark, 8) {
+        val errors = Ingest.feed(spark, dir, maxBatchSize = 5000)
+          .where(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id").as("eu"), col("ts").as("ets"))
+          .withWatermark("ets", "1 hour")
+        val purchases = Ingest.feed(spark, dir, maxBatchSize = 5000)
+          .where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts"))
+          .withWatermark("pts", "1 hour")
+        val q = errors.join(purchases,
+            col("eu") === col("pu") &&
+              col("pts") >= col("ets") &&
+              col("pts") < col("ets") + expr("INTERVAL 10 MINUTE"))
+          .select("error_id", "purchase_id")
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode("append")
+          .format("memory")
+          .queryName(table)
+          .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-ssjoin-ckpt"))
+          .start()
+        q.awaitTermination()
+      }
+      spark.table(table).orderBy("error_id", "purchase_id")
+    },
+
+    // exactly-once FILE sink: feed → filter/project → parquet file sink
+    // (transactional via the sink's _spark_metadata commit log) → read the
+    // committed files back. The canonical streaming-ETL landing pattern.
+    Declared(
+      "q_stream_filesink",
+      Some(
+        """SELECT event_id, user_id, round(value, 4) AS value FROM events
+          |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-filesink").toString
+      withStatePartitions(spark, 8) {
+        val q = Ingest.feed(spark, dir, maxBatchSize = 5000)
+          .where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), round(col("value"), 4).as("value"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-filesink-ckpt"))
+          .start()
+        q.awaitTermination()
+      }
+      spark.read.parquet(out).orderBy("event_id")
+    }
+  )
+}
