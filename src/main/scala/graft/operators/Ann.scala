@@ -58,6 +58,106 @@ object Ann {
   def multiprobeMasks(numPlanes: Int, maxHamming: Int): Seq[Long] =
     (0L until (1L << numPlanes)).filter(java.lang.Long.bitCount(_) <= maxHamming)
 
+  // ----- IVF (inverted-file) coarse quantizer -------------------------------
+
+  /**
+   * Deterministic Lloyd/k-means fit of `c` coarse centroids (IVF quantizer).
+   * Init = the embeddings of the `c` lowest ids (seedless, reproducible);
+   * each iteration assigns every vector to its nearest centroid (argmin of
+   * C codegen'd distance expressions — a narrow map) and recomputes means
+   * via a (cid, dim) partial-aggregated shuffle. Only the C×dim centroid
+   * matrix ever reaches the driver — the model artifact, not data.
+   */
+  def ivfFit(
+      emb: DataFrame, c: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] =
+      emb.orderBy(col(idCol)).limit(c)
+        .select(col(vecCol).cast("array<double>"))
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val means = assignCentroid(emb, centroids, vecCol)
+        .select(col("cid"), posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg(avg("x").as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next // empty clusters keep their previous centroid
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: `cid` = argmin over C squared-L2
+    * distances, computed as C fused dot products per row (‖v‖² is common
+    * and drops out of the argmin: d_j = −2⟨v,c_j⟩ + ‖c_j‖²). */
+  def assignCentroid(
+      emb: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String = "embedding"): DataFrame = {
+    val dists = centroids.map { cj =>
+      val cc = cj.map(x => x * x).sum
+      lit(-2.0) * dotLit(col(vecCol), cj.toSeq) + lit(cc)
+    }
+    val ds = array(dists.toIndexedSeq: _*)
+    emb.withColumn("cid", (array_position(ds, array_min(ds)) - 1).cast("int"))
+  }
+
+  /**
+   * IVF approximate top-k: scan only the `nprobe` inverted lists nearest
+   * to the probe (centroid ranking is driver-side math on the C×dim model),
+   * exact cosine rerank inside them. Same output schema as
+   * [[bruteForceTopK]]. At scale the table is written partitioned/bucketed
+   * by `cid`, so the filter is partition pruning — I/O ∝ nprobe/C.
+   */
+  def ivfTopK(
+      emb: DataFrame, probeId: Long, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignCentroid(emb, centroids, vecCol)
+    val probeVec = emb.filter(col(idCol) === probeId)
+      .select(col(vecCol).cast("array<double>")).collect()(0).getSeq[Double](0).toArray
+    val nearCids = centroids.zipWithIndex
+      .map { case (cj, j) =>
+        val d = cj.zip(probeVec).map { case (a, b) => val t = a - b; t * t }.sum
+        (j, d)
+      }
+      .sortBy { case (j, d) => (d, j) }
+      .take(nprobe).map(_._1)
+    val probe = emb.filter(col(idCol) === probeId)
+      .select(col(vecCol).as("p"), Similarity.l2Norm(col(vecCol)).as("p_norm"))
+    assigned
+      .where(col("cid").isin(nearCids.toIndexedSeq: _*))
+      .crossJoin(broadcast(probe))
+      .select(col(idCol),
+        round(Similarity.cosineVsProbe(col(vecCol), col("p"), col("p_norm")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * Batch k-NN join: exact top-k cosine neighbors for EVERY probe in
+   * `probes` (self-matches excluded) — broadcast the probe set, one fused
+   * cosine per (row, probe) pair, per-probe ranking window. The shuffle is
+   * on `probe_id` only (candidate rows reduced to (probe_id, id, sim)
+   * triples before it). For approximate at-scale use, compose with the
+   * LSH/IVF bucket filters above to prune the candidate side first.
+   */
+  def knnJoin(
+      emb: DataFrame, probes: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      probeIdCol: String = "probe_id", probeVecCol: String = "p"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sims = emb.crossJoin(broadcast(probes))
+      .where(col(idCol) =!= col(probeIdCol))
+      .select(col(probeIdCol), col(idCol),
+        round(Similarity.cosineSimilarity(col(vecCol), col(probeVecCol)), 4).as("sim"))
+    val w = Window.partitionBy(probeIdCol).orderBy(col("sim").desc, col(idCol))
+    sims
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+  }
+
   /**
    * LSH-bucketed approximate top-k: probe bucket + all buckets within
    * hamming distance `maxHamming` (multiprobe), bucket equi-join, exact

@@ -20,6 +20,43 @@ object AnnMediaQueries {
       Ann.lshTopK(Tables.embeddings(spark, dir), probeId = 0L, k = 10)
     },
 
+    // IVF approximate top-10: k-means coarse quantizer (deterministic
+    // Lloyd fit), nprobe nearest inverted lists, exact rerank. Approximate
+    // + plane-free but the quantizer isn't SQL-portable → rows-only here;
+    // recall vs brute force asserted in AnnSpec.
+    Declared("q_ivf", None) { (spark, dir) =>
+      val emb       = Tables.embeddings(spark, dir)
+      val centroids = Ann.ivfFit(emb, c = 16, iters = 3)
+      Ann.ivfTopK(emb, probeId = 0L, k = 10, centroids, nprobe = 4)
+    },
+
+    // batch k-NN join: exact top-5 neighbors for every probe vec_id < 10 —
+    // the training-data "find similar examples per sample" shape
+    Declared(
+      "q_knn",
+      Some(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+          |sims AS (
+          |  SELECT p.probe_id, e.vec_id,
+          |         round(list_dot_product(e.v, p.pv)
+          |           / nullif(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv)), 0), 4) AS sim
+          |  FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id),
+          |r AS (SELECT probe_id, vec_id, sim,
+          |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+          |      FROM sims)
+          |SELECT probe_id, vec_id, sim, rn FROM r WHERE rn <= 5
+          |ORDER BY probe_id, rn""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+      Ann.knnJoin(emb, probes, k = 5)
+        .select("probe_id", "vec_id", "sim", "rn")
+        .orderBy("probe_id", "rn")
+    },
+
     // binary media column + typed metadata (schema-level plumbing)
     Declared(
       "q_media",

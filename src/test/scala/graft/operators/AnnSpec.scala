@@ -40,6 +40,49 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean recall@10 $mean (per-probe: $recalls)")
   }
 
+  test("IVF top-k recovers planted clusters and prunes to nprobe lists") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      c <- 0 until 20
+      center = Array.fill(64)(rnd.nextGaussian().toFloat)
+      m <- 0 until 10
+    } yield ((c * 10 + m).toLong, center.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq)
+    val emb = rows.toDF("vec_id", "embedding")
+
+    val centroids = Ann.ivfFit(emb, c = 16, iters = 3)
+    assert(centroids.length === 16 && centroids.forall(_.length === 64))
+
+    val probes = Seq(0L, 55L, 111L, 190L)
+    val recalls = probes.map { p =>
+      val exact  = Ann.bruteForceTopK(emb, p, 10).collect().map(_.getLong(0)).toSet
+      val approx = Ann.ivfTopK(emb, p, 10, centroids, nprobe = 4).collect().map(_.getLong(0)).toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 $mean (per-probe: $recalls)")
+
+    // the inverted lists partition the corpus; nprobe lists prune the scan
+    val assigned = Ann.assignCentroid(emb, centroids)
+    assert(assigned.select("cid").distinct().count() > 1)
+  }
+
+  test("knnJoin returns exactly k ranked neighbors per probe, no self-matches") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+    val nn = Ann.knnJoin(emb, probes, k = 3).collect()
+    assert(nn.length === 15) // 5 probes × 3
+    val byProbe = nn.groupBy(_.getLong(0))
+    byProbe.foreach { case (p, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq === Seq(1L, 2L, 3L))
+      assert(!rows.map(_.getLong(1)).contains(p), s"probe $p matched itself")
+      val sims = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("LSH on the weak-similarity corpus still finds the probe and prunes the scan") {
     val emb = Tables.embeddings(spark, dir)
     // the probe itself must always be found (it shares its own bucket)
