@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The composite training-data curation pipeline — the operators proven
+ * individually (fingerprint dedup, quality scoring, token counting,
+ * deterministic sampling) chained end-to-end the way a 100 TB corpus run
+ * would chain them:
+ *
+ *   normalize → exact-dedup (keep lowest id per fingerprint) →
+ *   quality filter → token count → corpus profile.
+ *
+ * Scale shape: one shuffle on the fingerprint (the dedup window), one on
+ * the final group-by; everything between is a narrow codegen'd map. The
+ * keeper selection uses row_number over the fingerprint partition — at
+ * scale this is the standard "keep canonical doc per duplicate cluster"
+ * reduction, and the window shuffle doubles as the dedup shuffle.
+ */
+object PipelineQueries {
+
+  val all: Seq[Declared] = Seq(
+    Declared(
+      "q_pipeline",
+      Some(
+        """WITH dd AS (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY md5(trim(regexp_replace(text, ' +', ' ', 'g')))
+          |    ORDER BY doc_id) AS rn
+          |  FROM documents),
+          |kept AS (SELECT * FROM dd WHERE rn = 1),
+          |scored AS (
+          |  SELECT lang,
+          |         least(n_chars / 500.0, 1.0) AS len_score,
+          |         len(list_filter(regexp_split_to_array(text, ' +'),
+          |                         t -> t IN ('the','a','of','and','to'))) * 1.0
+          |           / nullif(len(regexp_split_to_array(text, ' +')), 0) AS stop_ratio,
+          |         len(regexp_split_to_array(text, ' +')) AS n_tokens
+          |  FROM kept)
+          |SELECT lang, count(*) AS docs, sum(n_tokens) AS tokens
+          |FROM scored
+          |WHERE len_score >= 0.2 AND stop_ratio > 0
+          |GROUP BY lang ORDER BY lang""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val w = Window
+        .partitionBy(TextAnalysis.normalizedFingerprint(col("text")))
+        .orderBy("doc_id")
+      Tables.documents(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .withColumn("len_score", TextAnalysis.lengthScore(col("n_chars")))
+        .withColumn("stop_ratio", TextAnalysis.stopwordRatio(col("text")))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .where(col("len_score") >= 0.2 && col("stop_ratio") > 0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
+        .orderBy("lang")
+    }
+  )
+}

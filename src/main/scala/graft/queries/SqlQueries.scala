@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.Engine
+
+/**
+ * The SQL surface end-to-end: the same declared semantics driven through
+ * `spark.sql(...)` text via [[graft.Engine]] instead of the DataFrame API —
+ * proving a reference user can bring plain SQL (including graft's injected
+ * native functions) and get identical results. Catalyst compiles both
+ * entries to the same plans; the oracle hash-check proves it.
+ */
+object SqlQueries {
+
+  val all: Seq[Declared] = Seq(
+    // TPC-H Q1 as SQL text through Engine.sql (same oracle as q_tpch1)
+    Declared(
+      "q_sql",
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |       round(sum(l_quantity), 4) AS sum_qty,
+          |       round(sum(l_extendedprice), 4) AS sum_base_price,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+          |       round(avg(l_quantity), 4) AS avg_qty,
+          |       count(*) AS n
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        """SELECT l_returnflag, l_linestatus,
+          |       round(sum(l_quantity), 4) AS sum_qty,
+          |       round(sum(l_extendedprice), 4) AS sum_base_price,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+          |       round(avg(l_quantity), 4) AS avg_qty,
+          |       count(*) AS n
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    },
+
+    // cosine top-10 as SQL text calling the extension-injected native
+    // codegen function graft_cosine (same oracle as q_sim)
+    Declared(
+      "q_sql_sim",
+      Some(
+        """WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0),
+          |sims AS (
+          |  SELECT e.vec_id,
+          |         list_dot_product(CAST(e.embedding AS DOUBLE[]), p.p)
+          |           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+          |              * sqrt(list_dot_product(p.p, p.p))) AS sim
+          |  FROM embeddings e CROSS JOIN probe p)
+          |SELECT vec_id, round(sim, 4) AS sim FROM sims
+          |ORDER BY round(sim, 4) DESC, vec_id LIMIT 10""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        """SELECT e.vec_id, round(graft_cosine(e.embedding, p.p), 4) AS sim
+          |FROM embeddings e
+          |CROSS JOIN (SELECT embedding AS p FROM embeddings WHERE vec_id = 0) p
+          |ORDER BY round(graft_cosine(e.embedding, p.p), 4) DESC, e.vec_id
+          |LIMIT 10""".stripMargin)
+    }
+  )
+}

@@ -60,7 +60,7 @@ object StatefulStreamingQueries {
     ) { (spark, dir) =>
       val table = s"graft_stream_session_${runId.incrementAndGet()}"
       withStatePartitions(spark, 8) {
-        val q = Ingest.feed(spark, dir, maxBatchSize = 5000)
+        val q = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n"))
           .writeStream
@@ -92,7 +92,7 @@ object StatefulStreamingQueries {
       import spark.implicits._
       val table = s"graft_stream_state_${runId.incrementAndGet()}"
       withStatePartitions(spark, 8) {
-        val updates = Ingest.feed(spark, dir, maxBatchSize = 5000)
+        val updates = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
           .select("user_id", "event_id", "value")
           .as[(Long, Long, Double)]
           .groupByKey(_._1)
@@ -145,11 +145,11 @@ object StatefulStreamingQueries {
     ) { (spark, dir) =>
       val table = s"graft_stream_join_${runId.incrementAndGet()}"
       withStatePartitions(spark, 8) {
-        val errors = Ingest.feed(spark, dir, maxBatchSize = 5000)
+        val errors = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
           .where(col("event_type") === "error")
           .select(col("event_id").as("error_id"), col("user_id").as("eu"), col("ts").as("ets"))
           .withWatermark("ets", "1 hour")
-        val purchases = Ingest.feed(spark, dir, maxBatchSize = 5000)
+        val purchases = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
           .where(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts"))
           .withWatermark("pts", "1 hour")
@@ -182,7 +182,7 @@ object StatefulStreamingQueries {
     ) { (spark, dir) =>
       val out = java.nio.file.Files.createTempDirectory("graft-filesink").toString
       withStatePartitions(spark, 8) {
-        val q = Ingest.feed(spark, dir, maxBatchSize = 5000)
+        val q = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
           .where(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), round(col("value"), 4).as("value"))
           .writeStream

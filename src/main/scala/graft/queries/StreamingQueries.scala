@@ -42,7 +42,7 @@ object StreamingQueries {
       )
     ) { (spark, dir) =>
       val result = withStatePartitions(spark, 8) {
-        Ingest.run(spark, dir, maxBatchSize = 5000, segmentSize = Int.MaxValue / 4)
+        Ingest.run(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir), segmentSize = Int.MaxValue / 4)
       }
       Ingest.parsed(Ingest.logFrame(spark, result.log))
         .select(
@@ -67,7 +67,7 @@ object StreamingQueries {
     ) { (spark, dir) =>
       val table = s"graft_stream_window_${runId.incrementAndGet()}"
       withStatePartitions(spark, 8) {
-      val q = Ingest.feed(spark, dir, maxBatchSize = 5000)
+      val q = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n"))
         .writeStream
@@ -97,7 +97,7 @@ object StreamingQueries {
     ) { (spark, dir) =>
       val table = s"graft_stream_dedup_${runId.incrementAndGet()}"
       withStatePartitions(spark, 8) {
-      val q = Ingest.feed(spark, dir, maxBatchSize = 5000)
+      val q = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
         .select("user_id", "event_type")
         .dropDuplicates("user_id", "event_type")
         .groupBy("event_type")
@@ -129,7 +129,7 @@ object StreamingQueries {
     ) { (spark, dir) =>
       val table = s"graft_stream_hop_${runId.incrementAndGet()}"
       withStatePartitions(spark, 8) {
-      val q = Ingest.feed(spark, dir, maxBatchSize = 5000)
+      val q = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
         .groupBy(window(col("ts"), "2 hours", "1 hour"))
         .agg(count(lit(1)).as("n"))
         .writeStream
@@ -158,12 +158,12 @@ object StreamingQueries {
       )
     ) { (spark, dir) =>
       val result = withStatePartitions(spark, 8) {
-        Ingest.run(spark, dir, maxBatchSize = 5000, segmentSize = Int.MaxValue / 4)
+        Ingest.run(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir), segmentSize = Int.MaxValue / 4)
       }
       val table = s"graft_stream_tail_${runId.incrementAndGet()}"
       withStatePartitions(spark, 8) {
         val q = graft.streaming.Watch
-          .tail(spark, table, result.log, startingOffset = Some(900L), maxBatchSize = 5000)
+          .tail(spark, table, result.log, startingOffset = Some(900L), maxBatchSize = Ingest.pacedBatchSize(spark, dir))
           .writeStream
           .trigger(Trigger.AvailableNow())
           .format("memory")

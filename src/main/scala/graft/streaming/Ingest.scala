@@ -65,6 +65,19 @@ object Ingest {
     StructField("props", StringType)
   ))
 
+  /**
+   * Admission-control batch size targeting a fixed number of micro-batches
+   * over a bounded replay (default 4 — enough to prove cross-batch state,
+   * few enough that the ~0.5 s/micro-batch local-mode floor doesn't
+   * dominate). Row count comes from parquet footer metadata (no scan).
+   * A live unbounded pipeline would instead size this to poll-interval ×
+   * peak-rate, exactly like Kafka's maxOffsetsPerTrigger.
+   */
+  def pacedBatchSize(spark: SparkSession, dir: String, targetBatches: Int = 4): Int = {
+    val n = spark.read.parquet(s"$dir/events.parquet").count()
+    math.max(1000, math.ceil(n.toDouble / targetBatches).toInt)
+  }
+
   /** The streaming feed DataFrame (readStream through the DSv2 source). */
   def feed(
       spark: SparkSession,
