@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, CountInSet, DotProduct, MinHashSignature, SimHash64, WordShingles}
+import graft.expressions.{CosineSimilarity, CountInSet, DotProduct, MinHashSignature, RollingHashFingerprint, SimHash64, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -50,6 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               n.eval().asInstanceOf[Number].intValue())
           case _ => throw new IllegalArgumentException("graft_shingles(text[, n])")
         }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rollhash"),
+      new ExpressionInfo(classOf[RollingHashFingerprint].getName, "graft_rollhash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RollingHashFingerprint(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountInSet].getName, "graft_count_in"),

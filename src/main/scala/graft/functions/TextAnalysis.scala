@@ -100,4 +100,10 @@ object TextAnalysis {
     * documents differing only in spacing collide. */
   def normalizedFingerprint(text: Column): Column =
     md5(trim(regexp_replace(text, " +", " ")))
+
+  /** Rabin-Karp polynomial rolling hash (native codegen expression
+    * `graft_rollhash`): the fingerprint family that supports O(1)
+    * sliding-window updates for chunk/winnowing fingerprinting at scale. */
+  def rollingFingerprint(text: Column): Column =
+    call_function("graft_rollhash", text)
 }

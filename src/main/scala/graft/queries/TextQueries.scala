@@ -80,6 +80,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Rabin-Karp rolling-hash fingerprint (native codegen expression);
+    // oracle mirrors the recurrence with list_reduce over ascii codes
+    Declared(
+      "q_rollhash",
+      Some(
+        """SELECT doc_id,
+          |       list_reduce(
+          |         list_prepend(7::BIGINT,
+          |           list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+          |         (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_roll
+          |FROM documents ORDER BY doc_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(
+          col("doc_id"),
+          TextAnalysis.rollingFingerprint(col("text")).as("fp_roll"))
+        .orderBy("doc_id")
+    },
+
     // exact-content fingerprints (md5), the exact-dedup primitive
     Declared(
       "q_fingerprint",

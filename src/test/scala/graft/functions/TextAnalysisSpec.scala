@@ -51,4 +51,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getLong(0) === 3L)
     assert(r.getLong(1) === 4L) // hello | world | 42 | foo
   }
+
+  test("rolling-hash fingerprint matches the Rabin-Karp recurrence") {
+    def ref(s: String): Long =
+      s.codePoints().toArray.foldLeft(7L)((h, c) => (h * 31 + c) % 1000000007L)
+    val inputs = Seq("", "a", "ab", "the quick brown fox", "repeat repeat repeat")
+    val out = inputs.toDF("text")
+      .select(TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(out.toSeq === inputs.map(ref))
+    // order-sensitive (unlike a bag-of-chars hash)
+    assert(ref("ab") !== ref("ba"))
+  }
 }
