@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.EventLog
+import graft.operators.EventLog.{EmptyLog, FutureOffset, LogRange, OutOfRange}
+import graft.streaming.OffsetLog
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * ScalaCheck properties for the pure semantics layer (SURVEY §5.1): the
+ * paging clamp, the offset-validation ADT, and the offset-log retention
+ * invariants — the reference pins these with 8 hand-picked vectors
+ * (`server_test.go:418-501`); the generators cover the whole input space.
+ */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("getStart: page covers the most recent min(pageSize, n) offsets") {
+    val gen = for {
+      earliest <- Gen.chooseNum(0L, 10000L)
+      span     <- Gen.chooseNum(0L, 10000L)
+      pageSize <- Gen.chooseNum(1, 500)
+    } yield (earliest, earliest + span, pageSize)
+    check("getStart", Prop.forAll(gen) { case (earliest, latest, pageSize) =>
+      val start = EventLog.getStart(earliest, latest, pageSize)
+      val n     = latest - start + 1
+      start >= earliest &&
+        n == math.min(pageSize.toLong, latest - earliest + 1) &&
+        (start == earliest || n == pageSize.toLong)
+    })
+  }
+
+  test("checkOffset: total partition of the offset space") {
+    val gen = for {
+      earliest <- Gen.chooseNum(0L, 1000L)
+      span     <- Gen.chooseNum(0L, 1000L)
+      offset   <- Gen.chooseNum(-10L, 3000L)
+      empty    <- Gen.oneOf(true, false)
+    } yield (if (empty) LogRange(-1, -1) else LogRange(earliest, earliest + span), offset)
+    check("checkOffset", Prop.forAll(gen) { case (range, offset) =>
+      EventLog.checkOffset(range, offset) match {
+        case Left(EmptyLog)     => range.isEmpty
+        case Left(OutOfRange)   => !range.isEmpty && offset < range.earliest
+        case Left(FutureOffset) => !range.isEmpty && offset > range.latest
+        case Right(o)           => !range.isEmpty && o == offset &&
+          offset >= range.earliest && offset <= range.latest
+      }
+    })
+  }
+
+  test("OffsetLog: dense offsets, bounded retention, exact error surface") {
+    val gen = for {
+      start   <- Gen.chooseNum(0L, 100L)
+      segSize <- Gen.chooseNum(1, 40)
+      n       <- Gen.chooseNum(0, 150)
+    } yield (start, segSize, n)
+    check("offsetLog", Prop.forAll(gen) { case (start, segSize, n) =>
+      val log = new OffsetLog(start, segSize)
+      val offsets = (0 until n).map(i => log.write(Array(i.toByte)).toOption.get)
+      val r = log.range
+      val dense     = offsets == (start until start + n)
+      val rangeOk   =
+        if (n == 0) r == LogRange(-1, -1)
+        else r.latest == start + n - 1 && r.earliest >= start &&
+          r.latest - r.earliest + 1 == log.size
+      val bounded   = log.size <= 2 * segSize && (n <= 2 * segSize || log.size > segSize)
+      val readable  = n == 0 ||
+        (r.earliest to r.latest).forall(o => log.read(o).isRight)
+      val purgedErr = n == 0 || r.earliest == start ||
+        log.read(r.earliest - 1) == Left(OutOfRange)
+      val futureErr = log.read(start + n) == Left(FutureOffset)
+      dense && rangeOk && bounded && readable && purgedErr && futureErr
+    })
+  }
+
+  test("OffsetLog: offsets are invariant under batch regrouping (pacing-proof)") {
+    val gen = for {
+      n      <- Gen.chooseNum(1, 120)
+      splits <- Gen.listOfN(n, Gen.chooseNum(1, 5)) // batch sizes to carve
+    } yield (n, splits)
+    check("batchInvariance", Prop.forAll(gen) { case (n, splits) =>
+      val records = (0 until n).map(i => Array(i.toByte))
+      def run(batchSizes: Seq[Int]): Seq[(Long, Byte)] = {
+        val log = new OffsetLog(7L, 25)
+        var rest = records
+        batchSizes.foreach { b =>
+          val (batch, r) = rest.splitAt(b)
+          batch.foreach(log.write(_))
+          rest = r
+        }
+        rest.foreach(log.write(_))
+        log.snapshot.map { case (o, b) => (o, b(0)) }
+      }
+      run(Seq(n)) == run(splits)
+    })
+  }
+}
