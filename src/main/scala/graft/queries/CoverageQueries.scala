@@ -349,6 +349,23 @@ object CoverageQueries {
         .orderBy("n1", "n2")
     },
 
+    // distributed dense-offset assignment (SURVEY hard part #1, the 100 TB
+    // ingest path): range-shuffle + two parallel passes; event_id is dense
+    // so offset == event_id proves gap-free density and global order
+    Declared(
+      "q_dense",
+      Some(
+        """SELECT event_id AS log_offset, event_id, user_id FROM events
+          |ORDER BY log_offset""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val ev   = Tables.events(spark, dir).select("event_id", "user_id")
+      val base = ev.agg(min("event_id")).head().getLong(0)
+      graft.operators.DenseOffsets.assign(ev, "event_id", base)
+        .select(col("offset").as("log_offset"), col("event_id"), col("user_id"))
+        .orderBy("log_offset")
+    },
+
     // salted two-phase aggregation — the hot-key mitigation: partial agg on
     // (key, salt) spreads a skewed key over 16 reducers, final agg merges.
     // Hash-identical to the plain single-phase oracle by construction.

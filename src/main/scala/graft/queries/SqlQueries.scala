@@ -41,6 +41,25 @@ object SqlQueries {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
     },
 
+    // user-registered Scala UDF through the SQL surface (the UDF registry
+    // row of §2.2 — for anything a built-in or native expression already
+    // covers, those win on codegen; this pins the extension path itself)
+    Declared(
+      "q_udf",
+      Some(
+        """SELECT event_id, reverse(event_type) AS rev,
+          |       length(event_type) * CAST(user_id AS BIGINT) AS weighted
+          |FROM events ORDER BY event_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      spark.udf.register("graft_reverse", (s: String) => s.reverse)
+      spark.udf.register("graft_weight", (s: String, u: Long) => s.length * u)
+      Engine.sql(spark, dir,
+        """SELECT event_id, graft_reverse(event_type) AS rev,
+          |       graft_weight(event_type, user_id) AS weighted
+          |FROM events ORDER BY event_id""".stripMargin)
+    },
+
     // cosine top-10 as SQL text calling the extension-injected native
     // codegen function graft_cosine (same oracle as q_sim)
     Declared(

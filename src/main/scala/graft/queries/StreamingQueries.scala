@@ -147,6 +147,30 @@ object StreamingQueries {
         .orderBy("w")
     },
 
+    // O6 streaming retention end-to-end: ingest with segmentSize=100 → the
+    // live log retains only the last (100, 200] records; read the retained
+    // window back and parse. Oracle = the batch retention predicate.
+    Declared(
+      "q_stream_retain",
+      Some(
+        """SELECT event_id AS log_offset, event_id, user_id, event_type
+          |FROM events
+          |WHERE event_id > (SELECT max(event_id) FROM events) - 200
+          |ORDER BY log_offset""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val result = withStatePartitions(spark, 8) {
+        Ingest.run(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir), segmentSize = 100)
+      }
+      Ingest.parsed(Ingest.logFrame(spark, result.log))
+        .select(
+          col("offset").as("log_offset"),
+          col("ce.data.event_id").as("event_id"),
+          col("ce.data.user_id").as("user_id"),
+          col("ce.data.event_type").as("event_type"))
+        .orderBy("log_offset")
+    },
+
     // EP1 watch end-to-end: ingest into the offset log, then SUBSCRIBE via
     // the streaming tail source from offset 900 — the reference's
     // `?watch=true&offset=900` — and parse the delivered CloudEvent bytes
