@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AdvancedQueries, AnnMediaQueries, CoverageQueries, Declared, DedupQueries, EventLogQueries, ExtendedQueries, PipelineQueries, RelationalQueries, SqlQueries, StatefulStreamingQueries, StreamingQueries, TextQueries}
+import graft.queries.{AdvancedQueries, AnnMediaQueries, CoverageQueries, Declared, EventLogQueries, DedupQueries, ExtendedQueries, FormatQueries, PipelineQueries, RelationalQueries, SqlQueries, StatefulStreamingQueries, StreamingQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -11,7 +11,7 @@ object SparkEntry {
     EventLogQueries.all ++ RelationalQueries.all ++ ExtendedQueries.all ++
       StreamingQueries.all ++ TextQueries.all ++ DedupQueries.all ++ AnnMediaQueries.all ++
       AdvancedQueries.all ++ CoverageQueries.all ++ StatefulStreamingQueries.all ++
-      SqlQueries.all ++ PipelineQueries.all
+      SqlQueries.all ++ PipelineQueries.all ++ FormatQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Q-PAGE is the minimum end-to-end slice (SURVEY §7 Phase 1): scan →
