@@ -170,6 +170,39 @@ object StatefulStreamingQueries {
       spark.table(table).orderBy("error_id", "purchase_id")
     },
 
+    // stream-static join: the live feed enriched against a static dimension
+    // (documents keyed by event_id % 500) — the dimension is read per
+    // micro-batch and broadcast; no stream state at all, unlike the
+    // stream-stream join above
+    Declared(
+      "q_stream_enrich",
+      Some(
+        """SELECT e.event_id, d.lang, d.source
+          |FROM events e JOIN documents d ON e.event_id % 500 = d.doc_id
+          |WHERE e.event_type = 'error'
+          |ORDER BY e.event_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val table = s"graft_stream_enrich_${runId.incrementAndGet()}"
+      withStatePartitions(spark, 8) {
+        val dim = broadcast(graft.Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("source")))
+        val q = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
+          .where(col("event_type") === "error")
+          .join(dim, col("event_id") % 500 === col("doc_id"))
+          .select("event_id", "lang", "source")
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode("append")
+          .format("memory")
+          .queryName(table)
+          .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-enrich-ckpt"))
+          .start()
+        q.awaitTermination()
+      }
+      spark.table(table).orderBy("event_id")
+    },
+
     // exactly-once FILE sink: feed → filter/project → parquet file sink
     // (transactional via the sink's _spark_metadata commit log) → read the
     // committed files back. The canonical streaming-ETL landing pattern.

@@ -72,6 +72,45 @@ class WatchSpec extends AnyFunSuite {
     assert(values("w_partial_t") === Seq("10", "11", "12", "13", "14"))
   }
 
+  test("graceful stop mid-stream, then checkpointed resume delivers exactly once (O14)") {
+    val log = new OffsetLog(0, 1000)
+    (0 until 5).foreach(i => log.write(bytes(i)))
+    val ckpt     = Ingest.ephemeralCheckpoint("graft-watch-stop")
+    val received = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def start() = Watch.tail(spark, "w_stop", log, startingOffset = Some(0L)).writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        received.synchronized { received ++= batch.orderBy("offset").collect().map(_.getString(1)) }; ()
+      }
+      .start()
+
+    def awaitCount(n: Int): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (received.synchronized(received.size) < n && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(received.synchronized(received.size) === n)
+    }
+
+    // live continuous query (ProcessingTime trigger, the unbounded watch)
+    val q = start()
+    awaitCount(5)
+    (5 until 8).foreach(i => log.write(bytes(i)))
+    awaitCount(8)
+
+    // graceful teardown (reference: SIGTERM → drain, server.go:96-101)
+    q.stop()
+    q.awaitTermination()
+    (8 until 10).foreach(i => log.write(bytes(i)))
+
+    // reconnect-with-checkpoint: resumes at the cursor, no replay, no loss
+    val q2 = start()
+    awaitCount(10)
+    q2.stop()
+    assert(received.synchronized(received.toSeq) === (0 until 10).map(_.toString))
+  }
+
   test("watch from a purged offset errors (server_test.go:350-359)") {
     val log = new OffsetLog(0, 5)
     (0 until 20).foreach(i => log.write(bytes(i))) // log retains 10..19
