@@ -79,6 +79,31 @@ object AnnMediaQueries {
         .orderBy("asset_id")
     },
 
+    // frame sampling: every 64-byte slice of the payload as its own row
+    // (video-frame extraction shape, pure SQL on BINARY); payloads are
+    // ASCII so the oracle re-derives frames as 64-char regexp chunks
+    Declared(
+      "q_frames",
+      Some(
+        """SELECT doc_id AS asset_id, ord AS frame_no, frame
+          |FROM (SELECT doc_id,
+          |        unnest(regexp_extract_all(text, '.{1,64}')) AS frame,
+          |        generate_subscripts(regexp_extract_all(text, '.{1,64}'), 1) AS ord
+          |      FROM documents WHERE doc_id < 10)
+          |ORDER BY asset_id, frame_no""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Multimodal.mediaFrame(Tables.documents(spark, dir))
+        .filter(col("asset_id") < 10)
+        .select(col("asset_id"),
+          posexplode(Multimodal.frameSample(col("media"), 64)).as(Seq("pos", "fbin")))
+        .select(
+          col("asset_id"),
+          (col("pos") + 1).cast("long").as("frame_no"),
+          decode(col("fbin"), "UTF-8").as("frame"))
+        .orderBy("asset_id", "frame_no")
+    },
+
     // partition-wise batched decode (mapPartitions stub codec) — outputs
     // re-derived in SQL byte arithmetic by the oracle
     Declared(

@@ -349,6 +349,27 @@ object CoverageQueries {
         .orderBy("n1", "n2")
     },
 
+    // salted equi-join — hot-key spreading over 8 reducers; hash-identical
+    // to the plain join (every probe row meets exactly one replica). The
+    // orders→customer join stands in for a fact table with a dominant key.
+    Declared(
+      "q_skewjoin",
+      Some(
+        """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+      )
+    ) { (spark, dir) =>
+      graft.operators.SkewJoin
+        .saltedEquiJoin(
+          Tables.orders(spark, dir), Tables.customer(spark, dir),
+          "o_custkey", "c_custkey",
+          salts = 8, saltSource = Seq(col("o_orderkey")))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("total"))
+        .orderBy("c_mktsegment")
+    },
+
     // distributed dense-offset assignment (SURVEY hard part #1, the 100 TB
     // ingest path): range-shuffle + two parallel passes; event_id is dense
     // so offset == event_id proves gap-free density and global order
