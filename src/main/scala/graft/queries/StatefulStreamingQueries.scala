@@ -59,7 +59,7 @@ object StatefulStreamingQueries {
       )
     ) { (spark, dir) =>
       val table = s"graft_stream_session_${runId.incrementAndGet()}"
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
         val q = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n"))
@@ -144,12 +144,16 @@ object StatefulStreamingQueries {
       )
     ) { (spark, dir) =>
       val table = s"graft_stream_join_${runId.incrementAndGet()}"
-      withStatePartitions(spark, 8) {
-        val errors = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
+      withStatePartitions(spark, 4) {
+        // stream SELF-join: both sides derive from one feed, so the source
+        // cursor/offset tracking is shared (two independent sources would
+        // coordinate two replays per micro-batch for the same data)
+        val feed = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
+        val errors = feed
           .where(col("event_type") === "error")
           .select(col("event_id").as("error_id"), col("user_id").as("eu"), col("ts").as("ets"))
           .withWatermark("ets", "1 hour")
-        val purchases = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
+        val purchases = feed
           .where(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts"))
           .withWatermark("pts", "1 hour")
