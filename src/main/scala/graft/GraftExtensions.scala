@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, CountInSet, DotProduct, MinHashSignature, RollingHashFingerprint, SimHash64, WordShingles}
+import graft.expressions.{CosineSimilarity, CountInSet, DotProduct, MinHashSignature, RollingHashFingerprint, SimHash64, TopKSketch, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -49,6 +49,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             WordShingles(text,
               n.eval().asInstanceOf[Number].intValue())
           case _ => throw new IllegalArgumentException("graft_shingles(text[, n])")
+        }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKSketch].getName, "graft_topk"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        children match {
+          case Seq(col)      => TopKSketch(col)
+          case Seq(col, cap) =>
+            TopKSketch(col, cap.eval().asInstanceOf[Number].intValue())
+          case _ => throw new IllegalArgumentException("graft_topk(col[, capacity])")
         }))
     ext.injectFunction((
       new FunctionIdentifier("graft_rollhash"),

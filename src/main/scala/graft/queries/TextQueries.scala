@@ -80,6 +80,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // bounded-memory heavy hitters (Misra-Gries TypedImperativeAggregate):
+    // top-10 corpus tokens through the sketch. capacity=1024 >> the 31
+    // distinct tokens here, so counts are exact and the oracle checks them;
+    // at adversarial vocabulary the same plan keeps <=1024 counters per
+    // partition (guarantees stress-tested in TopKSketchSpec)
+    Declared(
+      "q_heavy",
+      Some(
+        """SELECT tok, n FROM (
+          |  SELECT tok, count(*) AS n
+          |  FROM (SELECT unnest(regexp_split_to_array(text, ' +')) AS tok FROM documents)
+          |  GROUP BY tok)
+          |ORDER BY n DESC, tok LIMIT 10""".stripMargin
+      )
+    ) { (spark, dir) =>
+      import graft.expressions.TopKSketch
+      Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " +")).as("tok"))
+        .agg(TopKSketch.heavyHitters(col("tok"), 1024).as("sketch"))
+        .select(explode(col("sketch")).as("hh"))
+        .select(col("hh.tok").as("tok"), col("hh.n").as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(10)
+    },
+
     // Rabin-Karp rolling-hash fingerprint (native codegen expression);
     // oracle mirrors the recurrence with list_reduce over ascii codes
     Declared(
