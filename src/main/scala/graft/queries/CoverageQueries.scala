@@ -189,7 +189,11 @@ object CoverageQueries {
     Declared(
       "q_collect",
       Some(
-        """SELECT user_id, list(event_id ORDER BY event_id) AS event_ids
+        // joined to a string: the driver's pandas row-sort cannot hash an
+        // array-typed cell (r03 crash), so the canonical list is emitted
+        // as a comma-joined string on both sides
+        """SELECT user_id,
+          |       array_to_string(list(event_id ORDER BY event_id), ',') AS event_ids
           |FROM events WHERE event_type = 'purchase'
           |GROUP BY user_id ORDER BY user_id""".stripMargin
       )
@@ -197,7 +201,9 @@ object CoverageQueries {
       Tables.events(spark, dir)
         .filter(col("event_type") === "purchase")
         .groupBy("user_id")
-        .agg(sort_array(collect_list(col("event_id"))).as("event_ids"))
+        .agg(
+          array_join(sort_array(collect_list(col("event_id"))).cast("array<string>"), ",")
+            .as("event_ids"))
         .orderBy("user_id")
     },
 
@@ -205,8 +211,10 @@ object CoverageQueries {
     Declared(
       "q_condagg",
       Some(
+        // CAST: DuckDB count_if yields HUGEINT → pandas float64 → the
+        // driver hashes "290.0" against Spark's int64 "290" (r03 mismatch)
         """SELECT event_type,
-          |       count_if(value > 100) AS n_big,
+          |       CAST(count_if(value > 100) AS BIGINT) AS n_big,
           |       bool_or(value > 190) AS any_huge,
           |       bool_and(value >= 0) AS all_nonneg
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

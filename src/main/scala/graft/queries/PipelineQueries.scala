@@ -40,7 +40,7 @@ object PipelineQueries {
           |           / nullif(len(regexp_split_to_array(text, ' +')), 0) AS stop_ratio,
           |         len(regexp_split_to_array(text, ' +')) AS n_tokens
           |  FROM kept)
-          |SELECT lang, count(*) AS docs, sum(n_tokens) AS tokens
+          |SELECT lang, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
           |FROM scored
           |WHERE len_score >= 0.2 AND stop_ratio > 0
           |GROUP BY lang ORDER BY lang""".stripMargin
