@@ -95,4 +95,34 @@ object Multimodal {
         rows.map(r => decoder.decode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
       }
   }
+
+  /** One resized-asset row: the thumbnail payload plus its audit stats. */
+  case class ResizedAsset(asset_id: Long, out_bytes: Int, mean_byte: Double)
+
+  /**
+   * Resize/thumbnail stage of the media pipeline. A real implementation
+   * would hand the payload to an image scaler; the stub downsamples the
+   * byte stream at an even stride to `targetBytes` (output byte `i` =
+   * input byte `floor(i*n/m)`), which preserves the decode→resize→
+   * feature-extract pipeline shape: narrow map, one codec instance per
+   * partition, payload in / smaller payload out. Deterministic, so the
+   * DuckDB oracle re-derives the stats from the text bytes exactly.
+   */
+  def resizeAssets(spark: SparkSession, media: DataFrame, targetBytes: Int = 256): Dataset[ResizedAsset] = {
+    import spark.implicits._
+    media.select("asset_id", "media")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val id      = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val n       = payload.length
+          val m       = math.min(n, targetBytes)
+          if (m == 0) ResizedAsset(id, 0, 0.0)
+          else {
+            val out = Array.tabulate(m)(i => payload((i.toLong * n / m).toInt))
+            ResizedAsset(id, m, out.map(b => (b & 0xFF).toDouble).sum / m)
+          }
+        }
+      }
+  }
 }

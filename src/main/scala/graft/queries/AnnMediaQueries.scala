@@ -119,6 +119,27 @@ object AnnMediaQueries {
       Multimodal.decodeFeatures(spark, media)
         .select(col("asset_id"), col("n_frames"), round(col("mean_byte"), 4).as("mean_byte"))
         .orderBy("asset_id")
+    },
+
+    // resize/thumbnail stage (stride-subsample stub codec, mapPartitions):
+    // the oracle re-derives the strided byte sample in SQL — output byte i
+    // = input byte i*n//m (integer division, DuckDB `//`)
+    Declared(
+      "q_media_resize",
+      Some(
+        """SELECT doc_id AS asset_id,
+          |       CAST(least(len(text), 256) AS INT) AS out_bytes,
+          |       round(list_aggregate(
+          |         list_transform(range(least(len(text), 256)),
+          |           i -> ascii(text[CAST(i * len(text) // least(len(text), 256) AS INT) + 1])),
+          |         'avg'), 4) AS mean_byte
+          |FROM documents ORDER BY asset_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val media = Multimodal.mediaFrame(Tables.documents(spark, dir))
+      Multimodal.resizeAssets(spark, media, targetBytes = 256)
+        .select(col("asset_id"), col("out_bytes"), round(col("mean_byte"), 4).as("mean_byte"))
+        .orderBy("asset_id")
     }
   )
 }

@@ -229,6 +229,31 @@ object CoverageQueries {
         .orderBy("event_type")
     },
 
+    // distribution-ranking window functions: ntile/percent_rank/cume_dist
+    // (unique (value, event_id) total order per partition → deterministic)
+    Declared(
+      "q_ranks",
+      Some(
+        """SELECT event_id, event_type,
+          |       ntile(4) OVER w AS quartile,
+          |       round(percent_rank() OVER w, 4) AS pr,
+          |       round(cume_dist() OVER w, 4) AS cd
+          |FROM events
+          |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+          |ORDER BY event_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      Tables.events(spark, dir)
+        .select(
+          col("event_id"), col("event_type"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .orderBy("event_id")
+    },
+
     // argmin/argmax: value at the newest/oldest event per type (ordering
     // key event_id is unique → deterministic; max_by == DuckDB arg_max)
     Declared(

@@ -23,6 +23,33 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
 
   val all: Seq[Declared] = Seq(
+    // bucketed co-located join: both sides written bucketBy(8, custkey) so
+    // the sort-merge join needs NO exchange on either side — the layout
+    // that turns the 100 TB fact-fact join from a full shuffle into a
+    // local merge. The merge hint pins SMJ (else AQE broadcasts the small
+    // side at this SF and the bucketing never engages); LayoutSpec covers
+    // the plan-level no-Exchange assertion.
+    Declared(
+      "q_bucket",
+      Some(
+        """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_bkt_orders")
+      Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_bkt_customer")
+      spark.table("graft_bkt_orders")
+        .hint("merge")
+        .join(spark.table("graft_bkt_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("revenue"))
+        .orderBy("c_mktsegment")
+    },
     // filter with compound predicate → pushed to parquet scan
     Declared(
       "q_filter",

@@ -48,6 +48,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.count() === docs.count())
   }
 
+  test("resizeAssets subsamples to the target size at an even stride") {
+    val media = Multimodal.mediaFrame(Tables.documents(spark, dir))
+    val out = Multimodal.resizeAssets(spark, media, targetBytes = 16)
+      .orderBy("asset_id").head()
+    val payload = media.orderBy("asset_id").head().getAs[Array[Byte]]("media")
+    val n = payload.length
+    val m = math.min(n, 16)
+    assert(out.out_bytes === m)
+    val expected = (0 until m).map(i => (payload((i.toLong * n / m).toInt) & 0xFF).toDouble).sum / m
+    assert(math.abs(out.mean_byte - expected) < 1e-9)
+    // no-op resize when the payload is already under the target
+    val big = Multimodal.resizeAssets(spark, media, targetBytes = Int.MaxValue)
+      .orderBy("asset_id").head()
+    assert(big.out_bytes === n)
+  }
+
   test("metadata predicates prune without touching payloads") {
     val media  = Multimodal.mediaFrame(Tables.documents(spark, dir))
     val images = media.filter(col("meta.kind") === "image").select("asset_id", "meta.n_bytes")
