@@ -46,6 +46,17 @@ object FormatQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           round(col("value"), 4).as("value"))
         .orderBy("event_id")
+    },
+
+    // ORC round-trip (binary columnar, exact — no text re-parse involved);
+    // predicate pushdown works on the read-back side like parquet
+    Declared("q_orcfile", Some(oracleSql)) { (spark, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      subset(spark, dir).write.mode("overwrite").orc(out)
+      spark.read.schema(roundtripSchema).orc(out)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_id")
     }
   )
 }

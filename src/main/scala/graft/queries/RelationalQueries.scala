@@ -37,12 +37,18 @@ object RelationalQueries {
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
       )
     ) { (spark, dir) =>
+      // fresh external location each run: a stale managed-table directory
+      // from an earlier session (metastore is per-session, warehouse dir is
+      // not) makes saveAsTable throw LOCATION_ALREADY_EXISTS
+      val loc = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_customer")
       Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
-        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .saveAsTable("graft_bkt_orders")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$loc/orders").saveAsTable("graft_bkt_orders")
       Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
-        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .saveAsTable("graft_bkt_customer")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$loc/customer").saveAsTable("graft_bkt_customer")
       spark.table("graft_bkt_orders")
         .hint("merge")
         .join(spark.table("graft_bkt_customer"), col("o_custkey") === col("c_custkey"))

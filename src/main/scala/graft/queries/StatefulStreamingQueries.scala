@@ -6,7 +6,9 @@ import graft.streaming.Ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /**
  * Second-round stateful streaming surface (SURVEY §2.2 rows "streaming
@@ -231,6 +233,88 @@ object StatefulStreamingQueries {
         q.awaitTermination()
       }
       spark.read.parquet(out).orderBy("event_id")
+    },
+
+    // transformWithState (Spark 4's arbitrary-state API, the successor to
+    // flatMapGroupsWithState): per-user MapState[event_type → count] plus
+    // a ValueState batch-version counter, emitted in update mode; the
+    // highest-version row per (user, type) must equal the batch GROUP BY.
+    // TWS requires the RocksDB state store provider — set for this query,
+    // restored after (the at-scale backend per GraftSession's notes).
+    Declared(
+      "q_stream_tws",
+      Some(
+        """SELECT user_id, event_type, count(*) AS n
+          |FROM events GROUP BY user_id, event_type
+          |ORDER BY user_id, event_type""".stripMargin
+      )
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val table = s"graft_stream_tws_${runId.incrementAndGet()}"
+      val providerKey  = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        withStatePartitions(spark, 4) {
+          val updates = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
+            .select("user_id", "event_type")
+            .as[(Long, String)]
+            .groupByKey(_._1)
+            .transformWithState(new TypeCountProcessor, TimeMode.None(), OutputMode.Update())
+          val q = updates.writeStream
+            .trigger(Trigger.AvailableNow())
+            .outputMode("update")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-tws-ckpt"))
+            .start()
+          q.awaitTermination()
+        }
+      } finally prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+      val w = Window.partitionBy("user_id", "event_type").orderBy(col("version").desc)
+      spark.table(table)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("user_id", "event_type", "n")
+        .orderBy("user_id", "event_type")
     }
   )
+
+  final case class TypeCount(user_id: Long, event_type: String, n: Long, version: Long)
+
+  /**
+   * StatefulProcessor with two state variables per key: the per-type
+   * running counts (MapState — point lookups/updates, no full rewrite of
+   * the key's state per batch, which is the API's advance over fMGS's
+   * single state blob) and a batch version (ValueState). Emits the whole
+   * map each batch so the final answer is version-selectable.
+   */
+  final class TypeCountProcessor
+      extends StatefulProcessor[Long, (Long, String), TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var ver: ValueState[Long]          = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      ver = getHandle.getValueState[Long]("ver", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      rows.foreach { case (_, t) =>
+        val cur = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, cur + 1)
+      }
+      val v = (if (ver.exists()) ver.get() else 0L) + 1
+      ver.update(v)
+      counts.iterator().map { case (t, n) => TypeCount(user, t, n, v) }
+    }
+  }
 }
