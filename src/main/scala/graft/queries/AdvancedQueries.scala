@@ -249,6 +249,19 @@ object AdvancedQueries {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
     },
 
+    // approximate percentiles (mergeable t-digest-style sketch, single pass,
+    // bounded memory — the 100 TB path where exact q_quantile's full sort
+    // per group won't fly). Engine-specific sketch → rows-only; SketchSpec
+    // pins the accuracy-vs-exact bound.
+    Declared("q_approxq", None) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(
+          round(approx_percentile(col("value"), lit(0.5), lit(1000)), 4).as("p50"),
+          round(approx_percentile(col("value"), lit(0.9), lit(1000)), 4).as("p90"))
+        .orderBy("event_type")
+    },
+
     // typed Dataset + custom Aggregator (UDAF): props-length-weighted mean
     // of value per event type, through groupByKey on the case-class façade
     Declared(

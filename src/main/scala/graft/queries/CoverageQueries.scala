@@ -184,6 +184,56 @@ object CoverageQueries {
         .orderBy("event_id")
     },
 
+    // stratified sampling (sampleBy semantics, deterministic): per-stratum
+    // rates — purchases kept at ~50%, everything else at ~12.5% — via an
+    // md5 bucket predicate reproducible in any engine (engine-RNG sampleBy
+    // can't be oracle-compared). The curation move for class rebalancing
+    // at corpus scale: a narrow codegen'd filter, no shuffle.
+    Declared(
+      "q_stratified",
+      Some(
+        """SELECT event_id, event_type, user_id FROM events
+          |WHERE (event_type = 'purchase'
+          |         AND substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+          |             IN ('0','1','2','3','4','5','6','7'))
+          |   OR (event_type <> 'purchase'
+          |         AND substring(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0','1'))
+          |ORDER BY event_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val bucket = substring(md5(col("event_id").cast("string")), 1, 1)
+      Tables.events(spark, dir)
+        .where(
+          (col("event_type") === "purchase" && bucket.isin("0","1","2","3","4","5","6","7")) ||
+          (col("event_type") =!= "purchase" && bucket.isin("0","1")))
+        .select("event_id", "event_type", "user_id")
+        .orderBy("event_id")
+    },
+
+    // range-clustered layout: repartitionByRange + sortWithinPartitions on
+    // the read key before writing — every parquet row group holds a tight
+    // contiguous key range, so a key-range predicate prunes to ~1 of 8
+    // files via footer min/max stats instead of scanning the table. The
+    // write-side half of partition pruning at 100 TB.
+    Declared(
+      "q_clusterby",
+      Some(
+        """SELECT event_id, user_id, round(value, 4) AS value FROM events
+          |WHERE event_id BETWEEN 2000 AND 2999 ORDER BY event_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-cluster").toString
+      Tables.events(spark, dir)
+        .select("event_id", "user_id", "value")
+        .repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+        .where(col("event_id").between(2000, 2999))
+        .select(col("event_id"), col("user_id"), round(col("value"), 4).as("value"))
+        .orderBy("event_id")
+    },
+
     // ordered collect: per-user sorted event array (collect_list is
     // unordered by contract → sort_array makes it canonical)
     Declared(

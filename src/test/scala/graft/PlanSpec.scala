@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Mechanical pins for the plan shapes PLANS.md narrates — if a refactor
+ * silently turns the broadcast dimension join into a shuffled one or the
+ * top-K into a global sort, these fail before a benchmark would notice.
+ */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_join3: dimension joins are broadcast hash joins") {
+    val p = plan("q_join3")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no SMJ for broadcast dims:\n$p")
+  }
+
+  test("q_topk: per-partition top-K, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("q_tpch1: partial aggregation before the shuffle + pushed filter") {
+    val p = plan("q_tpch1")
+    assert(p.contains("partial_"), s"expected map-side partial agg:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected shipdate pushdown:\n$p")
+  }
+
+  test("q_semi stays a semi join (no row multiplication)") {
+    val p = plan("q_semi")
+    assert(p.contains("LeftSemi"), s"expected LeftSemi:\n$p")
+  }
+
+  test("q_clusterby: the range predicate is pushed to the clustered scan") {
+    val p = plan("q_clusterby")
+    assert(p.contains("GreaterThanOrEqual(event_id,2000)") &&
+           p.contains("LessThanOrEqual(event_id,2999)"),
+      s"expected pushed range predicate:\n$p")
+  }
+
+  test("q_agg reads only the columns it needs") {
+    val p = plan("q_agg")
+    assert(p.contains("ReadSchema: struct<event_type:string,value:double>"),
+      s"expected 2-column pruned scan:\n$p")
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Accuracy bounds for the approximate sketches exposed as rows-only
+ * queries (no SQL-portable oracle): the sketch answer must track the
+ * exact answer within the accuracy the sketch promises at its configured
+ * size — that bound, not hash equality, is their correctness contract.
+ */
+class SketchSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("approx_percentile(1000) tracks exact percentile per group") {
+    val approx = SparkEntry.queries("q_approxq")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    // value spans ~[0,200]; accuracy 1000 keeps rank error ~1/1000 which
+    // on these distributions is well under 2.0 absolute
+    approx.foreach { case (k, (a50, a90)) =>
+      val (e50, e90) = exact(k)
+      assert(math.abs(a50 - e50) < 2.0, s"$k p50: approx $a50 vs exact $e50")
+      assert(math.abs(a90 - e90) < 2.0, s"$k p90: approx $a90 vs exact $e90")
+    }
+  }
+
+  test("approx_count_distinct tracks exact distinct within rsd") {
+    val approx = SparkEntry.queries("q_approxd")(spark, dir).head().getLong(0)
+    val exact  = Tables.events(spark, dir).select("user_id").distinct().count()
+    // default rsd 5% → assert 15% (3 sigma)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx $approx vs exact $exact")
+  }
+}
