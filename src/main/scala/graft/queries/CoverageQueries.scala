@@ -184,6 +184,41 @@ object CoverageQueries {
         .orderBy("event_id")
     },
 
+    // MERGE/upsert pattern (Delta-style MERGE without a table format):
+    // matched keys update the dimension (balance += spend), unmatched
+    // update keys insert synthesized rows, untouched dimension rows pass
+    // through — one full-outer join + coalesce projection, the standard
+    // SCD-1 shape. At scale both sides shuffle once on the merge key.
+    Declared(
+      "q_upsert",
+      Some(
+        """WITH upd AS (
+          |  SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey + 1000000
+          |              ELSE o_custkey END AS key,
+          |         round(sum(o_totalprice), 4) AS spent
+          |  FROM orders GROUP BY 1)
+          |SELECT coalesce(c.c_custkey, u.key) AS c_custkey,
+          |       coalesce(c.c_name, 'new-' || CAST(u.key AS VARCHAR)) AS c_name,
+          |       round(coalesce(c.c_acctbal, 0) + coalesce(u.spent, 0), 4) AS balance
+          |FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.key
+          |ORDER BY c_custkey""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val upd = Tables.orders(spark, dir)
+        .groupBy(
+          when(col("o_custkey") % 10 === 0, col("o_custkey") + 1000000)
+            .otherwise(col("o_custkey")).as("key"))
+        .agg(round(sum("o_totalprice"), 4).as("spent"))
+      Tables.customer(spark, dir)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .join(upd, col("c_custkey") === col("key"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("key")).as("c_custkey"),
+          coalesce(col("c_name"), concat(lit("new-"), col("key").cast("string"))).as("c_name"),
+          round(coalesce(col("c_acctbal"), lit(0)) + coalesce(col("spent"), lit(0)), 4).as("balance"))
+        .orderBy("c_custkey")
+    },
+
     // stratified sampling (sampleBy semantics, deterministic): per-stratum
     // rates — purchases kept at ~50%, everything else at ~12.5% — via an
     // md5 bucket predicate reproducible in any engine (engine-RNG sampleBy

@@ -62,6 +62,37 @@ object DedupQueries {
       docs.join(drop, Seq("doc_id"), "left_anti").agg(count(lit(1)).as("kept"))
     },
 
+    // banded edit-distance near-dup: candidates blocked on (lang, length
+    // band) — the blocking that makes Levenshtein (quadratic per pair)
+    // affordable at corpus scale: band sizes bound the per-bucket pair
+    // count, and the 40-char prefix bounds per-pair cost. Same banding in
+    // the oracle, so the check is exact.
+    Declared(
+      "q_editdist",
+      Some(
+        """SELECT a.doc_id AS da, b.doc_id AS db,
+          |       levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS dist
+          |FROM documents a JOIN documents b
+          |  ON a.lang = b.lang AND a.n_chars // 50 = b.n_chars // 50
+          | AND a.doc_id < b.doc_id
+          |WHERE levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) <= 5
+          |ORDER BY da, db""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text"),
+          floor(col("n_chars") / lit(50)).as("band"),
+          substring(col("text"), 1, 40).as("prefix"))
+      val a = docs.select(col("doc_id").as("da"), col("lang"), col("band"), col("prefix").as("pa"))
+      val b = docs.select(col("doc_id").as("db"), col("lang"), col("band"), col("prefix").as("pb"))
+      a.join(b, Seq("lang", "band"))
+        .where(col("da") < col("db"))
+        .withColumn("dist", levenshtein(col("pa"), col("pb")))
+        .where(col("dist") <= 5)
+        .select("da", "db", "dist")
+        .orderBy("da", "db")
+    },
+
     // SimHash signatures (xxhash64-based — not expressible in the oracle;
     // rows-only check; pair recall asserted against exact pairs in DedupSpec)
     Declared("q_simhash", None) { (spark, dir) =>
