@@ -115,6 +115,42 @@ object StreamingQueries {
       spark.table(table).orderBy("event_type")
     },
 
+    // dropDuplicatesWithinWatermark: the BOUNDED-STATE dedup — unlike
+    // plain dropDuplicates (state grows with distinct keys forever), the
+    // watermark evicts dedup state older than the delay, which is the only
+    // version that survives an unbounded 100 TB stream. Delay here spans
+    // the whole bounded replay, so the result is exactly DISTINCT and the
+    // oracle stays exact; on a live pipeline the delay is the dedup
+    // horizon.
+    Declared(
+      "q_stream_dedup_wm",
+      Some(
+        """SELECT event_type, count(*) AS n FROM
+          |  (SELECT DISTINCT user_id, event_type FROM events)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val table = s"graft_stream_dedupwm_${runId.incrementAndGet()}"
+      withStatePartitions(spark, 8) {
+        val q = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
+          .select("ts", "user_id", "event_type")
+          .withWatermark("ts", "3650 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode("complete")
+          .format("memory")
+          .queryName(table)
+          .option("checkpointLocation",
+            Ingest.ephemeralCheckpoint("graft-dedupwm-ckpt"))
+          .start()
+        q.awaitTermination()
+      }
+      spark.table(table).orderBy("event_type")
+    },
+
     // streaming hopping (sliding) window: each event lands in 2 overlapping
     // 2h/1h windows; oracle re-derives via a UNION ALL of the two starts
     Declared(
