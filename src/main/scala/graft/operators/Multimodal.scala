@@ -108,20 +108,24 @@ object Multimodal {
    * partition, payload in / smaller payload out. Deterministic, so the
    * DuckDB oracle re-derives the stats from the text bytes exactly.
    */
+  /** Even-stride downsample: output byte `i` = input byte `floor(i*n/m)`,
+    * `m = min(n, targetBytes)`. Pure — property-tested in PropertySpec. */
+  def strideSample(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    val n = payload.length
+    val m = math.min(n, targetBytes)
+    Array.tabulate(m)(i => payload((i.toLong * n / m).toInt))
+  }
+
   def resizeAssets(spark: SparkSession, media: DataFrame, targetBytes: Int = 256): Dataset[ResizedAsset] = {
     import spark.implicits._
     media.select("asset_id", "media")
       .mapPartitions { rows: Iterator[Row] =>
         rows.map { r =>
-          val id      = r.getLong(0)
-          val payload = r.getAs[Array[Byte]](1)
-          val n       = payload.length
-          val m       = math.min(n, targetBytes)
-          if (m == 0) ResizedAsset(id, 0, 0.0)
-          else {
-            val out = Array.tabulate(m)(i => payload((i.toLong * n / m).toInt))
-            ResizedAsset(id, m, out.map(b => (b & 0xFF).toDouble).sum / m)
-          }
+          val id  = r.getLong(0)
+          val out = strideSample(r.getAs[Array[Byte]](1), targetBytes)
+          if (out.isEmpty) ResizedAsset(id, 0, 0.0)
+          else ResizedAsset(id, out.length,
+            out.map(b => (b & 0xFF).toDouble).sum / out.length)
         }
       }
   }

@@ -269,6 +269,28 @@ object CoverageQueries {
         .orderBy("event_id")
     },
 
+    // hive-style partitioned layout: write partitionBy(event_type), read
+    // one partition — the scan's PartitionFilters eliminate the other
+    // directories BEFORE any file I/O (vs q_clusterby's row-group stats,
+    // which still open footers). The two compose at scale: partition on
+    // the coarse key, cluster within partitions on the range key.
+    Declared(
+      "q_partitioned",
+      Some(
+        """SELECT event_id, user_id, round(value, 4) AS value FROM events
+          |WHERE event_type = 'error' ORDER BY event_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+      Tables.events(spark, dir)
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      spark.read.parquet(out)
+        .where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), round(col("value"), 4).as("value"))
+        .orderBy("event_id")
+    },
+
     // ordered collect: per-user sorted event array (collect_list is
     // unordered by contract → sort_array makes it canonical)
     Declared(

@@ -45,6 +45,14 @@ class PlanSpec extends AnyFunSuite {
       s"expected pushed range predicate:\n$p")
   }
 
+  test("q_partitioned: the partition predicate prunes directories, not rows") {
+    val p = plan("q_partitioned")
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected partition pruning:\n$p")
+    assert(p.contains("(event_type#") && p.contains("= error)"),
+      s"expected the error-partition filter:\n$p")
+  }
+
   test("q_agg reads only the columns it needs") {
     val p = plan("q_agg")
     assert(p.contains("ReadSchema: struct<event_type:string,value:double>"),

@@ -77,6 +77,29 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("strideSample: length, ordering, and identity invariants") {
+    import graft.operators.Multimodal.strideSample
+    val gen = for {
+      n      <- Gen.chooseNum(0, 2000)
+      target <- Gen.chooseNum(1, 512)
+      seed   <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+    } yield (Array.tabulate(n)(i => ((i * 31 + seed) & 0xFF).toByte), target)
+    check("strideSample", Prop.forAll(gen) { case (payload, target) =>
+      val out = strideSample(payload, target)
+      val lengthOk = out.length == math.min(payload.length, target)
+      // sampled indices are monotonically non-decreasing → output preserves
+      // input order (it is a true subsequence)
+      val indices = out.indices.map(i => (i.toLong * payload.length / out.length).toInt)
+      val monotone = out.isEmpty || indices.zip(indices.tail).forall { case (a, b) => a <= b }
+      val values = out.indices.forall(i => out(i) == payload(indices(i)))
+      // no-op when the payload already fits
+      val identity = payload.length > target ||
+        java.util.Arrays.equals(out, payload)
+      val first = out.isEmpty || out(0) == payload(0)
+      lengthOk && monotone && values && identity && first
+    })
+  }
+
   test("OffsetLog: offsets are invariant under batch regrouping (pacing-proof)") {
     val gen = for {
       n      <- Gen.chooseNum(1, 120)
