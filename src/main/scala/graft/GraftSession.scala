@@ -38,6 +38,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // bounded-replay checkpoint hygiene: retaining 100 batches is for
+      // long-lived recovery, 2 covers a replay's restart. no-data
+      // micro-batches stay ENABLED — append-mode windows need the final
+      // no-data batch to emit windows past the watermark (WatermarkSpec
+      // fails without it; disabling bought <10% anyway)
+      .config("spark.sql.streaming.minBatchesToRetain", "2")
       .config("spark.ui.enabled", "false")
   }
 
