@@ -184,6 +184,32 @@ object CoverageQueries {
         .orderBy("event_id")
     },
 
+    // correlated EXISTS / NOT EXISTS — the subquery shapes Catalyst
+    // rewrites into semi/anti joins with the correlation as the join key
+    // (same physical plan family as q_semi/q_anti, reached from the
+    // correlated-subquery surface instead of IN)
+    Declared(
+      "q_exists",
+      Some(
+        """SELECT c_custkey, c_mktsegment FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders o
+          |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 10000)
+          |ORDER BY c_custkey""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.customer(spark, dir).createOrReplaceTempView("graft_exists_customer")
+      Tables.orders(spark, dir).createOrReplaceTempView("graft_exists_orders")
+      spark.sql(
+        """SELECT c_custkey, c_mktsegment FROM graft_exists_customer c
+          |WHERE EXISTS (SELECT 1 FROM graft_exists_orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          |  AND NOT EXISTS (SELECT 1 FROM graft_exists_orders o
+          |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 10000)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
     // MERGE/upsert pattern (Delta-style MERGE without a table format):
     // matched keys update the dimension (balance += spend), unmatched
     // update keys insert synthesized rows, untouched dimension rows pass

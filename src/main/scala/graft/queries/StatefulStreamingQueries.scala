@@ -176,6 +176,61 @@ object StatefulStreamingQueries {
       spark.table(table).orderBy("error_id", "purchase_id")
     },
 
+    // stream-stream LEFT OUTER interval join: matches emit on arrival;
+    // unmatched errors emit null-extended only once the watermark passes
+    // their matchable window (state closure) — the part plain outer joins
+    // don't have to reason about. The global watermark is the MIN across
+    // the two inputs' watermarks (multipleWatermarkPolicy=min, each =
+    // that side's max event time − delay), so the oracle names the closed
+    // set exactly: errors whose window upper bound precedes that final
+    // min-watermark (verified empirically: Spark's emission cut sits
+    // between the two sides' maxima).
+    Declared(
+      "q_stream_outer",
+      Some(
+        """WITH t AS (SELECT least(
+          |             (SELECT max(ts) FROM events WHERE event_type = 'error'),
+          |             (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+          |           - INTERVAL 1 SECOND AS wm)
+          |SELECT e.event_id AS error_id, p.event_id AS purchase_id
+          |FROM events e LEFT JOIN events p
+          |  ON p.user_id = e.user_id AND p.event_type = 'purchase'
+          | AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 10 MINUTE
+          |WHERE e.event_type = 'error'
+          |  AND (p.event_id IS NOT NULL
+          |       OR e.ts + INTERVAL 10 MINUTE < (SELECT wm FROM t))
+          |ORDER BY error_id, purchase_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val table = s"graft_stream_outer_${runId.incrementAndGet()}"
+      withStatePartitions(spark, 4) {
+        val feed = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
+        val errors = feed
+          .where(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id").as("eu"), col("ts").as("ets"))
+          .withWatermark("ets", "1 second")
+        val purchases = feed
+          .where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts"))
+          .withWatermark("pts", "1 second")
+        val q = errors.join(purchases,
+            col("eu") === col("pu") &&
+              col("pts") >= col("ets") &&
+              col("pts") < col("ets") + expr("INTERVAL 10 MINUTE"),
+            "left_outer")
+          .select("error_id", "purchase_id")
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode("append")
+          .format("memory")
+          .queryName(table)
+          .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-ssouter-ckpt"))
+          .start()
+        q.awaitTermination()
+      }
+      spark.table(table).orderBy("error_id", "purchase_id")
+    },
+
     // stream-static join: the live feed enriched against a static dimension
     // (documents keyed by event_id % 500) — the dimension is read per
     // micro-batch and broadcast; no stream state at all, unlike the
