@@ -33,7 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MinHashSignature(children.head)))
+        children match {
+          case Seq(shingles)    => MinHashSignature(shingles)
+          case Seq(shingles, n) =>
+            MinHashSignature(shingles, n.eval().asInstanceOf[Number].intValue())
+          case _ => throw new IllegalArgumentException("graft_minhash(shingles[, numHashes])")
+        }))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),

@@ -1,0 +1,58 @@
+package graft.expressions
+
+import graft.TestSpark
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Null/empty edge behavior of every extension-injected expression, driven
+ * through the SQL surface (so both codegen and the null-handling wrappers
+ * are on the path). At 100 TB the corpus WILL contain null and empty
+ * documents/vectors; an expression that throws there kills the stage.
+ */
+class ExpressionEdgeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def one(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+
+  test("null inputs propagate null, not exceptions") {
+    assert(one("graft_cosine(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))") == null)
+    assert(one("graft_dot(CAST(NULL AS ARRAY<FLOAT>), CAST(NULL AS ARRAY<FLOAT>))") == null)
+    assert(one("graft_minhash(CAST(NULL AS ARRAY<BIGINT>), 4)") == null)
+    assert(one("graft_simhash(CAST(NULL AS STRING))") == null)
+    assert(one("graft_shingles(CAST(NULL AS STRING), 3)") == null)
+    assert(one("graft_rollhash(CAST(NULL AS STRING), 4)") == null)
+    assert(one("graft_count_in(CAST(NULL AS ARRAY<STRING>), array('a'))") == null)
+  }
+
+  test("empty inputs return defined values") {
+    // empty text → no shingles; minhash of nothing is the identity
+    // signature (max sentinel), not a crash
+    val shingles = one("graft_shingles('', 3)")
+    assert(shingles.asInstanceOf[scala.collection.Seq[_]].isEmpty)
+    val mh = one("graft_minhash(array(), 4)")
+    assert(mh.asInstanceOf[scala.collection.Seq[_]].size === 4)
+    val rh = one("graft_rollhash('', 4)")
+    assert(rh != null)
+    assert(one("graft_count_in(array(), array('a'))") === 0L)
+  }
+
+  test("cosine of degenerate vectors is well-defined") {
+    // zero vector has no direction: must be null or 0.0, never NaN/throw
+    val z = one("graft_cosine(array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))")
+    assert(z == null || z == 0.0)
+    val self = one("graft_cosine(array(CAST(3.0 AS FLOAT)), array(CAST(3.0 AS FLOAT)))")
+    assert(math.abs(self.asInstanceOf[Double] - 1.0) < 1e-6)
+  }
+
+  test("expressions survive a whole-column pass over real data with injected nulls") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("t", when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("text")))
+    val n = docs.selectExpr("graft_simhash(t)", "graft_rollhash(t, 8)",
+        "size(graft_shingles(t, 3))")
+      .count()
+    assert(n === docs.count())
+  }
+}
