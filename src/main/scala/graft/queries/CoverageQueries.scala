@@ -184,6 +184,51 @@ object CoverageQueries {
         .orderBy("event_id")
     },
 
+    // unpivot/melt (wide → long): the Dataset.unpivot API; oracle spells
+    // the same reshape as a UNION ALL (engine-neutral)
+    Declared(
+      "q_unpivot",
+      Some(
+        """SELECT * FROM (
+          |  SELECT l_orderkey, l_linenumber, 'l_discount' AS metric, round(l_discount, 4) AS val
+          |  FROM lineitem WHERE l_orderkey <= 100
+          |  UNION ALL
+          |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', round(l_extendedprice, 4)
+          |  FROM lineitem WHERE l_orderkey <= 100
+          |  UNION ALL
+          |  SELECT l_orderkey, l_linenumber, 'l_quantity', round(l_quantity, 4)
+          |  FROM lineitem WHERE l_orderkey <= 100)
+          |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .where(col("l_orderkey") <= 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_discount"), col("l_extendedprice"), col("l_quantity")),
+          "metric", "val")
+        .withColumn("val", round(col("val"), 4))
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    },
+
+    // lead — the forward-looking analytic (lag's mirror, q_lag covers the
+    // backward frame): next event's gap per user
+    Declared(
+      "q_lead",
+      Some(
+        """SELECT user_id, event_id,
+          |       lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS next_id
+          |FROM events ORDER BY user_id, event_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          lead(col("event_id"), 1).over(w).as("next_id"))
+        .orderBy("user_id", "event_id")
+    },
+
     // correlated EXISTS / NOT EXISTS — the subquery shapes Catalyst
     // rewrites into semi/anti joins with the correlation as the join key
     // (same physical plan family as q_semi/q_anti, reached from the
