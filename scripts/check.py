@@ -68,6 +68,11 @@ def main():
     import json
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     only = set(sys.argv[3:])
+    # a typo'd or rows-only name must not silently produce "0 ok, 0 bad"
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"UNKNOWN filter names (not in oracle_sql.json): {sorted(unknown)}")
+        sys.exit(2)
     n_ok = n_bad = 0
     for name in sorted(oracle):
         if only and name not in only:
@@ -110,7 +115,9 @@ def main():
             n_bad += 1
         else:
             n_ok += 1
-    print(f"\n{n_ok} ok, {n_bad} bad, {len(oracle)} oracle-checked queries")
+    checked = len(only) if only else len(oracle)
+    print(f"\n{n_ok} ok, {n_bad} bad ({checked} compared; "
+          f"{len(oracle)} oracle-checked queries total)")
     sys.exit(1 if n_bad else 0)
 
 

@@ -32,11 +32,14 @@ object Bench {
   private def group(name: String): String =
     if (name.startsWith("q_stream")) "streaming"
     else if (Set("q_neardup", "q_embdup", "q_minhash_lsh", "q_simhash",
-                 "q_dedup", "q_dedup_keep", "q_dedup_rows", "q_ivf",
+                 "q_dedup", "q_dedup_keep", "q_dedup_rows", "q_ivf", "q_editdist",
                  "q_knn", "q_ann", "q_sim", "q_sql_sim").contains(name)) "dedup_vector"
     else "relational"
 
-  private def f3(v: Double): String = f"$v%.3f"
+  // Locale.ROOT: the f-interpolator uses the default locale, which on a
+  // comma-decimal locale would print 12,345 and corrupt the JSON contract
+  private def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,12 +74,17 @@ object Bench {
 
     val fullJson = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    try {
-      val out = new java.io.PrintWriter("/root/repo/BENCH_FULL.json")
-      try out.println(
-        s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullJson,"sf":"$sfDir","cpus":$cpus}""")
-      finally out.close()
-    } catch { case _: Throwable => () }
+    val fullLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullJson,"sf":"$sfDir","cpus":"$cpus"}"""
+    val fullTargets = Seq("/root/repo/BENCH_FULL.json", "BENCH_FULL.json")
+    val written = fullTargets.exists { path =>
+      try {
+        val out = new java.io.PrintWriter(path)
+        try out.println(fullLine) finally out.close()
+        true
+      } catch { case _: Throwable => false }
+    }
+    if (!written) System.err.println("[bench] WARN: could not write BENCH_FULL.json")
 
     val byGroup = results.groupBy { case (n, _) => group(n) }
       .toSeq.sortBy(_._1)

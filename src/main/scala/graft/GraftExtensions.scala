@@ -34,10 +34,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         children match {
-          case Seq(shingles)    => MinHashSignature(shingles)
-          case Seq(shingles, n) =>
-            MinHashSignature(shingles, n.eval().asInstanceOf[Number].intValue())
-          case _ => throw new IllegalArgumentException("graft_minhash(shingles[, numHashes])")
+          case Seq(shingles) => MinHashSignature(shingles)
+          case Seq(shingles, n) if n.foldable =>
+            n.eval() match {
+              case i: Number => MinHashSignature(shingles, i.intValue())
+              case other => throw new IllegalArgumentException(
+                s"graft_minhash: numHashes must be an integer literal, got $other")
+            }
+          case _ => throw new IllegalArgumentException(
+            "graft_minhash(shingles[, numHashes]) — numHashes must be a literal")
         }))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
@@ -50,26 +55,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         children match {
           case Seq(text) => WordShingles(text)
-          case Seq(text, n) =>
-            WordShingles(text,
-              n.eval().asInstanceOf[Number].intValue())
-          case _ => throw new IllegalArgumentException("graft_shingles(text[, n])")
+          case Seq(text, n) if n.foldable =>
+            WordShingles(text, n.eval().asInstanceOf[Number].intValue())
+          case _ => throw new IllegalArgumentException(
+            "graft_shingles(text[, n]) — n must be a literal")
         }))
     ext.injectFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKSketch].getName, "graft_topk"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         children match {
-          case Seq(col)      => TopKSketch(col)
-          case Seq(col, cap) =>
+          case Seq(col) => TopKSketch(col)
+          case Seq(col, cap) if cap.foldable =>
             TopKSketch(col, cap.eval().asInstanceOf[Number].intValue())
-          case _ => throw new IllegalArgumentException("graft_topk(col[, capacity])")
+          case _ => throw new IllegalArgumentException(
+            "graft_topk(col[, capacity]) — capacity must be a literal")
         }))
     ext.injectFunction((
       new FunctionIdentifier("graft_rollhash"),
       new ExpressionInfo(classOf[RollingHashFingerprint].getName, "graft_rollhash"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        RollingHashFingerprint(children.head)))
+        children match {
+          case Seq(text) => RollingHashFingerprint(text)
+          case _ => throw new IllegalArgumentException("graft_rollhash(text)")
+        }))
     ext.injectFunction((
       new FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountInSet].getName, "graft_count_in"),

@@ -127,12 +127,15 @@ object AnnMediaQueries {
     Declared(
       "q_media_resize",
       Some(
+        // coalesce: an empty document yields avg-of-[] = NULL in SQL where
+        // the stub emits 0.0 (text is ASCII by generation — byte==char; a
+        // non-ASCII corpus would need a byte-level oracle)
         """SELECT doc_id AS asset_id,
           |       CAST(least(len(text), 256) AS INT) AS out_bytes,
-          |       round(list_aggregate(
+          |       coalesce(round(list_aggregate(
           |         list_transform(range(least(len(text), 256)),
           |           i -> ascii(text[CAST(i * len(text) // least(len(text), 256) AS INT) + 1])),
-          |         'avg'), 4) AS mean_byte
+          |         'avg'), 4), 0.0) AS mean_byte
           |FROM documents ORDER BY asset_id""".stripMargin
       )
     ) { (spark, dir) =>

@@ -328,7 +328,7 @@ object CoverageQueries {
           |WHERE event_id BETWEEN 2000 AND 2999 ORDER BY event_id""".stripMargin
       )
     ) { (spark, dir) =>
-      val out = java.nio.file.Files.createTempDirectory("graft-cluster").toString
+      val out = graft.ScratchDirs.dir("graft-cluster")
       Tables.events(spark, dir)
         .select("event_id", "user_id", "value")
         .repartitionByRange(8, col("event_id"))
@@ -352,7 +352,7 @@ object CoverageQueries {
           |WHERE event_type = 'error' ORDER BY event_id""".stripMargin
       )
     ) { (spark, dir) =>
-      val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+      val out = graft.ScratchDirs.dir("graft-part")
       Tables.events(spark, dir)
         .select("event_id", "user_id", "event_type", "value")
         .write.mode("overwrite").partitionBy("event_type").parquet(out)

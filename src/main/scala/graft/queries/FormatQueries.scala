@@ -31,7 +31,7 @@ object FormatQueries {
 
   val all: Seq[Declared] = Seq(
     Declared("q_csv", Some(oracleSql)) { (spark, dir) =>
-      val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      val out = graft.ScratchDirs.dir("graft-csv")
       subset(spark, dir).write.mode("overwrite").option("header", "true").csv(out)
       spark.read.schema(roundtripSchema).option("header", "true").csv(out)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -40,7 +40,7 @@ object FormatQueries {
     },
 
     Declared("q_jsonfile", Some(oracleSql)) { (spark, dir) =>
-      val out = java.nio.file.Files.createTempDirectory("graft-json").toString
+      val out = graft.ScratchDirs.dir("graft-json")
       subset(spark, dir).write.mode("overwrite").json(out)
       spark.read.schema(roundtripSchema).json(out)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -51,7 +51,7 @@ object FormatQueries {
     // ORC round-trip (binary columnar, exact — no text re-parse involved);
     // predicate pushdown works on the read-back side like parquet
     Declared("q_orcfile", Some(oracleSql)) { (spark, dir) =>
-      val out = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      val out = graft.ScratchDirs.dir("graft-orc")
       subset(spark, dir).write.mode("overwrite").orc(out)
       spark.read.schema(roundtripSchema).orc(out)
         .select(col("event_id"), col("user_id"), col("event_type"),

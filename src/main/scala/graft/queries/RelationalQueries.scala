@@ -40,7 +40,7 @@ object RelationalQueries {
       // fresh external location each run: a stale managed-table directory
       // from an earlier session (metastore is per-session, warehouse dir is
       // not) makes saveAsTable throw LOCATION_ALREADY_EXISTS
-      val loc = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+      val loc = graft.ScratchDirs.dir("graft-bkt")
       spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
       spark.sql("DROP TABLE IF EXISTS graft_bkt_customer")
       Tables.orders(spark, dir).select("o_custkey", "o_totalprice")

@@ -274,7 +274,7 @@ object StatefulStreamingQueries {
           |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
       )
     ) { (spark, dir) =>
-      val out = java.nio.file.Files.createTempDirectory("graft-filesink").toString
+      val out = graft.ScratchDirs.dir("graft-filesink")
       withStatePartitions(spark, 8) {
         val q = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
           .where(col("event_type") === "purchase")

@@ -22,7 +22,7 @@ class ExpressionEdgeSpec extends AnyFunSuite {
     assert(one("graft_minhash(CAST(NULL AS ARRAY<BIGINT>), 4)") == null)
     assert(one("graft_simhash(CAST(NULL AS STRING))") == null)
     assert(one("graft_shingles(CAST(NULL AS STRING), 3)") == null)
-    assert(one("graft_rollhash(CAST(NULL AS STRING), 4)") == null)
+    assert(one("graft_rollhash(CAST(NULL AS STRING))") == null)
     assert(one("graft_count_in(CAST(NULL AS ARRAY<STRING>), array('a'))") == null)
   }
 
@@ -33,7 +33,7 @@ class ExpressionEdgeSpec extends AnyFunSuite {
     assert(shingles.asInstanceOf[scala.collection.Seq[_]].isEmpty)
     val mh = one("graft_minhash(array(), 4)")
     assert(mh.asInstanceOf[scala.collection.Seq[_]].size === 4)
-    val rh = one("graft_rollhash('', 4)")
+    val rh = one("graft_rollhash('')")
     assert(rh != null)
     assert(one("graft_count_in(array(), array('a'))") === 0L)
   }
@@ -50,7 +50,7 @@ class ExpressionEdgeSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .withColumn("t", when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("text")))
-    val n = docs.selectExpr("graft_simhash(t)", "graft_rollhash(t, 8)",
+    val n = docs.selectExpr("graft_simhash(t)", "graft_rollhash(t)",
         "size(graft_shingles(t, 3))")
       .count()
     assert(n === docs.count())
