@@ -34,13 +34,34 @@ object Ingest {
     * dominated the streaming bench. Durable pipelines point this at a real
     * DFS; the state machinery exercised is identical. */
   def ephemeralCheckpoint(prefix: String): String = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val dir =
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-        java.nio.file.Files.createTempDirectory(shm, prefix)
-      else java.nio.file.Files.createTempDirectory(prefix)
-    dir.toFile.deleteOnExit()
+    val dir = java.nio.file.Files.createTempDirectory(CheckpointRoot.root, prefix)
     dir.toString
+  }
+
+  /** Self-cleaning root for all ephemeral checkpoints: on tmpfs when
+    * available, recursively deleted on JVM exit. `File.deleteOnExit` only
+    * removes EMPTY dirs, so the per-query scheme left every checkpoint
+    * tree behind — hundreds of runs accumulated thousands of shm entries
+    * per session. */
+  private object CheckpointRoot {
+    lazy val root: java.nio.file.Path = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val r =
+        if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+          java.nio.file.Files.createTempDirectory(shm, "graft-ckpt-root")
+        else java.nio.file.Files.createTempDirectory("graft-ckpt-root")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => delete(r)))
+      r
+    }
+    private def delete(p: java.nio.file.Path): Unit = {
+      try {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(c => delete(c)) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      } catch { case _: Throwable => () }
+    }
   }
 
   /** CloudEvent envelope schema for parsing stored bytes back (§1.2). */
