@@ -41,12 +41,26 @@ object Ann {
       .map { case (p, j) => when(dotLit(v, p) >= 0, lit(1L << j)).otherwise(lit(0L)) }
       .reduce(_ + _)
 
+  /** The 1-row probe frame for `probeId`, validated to exist: a silent
+    * empty probe would make every top-k below return 0 rows instead of
+    * surfacing the caller's bad id. The existence check is a pushed-filter
+    * point lookup (`take(1)`), not a second full scan. */
+  private def probeFrame(
+      emb: DataFrame, probeId: Long, idCol: String, vecCol: String): DataFrame = {
+    val probe = emb.filter(col(idCol) === probeId)
+      .select(col(vecCol).as("p"), Similarity.l2Norm(col(vecCol)).as("p_norm"))
+      .limit(1)
+    if (probe.take(1).isEmpty)
+      throw new IllegalArgumentException(
+        s"probe id $probeId not found in column '$idCol'")
+    probe
+  }
+
   /** Exact cosine top-k against the probe vector of `probeId`. */
   def bruteForceTopK(
       emb: DataFrame, probeId: Long, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val probe = emb.filter(col(idCol) === probeId)
-      .select(col(vecCol).as("p"), Similarity.l2Norm(col(vecCol)).as("p_norm"))
+    val probe = probeFrame(emb, probeId, idCol, vecCol)
     emb.crossJoin(broadcast(probe))
       .select(col(idCol),
         round(Similarity.cosineVsProbe(col(vecCol), col("p"), col("p_norm")), 4).as("sim"))
@@ -116,7 +130,10 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val assigned = assignCentroid(emb, centroids, vecCol)
     val probeVec = emb.filter(col(idCol) === probeId)
-      .select(col(vecCol).cast("array<double>")).collect()(0).getSeq[Double](0).toArray
+      .select(col(vecCol).cast("array<double>")).take(1).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"probe id $probeId not found in column '$idCol'"))
+      .getSeq[Double](0).toArray
     val nearCids = centroids.zipWithIndex
       .map { case (cj, j) =>
         val d = cj.zip(probeVec).map { case (a, b) => val t = a - b; t * t }.sum
@@ -124,8 +141,7 @@ object Ann {
       }
       .sortBy { case (j, d) => (d, j) }
       .take(nprobe).map(_._1)
-    val probe = emb.filter(col(idCol) === probeId)
-      .select(col(vecCol).as("p"), Similarity.l2Norm(col(vecCol)).as("p_norm"))
+    val probe = probeFrame(emb, probeId, idCol, vecCol)
     assigned
       .where(col("cid").isin(nearCids.toIndexedSeq: _*))
       .crossJoin(broadcast(probe))
@@ -171,9 +187,14 @@ object Ann {
     val ps       = planes(dim, numPlanes)
     val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), ps))
     // probe side: explode into the multiprobe bucket set, broadcast
-    val probe = bucketed.filter(col(idCol) === probeId)
+    val probeBase = bucketed.filter(col(idCol) === probeId)
       .select(col(vecCol).as("p"), Similarity.l2Norm(col(vecCol)).as("p_norm"),
         col("bucket").as("pb"))
+      .limit(1)
+    if (probeBase.take(1).isEmpty)
+      throw new IllegalArgumentException(
+        s"probe id $probeId not found in column '$idCol'")
+    val probe = probeBase
       .withColumn("bucket",
         explode(array(multiprobeMasks(numPlanes, maxHamming)
           .map(m => col("pb").bitwiseXOR(lit(m))): _*)))

@@ -66,7 +66,16 @@ object DedupQueries {
     // band) — the blocking that makes Levenshtein (quadratic per pair)
     // affordable at corpus scale: band sizes bound the per-bucket pair
     // count, and the 40-char prefix bounds per-pair cost. Same banding in
-    // the oracle, so the check is exact.
+    // the oracle, so the check is exact. Two per-pair cuts on top of the
+    // blocking (the oracle is unchanged — both cuts are lossless):
+    //  1. pigeonhole pre-filter: split pa into 6 contiguous chunks; ≤5
+    //     edits touch ≤5 chunks, so one chunk survives untouched and must
+    //     appear verbatim in pb — `instr` rejects ~all non-dup pairs
+    //     before any DP runs (short prefixes bypass the filter rather
+    //     than reason about empty-chunk semantics);
+    //  2. thresholded levenshtein(pa, pb, 5): banded O(len·k) DP that
+    //     gives up past distance 5 (returns -1) instead of filling the
+    //     full O(len²) matrix.
     Declared(
       "q_editdist",
       Some(
@@ -85,10 +94,14 @@ object DedupQueries {
           substring(col("text"), 1, 40).as("prefix"))
       val a = docs.select(col("doc_id").as("da"), col("lang"), col("band"), col("prefix").as("pa"))
       val b = docs.select(col("doc_id").as("db"), col("lang"), col("band"), col("prefix").as("pb"))
+      val chunks = Seq((1, 7), (8, 7), (15, 7), (22, 7), (29, 6), (35, 6))
+      val anyChunkSurvives = chunks
+        .map { case (pos, len) => instr(col("pb"), substring(col("pa"), pos, len)) > 0 }
+        .reduce(_ || _) || length(col("pa")) < 40
       a.join(b, Seq("lang", "band"))
-        .where(col("da") < col("db"))
-        .withColumn("dist", levenshtein(col("pa"), col("pb")))
-        .where(col("dist") <= 5)
+        .where(col("da") < col("db") && anyChunkSurvives)
+        .withColumn("dist", levenshtein(col("pa"), col("pb"), 5))
+        .where(col("dist") >= 0)
         .select("da", "db", "dist")
         .orderBy("da", "db")
     },

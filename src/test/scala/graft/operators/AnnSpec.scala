@@ -83,6 +83,20 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("missing probe id throws a clear IllegalArgumentException, not 0 rows / AIOOBE") {
+    val emb = Tables.embeddings(spark, dir)
+    val missing = -999L
+    val centroids = Array.fill(4)(Array.fill(64)(0.1))
+    Seq[() => Any](
+      () => Ann.bruteForceTopK(emb, missing, 5),
+      () => Ann.lshTopK(emb, missing, 5),
+      () => Ann.ivfTopK(emb, missing, 5, centroids)
+    ).foreach { run =>
+      val e = intercept[IllegalArgumentException](run())
+      assert(e.getMessage.contains("-999"))
+    }
+  }
+
   test("LSH on the weak-similarity corpus still finds the probe and prunes the scan") {
     val emb = Tables.embeddings(spark, dir)
     // the probe itself must always be found (it shares its own bucket)
