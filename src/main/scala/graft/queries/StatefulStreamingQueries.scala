@@ -79,6 +79,61 @@ object StatefulStreamingQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // streaming SESSION window in APPEND mode: a session is emitted exactly
+    // once — when the watermark passes its close (last event + gap), the
+    // same watermark-closure-cut technique as q_stream_outer. The oracle
+    // names the emitted set exactly: sessions whose close precedes the
+    // FINAL watermark (max event time − 1 s; the trailing no-data
+    // micro-batch advances the watermark past the last data batch). Sound
+    // because the feed replays in nondecreasing ts order: an emitted
+    // session can never be re-opened — any event that would merge into it
+    // has ts below the watermark that closed it, and such events are all
+    // already behind us. Unlike the complete-mode q_stream_session, state
+    // is evicted on emission and each batch emits only newly-closed
+    // sessions — the production shape for unbounded session analytics.
+    Declared(
+      "q_stream_session_append",
+      Some(
+        """WITH g AS (
+          |  SELECT user_id, ts,
+          |         CASE WHEN lag(ts) OVER w IS NULL
+          |               OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |s AS (
+          |  SELECT user_id, ts,
+          |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM g),
+          |sess AS (
+          |  SELECT user_id, min(ts) AS session_start,
+          |         max(ts) + INTERVAL 30 MINUTE AS session_close, count(*) AS n
+          |  FROM s GROUP BY user_id, sid),
+          |t AS (SELECT max(ts) - INTERVAL 1 SECOND AS wm FROM events)
+          |SELECT user_id, session_start, n FROM sess
+          |WHERE session_close < (SELECT wm FROM t)
+          |ORDER BY user_id, session_start""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val table = s"graft_stream_session_append_${runId.incrementAndGet()}"
+      withStatePartitions(spark, 4) {
+        val q = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
+          .withWatermark("ts", "1 second")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode("append")
+          .format("memory")
+          .queryName(table)
+          .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-session-app-ckpt"))
+          .start()
+        q.awaitTermination()
+      }
+      spark.table(table)
+        .select(col("user_id"), col("session_window.start").as("session_start"), col("n"))
+        .orderBy("user_id", "session_start")
+    },
+
     // flatMapGroupsWithState: custom per-key state evolved across
     // micro-batches (count / sum / max / max-id per user), update-mode
     // emission with a state version; the final version per key must equal

@@ -121,4 +121,55 @@ class PropertySpec extends AnyFunSuite {
       run(Seq(n)) == run(splits)
     })
   }
+
+  test("editdist pigeonhole pre-filter is lossless: dist<=5 pairs always pass") {
+    // mirrors q_editdist's candidate cut (DedupQueries): pa split into 6
+    // contiguous chunks — <=5 edits leave >=1 chunk untouched, which must
+    // appear verbatim in pb; short prefixes bypass the filter entirely.
+    // Spark 1-based substring / instr semantics reproduced exactly.
+    val chunks = Seq((1, 7), (8, 7), (15, 7), (22, 7), (29, 6), (35, 6))
+    def filterPasses(pa: String, pb: String): Boolean =
+      pa.length < 40 || chunks.exists { case (pos, len) =>
+        pb.contains(pa.slice(pos - 1, pos - 1 + len))
+      }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+                          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+
+    val alpha = Gen.oneOf('a', 'b', 'c', 'd')
+    val gen = for {
+      n     <- Gen.chooseNum(35, 60)
+      base  <- Gen.listOfN(n, alpha).map(_.mkString)
+      edits <- Gen.chooseNum(0, 5)
+      ops   <- Gen.listOfN(edits, for {
+                 kind <- Gen.chooseNum(0, 2)
+                 pos  <- Gen.chooseNum(0, math.max(0, n - 1))
+                 ch   <- alpha
+               } yield (kind, pos, ch))
+    } yield {
+      val mutated = ops.foldLeft(base) { case (s, (kind, pos, ch)) =>
+        val p = math.min(pos, math.max(0, s.length - 1))
+        kind match {
+          case 0 if s.nonEmpty => s.updated(p, ch)                      // substitute
+          case 1               => s.take(p) + ch + s.drop(p)            // insert
+          case _ if s.nonEmpty => s.take(p) + s.drop(p + 1)             // delete
+          case _               => s
+        }
+      }
+      (base.take(40), mutated.take(40))
+    }
+    check("pigeonhole", Prop.forAll(gen) { case (pa, pb) =>
+      lev(pa, pb) > 5 || filterPasses(pa, pb)
+    })
+  }
 }
