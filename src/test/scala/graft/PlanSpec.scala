@@ -58,4 +58,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<event_type:string,value:double>"),
       s"expected 2-column pruned scan:\n$p")
   }
+
+  test("q_editdist: pigeonhole pre-filter + thresholded DP fused into the broadcast join") {
+    val p = plan("q_editdist")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast (lang,band) join:\n$p")
+    assert(p.contains("instr("), s"expected the pigeonhole instr pre-filter in the join:\n$p")
+    assert(p.contains("levenshtein") && p.contains("Some(5)"),
+      s"expected thresholded levenshtein(...,5):\n$p")
+    // a silent regression to the unthresholded full-matrix DP would still
+    // be correct — this pin is what keeps it from coming back unnoticed
+  }
 }
