@@ -175,6 +175,43 @@ object Ann {
   }
 
   /**
+   * Batch LSH k-NN join — the SCALE shape of [[knnJoin]] for probe sets
+   * too large to broadcast: both sides get the H-bit signature, the probe
+   * side explodes into its multiprobe bucket set, and the two meet in a
+   * plain shuffle-on-`bucket` equi-join — candidate volume per probe is
+   * the multiprobe fraction of the corpus (37/256 ≈ 14% at H=8, r≤2), not
+   * the corpus. Exact cosine rerank + per-probe rank window on the
+   * pruned candidates; Spark's WindowGroupLimit pre-reduces each shuffle
+   * partition to its local top-k before the `probe_id` exchange. No
+   * dedup step is needed: a corpus row lives in exactly one bucket and
+   * the multiprobe masks are distinct, so a (probe, candidate) pair can
+   * meet at most once. Output schema matches [[knnJoin]], minus any probe
+   * whose k-th neighbor fell outside its multiprobe buckets (the recall
+   * trade documented in AnnSpec).
+   */
+  def lshKnnJoin(
+      emb: DataFrame, probes: DataFrame, k: Int,
+      numPlanes: Int = 8, maxHamming: Int = 2, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      probeIdCol: String = "probe_id", probeVecCol: String = "p"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps     = planes(dim, numPlanes)
+    val corpus = emb.withColumn("bucket", lshBucket(col(vecCol), ps))
+    val probeB = probes.withColumn("pb", lshBucket(col(probeVecCol), ps))
+      .withColumn("bucket",
+        explode(array(multiprobeMasks(numPlanes, maxHamming)
+          .map(m => col("pb").bitwiseXOR(lit(m))): _*)))
+    val cand = corpus.join(probeB, "bucket")
+      .where(col(idCol) =!= col(probeIdCol))
+      .select(col(probeIdCol), col(idCol),
+        round(Similarity.cosineSimilarity(col(vecCol), col(probeVecCol)), 4).as("sim"))
+    val w = Window.partitionBy(probeIdCol).orderBy(col("sim").desc, col(idCol))
+    cand
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+  }
+
+  /**
    * LSH-bucketed approximate top-k: probe bucket + all buckets within
    * hamming distance `maxHamming` (multiprobe), bucket equi-join, exact
    * cosine rerank. Same output schema as [[bruteForceTopK]]. With H=8 and

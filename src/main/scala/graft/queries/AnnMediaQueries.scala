@@ -57,6 +57,18 @@ object AnnMediaQueries {
         .orderBy("probe_id", "rn")
     },
 
+    // batch LSH k-NN join: the shuffle-on-bucket scale shape of q_knn for
+    // probe sets too large to broadcast (plane signs not SQL-portable →
+    // rows-only; per-probe recall vs the exact join asserted in AnnSpec)
+    Declared("q_knn_lsh", None) { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+      Ann.lshKnnJoin(emb, probes, k = 5)
+        .select("probe_id", "vec_id", "sim", "rn")
+        .orderBy("probe_id", "rn")
+    },
+
     // binary media column + typed metadata (schema-level plumbing)
     Declared(
       "q_media",

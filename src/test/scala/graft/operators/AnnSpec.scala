@@ -83,6 +83,34 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("lshKnnJoin recovers planted clusters without broadcasting probes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      c <- 0 until 20
+      center = Array.fill(64)(rnd.nextGaussian().toFloat)
+      m <- 0 until 10
+    } yield ((c * 10 + m).toLong, center.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq)
+    val emb = rows.toDF("vec_id", "embedding")
+    import org.apache.spark.sql.functions._
+    val probes = emb.filter(col("vec_id").isin(0L, 55L, 111L, 190L))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+
+    val exact  = Ann.knnJoin(emb, probes, k = 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Ann.lshKnnJoin(emb, probes, k = 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    val recalls = exact.map { case (p, e) =>
+      e.intersect(approx.getOrElse(p, Set.empty)).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@5 $mean (per-probe: $recalls)")
+    // approximate output is a subset of the candidate space per probe — at
+    // most k rows each, ranked densely from 1
+    approx.values.foreach(s => assert(s.size <= 5))
+  }
+
   test("missing probe id throws a clear IllegalArgumentException, not 0 rows / AIOOBE") {
     val emb = Tables.embeddings(spark, dir)
     val missing = -999L
