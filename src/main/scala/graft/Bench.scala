@@ -53,6 +53,12 @@ object Bench {
   private def f3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** 1-minute system load average — recorded in the output so a reader can
+    * adjudicate variance without reconstructing machine conditions (rounds
+    * 3-5 each burned budget re-litigating load-skewed totals). */
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.size
@@ -94,6 +100,7 @@ object Bench {
     // Passes are atomic — every query always has the same sample count.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
     // samples(name) = one wall-clock per pass, pass-interleaved
+    val loadStart = loadAvg
     val samples: Map[String, Seq[Double]] = {
       val tStart = System.nanoTime()
       val runs   = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
@@ -114,6 +121,7 @@ object Bench {
       }
       names.map(n => n -> runs.toSeq.map(_(n))).toMap
     }
+    val loadEnd   = loadAvg
     val passesRun = samples(names.head).size
     val medians   = names.map(n => n -> median(samples(n)))
     val total   = medians.map(_._2).sum
@@ -124,7 +132,7 @@ object Bench {
       "\"" + n + "\":[" + samples(n).map(f3).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","median":true,"passes":$passesRun,"queries":$medJson,"samples":$samplesJson,"sf":"$sfDir","cpus":"$cpus"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","median":true,"passes":$passesRun,"load":[${f3(loadStart)},${f3(loadEnd)}],"queries":$medJson,"samples":$samplesJson,"sf":"$sfDir","cpus":"$cpus"}"""
     val fullTargets = Seq("/root/repo/BENCH_FULL.json", "BENCH_FULL.json")
     val written = fullTargets.exists { path =>
       try {
@@ -143,7 +151,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","median":true,"passes":$passesRun,"queries":$head,"groups":$byGroup,"n_queries":${medians.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","median":true,"passes":$passesRun,"load":[${f3(loadStart)},${f3(loadEnd)}],"queries":$head,"groups":$byGroup,"n_queries":${medians.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
