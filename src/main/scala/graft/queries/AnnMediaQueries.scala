@@ -14,9 +14,37 @@ import org.apache.spark.sql.functions._
  */
 object AnnMediaQueries {
 
+  /** Full-precision double literal (Double.toString round-trips exactly, so
+    * DuckDB parses back the bit-identical plane coefficient). */
+  private def planeLit(p: Seq[Double]): String =
+    p.map(_.toString).mkString("[", ", ", "]")
+
+  /** The LSH bucket id as DuckDB SQL: the hyperplanes are DATA-INDEPENDENT
+    * (deterministic seed), so the oracle can inline them as literal arrays
+    * and replicate bucket assignment bit-for-bit — which upgrades the LSH
+    * ANN queries from rows-only to full hash-checked. Both engines promote
+    * to double and accumulate the dot product left-to-right (Similarity's
+    * contract), so the `>= 0` sign test agrees. */
+  private def bucketSql(vecExpr: String): String =
+    Ann.planes(64, 8).zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product($vecExpr, ${planeLit(p)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
   val all: Seq[Declared] = Seq(
-    // approximate top-10 for probe vec_id=0 (bucket join + exact rerank)
-    Declared("q_ann", None) { (spark, dir) =>
+    // approximate top-10 for probe vec_id=0 (bucket join + exact rerank).
+    // Oracle replays the same algorithm: literal-plane bucket ids,
+    // multiprobe = hamming(bucket, probe bucket) <= 2, exact cosine rerank.
+    Declared(
+      "q_ann",
+      Some(
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+           |p AS (SELECT bucket AS pb, v AS pv FROM b WHERE vec_id = 0),
+           |cand AS (SELECT b.vec_id, round(list_cosine_similarity(b.v, p.pv), 4) AS sim
+           |         FROM b, p WHERE bit_count(xor(b.bucket, p.pb)) <= 2)
+           |SELECT vec_id, sim FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+      )
+    ) { (spark, dir) =>
       Ann.lshTopK(Tables.embeddings(spark, dir), probeId = 0L, k = 10)
     },
 
@@ -58,9 +86,27 @@ object AnnMediaQueries {
     },
 
     // batch LSH k-NN join: the shuffle-on-bucket scale shape of q_knn for
-    // probe sets too large to broadcast (plane signs not SQL-portable →
-    // rows-only; per-probe recall vs the exact join asserted in AnnSpec)
-    Declared("q_knn_lsh", None) { (spark, dir) =>
+    // probe sets too large to broadcast. Same literal-plane oracle trick
+    // as q_ann — the hash check proves the bucket join loses exactly the
+    // candidates LSH says it may (per-probe recall vs the exact join is
+    // additionally asserted in AnnSpec on planted clusters).
+    Declared(
+      "q_knn_lsh",
+      Some(
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+           |p AS (SELECT vec_id AS probe_id, bucket AS pb, v AS pv FROM b WHERE vec_id < 10),
+           |cand AS (SELECT p.probe_id, b.vec_id,
+           |                round(list_cosine_similarity(b.v, p.pv), 4) AS sim
+           |         FROM b JOIN p
+           |           ON bit_count(xor(b.bucket, p.pb)) <= 2 AND b.vec_id <> p.probe_id),
+           |r AS (SELECT probe_id, vec_id, sim,
+           |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+           |      FROM cand)
+           |SELECT probe_id, vec_id, sim, rn FROM r WHERE rn <= 5
+           |ORDER BY probe_id, rn""".stripMargin
+      )
+    ) { (spark, dir) =>
       val emb = Tables.embeddings(spark, dir)
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
