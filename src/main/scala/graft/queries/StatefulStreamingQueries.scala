@@ -7,8 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /**
  * Second-round stateful streaming surface (SURVEY §2.2 rows "streaming
@@ -391,8 +391,146 @@ object StatefulStreamingQueries {
         .where(col("rn") === 1)
         .select("user_id", "event_type", "n")
         .orderBy("user_id", "event_type")
+    },
+
+    // transformWithState with EVENT-TIME TIMERS: session windows rebuilt on
+    // the raw timer API (SessionTimerProcessor below). Emission semantics
+    // the oracle must mirror exactly: every non-final session of a user is
+    // closed INLINE by its gap-exceeding successor event (emitted no matter
+    // the watermark), while each user's LAST session is closed only by its
+    // event-time timer — i.e. only if the final watermark (max ts − 1 s)
+    // passed its close. Cross-checks q_stream_session_append from a
+    // completely different mechanism (timers + manual state vs the built-in
+    // session_window operator).
+    Declared(
+      "q_stream_tws_timer",
+      Some(
+        """WITH g AS (
+          |  SELECT user_id, ts,
+          |         CASE WHEN lag(ts) OVER w IS NULL
+          |               OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |s AS (
+          |  SELECT user_id, ts,
+          |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM g),
+          |sess AS (
+          |  SELECT user_id, sid, min(ts) AS session_start,
+          |         max(ts) + INTERVAL 30 MINUTE AS session_close, count(*) AS n
+          |  FROM s GROUP BY user_id, sid),
+          |lastsess AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY user_id),
+          |t AS (SELECT max(ts) - INTERVAL 1 SECOND AS wm FROM events)
+          |SELECT se.user_id, se.session_start, se.n
+          |FROM sess se JOIN lastsess l ON se.user_id = l.user_id
+          |WHERE se.sid < l.last_sid OR se.session_close < (SELECT wm FROM t)
+          |ORDER BY 1, 2""".stripMargin
+      )
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val table = s"graft_stream_tws_timer_${runId.incrementAndGet()}"
+      val providerKey  = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        withStatePartitions(spark, 4) {
+          // ts kept in the projection so the watermark attribute reaches
+          // the stateful operator; the processor consumes the µs column
+          val updates = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
+            .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+            .withWatermark("ts", "1 second")
+            .as[(Long, java.sql.Timestamp, Long)]
+            .map(r => (r._1, r._3))
+            .groupByKey(_._1)
+            .transformWithState(new SessionTimerProcessor(30L * 60 * 1000000L),
+              TimeMode.EventTime(), OutputMode.Update())
+          val q = updates.writeStream
+            .trigger(Trigger.AvailableNow())
+            .outputMode("update")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-tws-timer-ckpt"))
+            .start()
+          q.awaitTermination()
+        }
+      } finally prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+      spark.table(table)
+        .select(col("user_id"),
+          timestamp_micros(col("start_micros")).as("session_start"), col("n"))
+        .orderBy("user_id", "session_start")
     }
   )
+
+  final case class SessionAcc(startMicros: Long, lastMicros: Long, n: Long)
+  final case class SessionOut(user_id: Long, start_micros: Long, n: Long)
+
+  /**
+   * Session windows re-implemented on transformWithState EVENT-TIME TIMERS
+   * (the one TWS feature the MapState/ValueState query doesn't touch):
+   * per-user ValueState holds the open session; a gap-exceeding event
+   * closes it inline and opens the next; the final open session is closed
+   * by an event-time timer registered at (last event + gap) — fired when
+   * the watermark passes it, including by the trailing no-data batch.
+   * Stale timers (superseded by a session extension) are detected by
+   * comparing the expiry against the CURRENT state's close and ignored —
+   * cheaper than deleting timers on every extension.
+   *
+   * Session math stays in MICROSECONDS (the events carry µs components);
+   * only the timer registration rounds to Spark's ms timer clock — a
+   * boundary collision needs the close and the final watermark inside the
+   * same millisecond.
+   */
+  final class SessionTimerProcessor(gapMicros: Long)
+      extends StatefulProcessor[Long, (Long, Long), SessionOut] {
+    @transient private var sess: ValueState[SessionAcc] = _
+
+    private def expiryMs(acc: SessionAcc): Long =
+      acc.lastMicros / 1000 + gapMicros / 1000
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionAcc](
+        "sess", Encoders.product[SessionAcc], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      // within-batch arrival order after the shuffle is not ts order
+      val sorted = rows.map(_._2).toArray.sorted
+      val out    = scala.collection.mutable.ListBuffer.empty[SessionOut]
+      var cur    = if (sess.exists()) sess.get() else null
+      sorted.foreach { ts =>
+        if (cur == null) cur = SessionAcc(ts, ts, 1)
+        else if (ts - cur.lastMicros >= gapMicros) {
+          out += SessionOut(user, cur.startMicros, cur.n)
+          cur = SessionAcc(ts, ts, 1)
+        } else cur = SessionAcc(cur.startMicros, ts, cur.n + 1)
+      }
+      sess.update(cur)
+      val exp    = expiryMs(cur)
+      val timers = getHandle.listTimers().map(_.asInstanceOf[Long]).toSet
+      if (!timers.contains(exp)) getHandle.registerTimer(exp)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        user: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (sess.exists()) {
+        val cur = sess.get()
+        if (expiryMs(cur) == expiredTimerInfo.getExpiryTimeInMs) {
+          sess.clear()
+          return Iterator.single(SessionOut(user, cur.startMicros, cur.n))
+        }
+      }
+      Iterator.empty
+    }
+  }
 
   final case class TypeCount(user_id: Long, event_type: String, n: Long, version: Long)
 
