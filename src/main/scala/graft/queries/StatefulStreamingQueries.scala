@@ -510,10 +510,12 @@ object StatefulStreamingQueries {
           cur = SessionAcc(ts, ts, 1)
         } else cur = SessionAcc(cur.startMicros, ts, cur.n + 1)
       }
-      sess.update(cur)
-      val exp    = expiryMs(cur)
-      val timers = getHandle.listTimers().map(_.asInstanceOf[Long]).toSet
-      if (!timers.contains(exp)) getHandle.registerTimer(exp)
+      if (cur != null) { // defensive: the contract delivers >=1 row per call
+        sess.update(cur)
+        val exp    = expiryMs(cur)
+        val timers = getHandle.listTimers().map(_.asInstanceOf[Long]).toSet
+        if (!timers.contains(exp)) getHandle.registerTimer(exp)
+      }
       out.iterator
     }
 
