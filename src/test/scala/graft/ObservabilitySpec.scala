@@ -1,7 +1,10 @@
 package graft
 
+import graft.queries.StatefulStreamingQueries
+import graft.streaming.Ingest
 import org.apache.spark.sql.Observation
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
 import org.scalatest.funsuite.AnyFunSuite
 
 /**
@@ -28,5 +31,45 @@ class ObservabilitySpec extends AnyFunSuite {
     assert(out.get("rows") === kept)
     assert(in.get("chars").asInstanceOf[Long] > 0L)
     assert(kept < total) // the filter actually dropped something
+  }
+
+  test("streaming progress exposes state-operator metrics for the TWS timer pipeline") {
+    import spark.implicits._
+    val providerKey  = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val updates = Ingest.feed(spark, dir, maxBatchSize = 400)
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+        .withWatermark("ts", "1 second")
+        .as[(Long, java.sql.Timestamp, Long)]
+        .map(r => (r._1, r._3))
+        .groupByKey(_._1)
+        .transformWithState(
+          new StatefulStreamingQueries.SessionTimerProcessor(30L * 60 * 1000000L),
+          TimeMode.EventTime(), OutputMode.Update())
+      val q = updates.writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("update")
+        .format("memory")
+        .queryName("obs_tws_timer")
+        .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-obs-tws-ckpt"))
+        .start()
+      q.awaitTermination()
+
+      // at 100 TB these per-batch numbers ARE the pipeline's health signal:
+      // state rows written, and the watermark actually advancing
+      val progresses = q.recentProgress.toSeq
+      val stateOps   = progresses.flatMap(_.stateOperators)
+      assert(stateOps.nonEmpty, "expected state operator metrics in progress")
+      assert(stateOps.map(_.numRowsUpdated).sum > 0, "state rows were written")
+      val watermarks = progresses
+        .flatMap(p => Option(p.eventTime.get("watermark")))
+      assert(watermarks.nonEmpty, s"watermark should appear in progress: $progresses")
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None    => spark.conf.unset(providerKey)
+    }
   }
 }
