@@ -59,6 +59,39 @@ object PipelineQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
         .orderBy("lang")
+    },
+
+    // deterministic train/val/test split assignment (~90/5/5): the split a
+    // training run must be able to RECOMPUTE from the raw corpus — no
+    // random() (unstable across retries/partitions), no persisted
+    // assignment table. Bucket = first md5 hex byte of the doc id; hex
+    // strings are fixed-width lowercase in both engines, so the band
+    // thresholds are plain string compares (0xe6 = 230/256 ≈ 90%,
+    // 0xf3 = 243/256 ≈ 95%). Narrow map + one group-by shuffle; at 100 TB
+    // the same expression doubles as the partition key for writing
+    // split-partitioned output.
+    Declared(
+      "q_split",
+      Some(
+        """WITH b AS (
+          |  SELECT lang, n_chars,
+          |         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+          |              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+          |              ELSE 'test' END AS split
+          |  FROM documents)
+          |SELECT lang, split, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+          |FROM b GROUP BY lang, split ORDER BY lang, split""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val prefix = substring(md5(col("doc_id").cast("string")), 1, 2)
+      val split = when(prefix < "e6", "train")
+        .when(prefix < "f3", "val")
+        .otherwise("test")
+      Tables.documents(spark, dir)
+        .withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("docs"), sum("n_chars").cast("long").as("chars"))
+        .orderBy("lang", "split")
     }
   )
 }
