@@ -106,6 +106,40 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
+    // benchmark DECONTAMINATION: corpus documents sharing >= 3 distinct
+    // 3-word shingles with the benchmark subset (docs with id % 97 == 0
+    // stand in for the eval suite). The canonical pre-training hygiene
+    // stage: train/test overlap detection by n-gram collision. Scale
+    // shape: benchmark shingle sets are tiny next to the corpus (eval
+    // suites, not crawls) — the distinct benchmark side BROADCASTS, so
+    // the corpus side never shuffles on the shingle; the only exchange is
+    // the per-doc count aggregation.
+    Declared(
+      "q_contamination",
+      Some(
+        """WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents),
+          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-2),
+          |                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+          |       FROM w WHERE len(w) >= 3),
+          |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+          |SELECT sh.doc_id, count(*) AS n_shared
+          |FROM sh JOIN bench USING (s)
+          |WHERE sh.doc_id % 97 <> 0
+          |GROUP BY sh.doc_id HAVING count(*) >= 3
+          |ORDER BY doc_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val sh = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("s"))
+      val bench = sh.where(col("doc_id") % 97 === 0).select("s").distinct()
+      sh.where(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3)
+        .orderBy("doc_id")
+    },
+
     // SimHash signatures (xxhash64-based — not expressible in the oracle;
     // rows-only check; pair recall asserted against exact pairs in DedupSpec)
     Declared("q_simhash", None) { (spark, dir) =>
