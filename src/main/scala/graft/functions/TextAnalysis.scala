@@ -79,6 +79,15 @@ object TextAnalysis {
   def lengthScore(nChars: Column, cap: Int = 500): Column =
     least(nChars.cast("double") / cap, lit(1.0))
 
+  /** Word-repetition ratio: 1 − distinct/total whitespace tokens — the
+    * boilerplate/repetition quality rule (templated and looping text
+    * scores high; natural prose stays low). */
+  def repetitionRatio(text: Column): Column = {
+    val t = tokens(text)
+    lit(1.0) - size(array_distinct(t)).cast("double") /
+      nullif(size(t).cast("double"), lit(0.0))
+  }
+
   /**
    * Composite quality score in [0,1]: long-enough documents with low
    * punctuation noise and a natural stopword rate score high. Deliberately

@@ -80,6 +80,34 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // word-repetition quality rule: 1 − distinct/total tokens per doc,
+    // aggregated per language with a flagged-docs count (templated or
+    // looping text scores high; the standard boilerplate filter alongside
+    // length/punct/stopword above). Narrow map + one group-by shuffle.
+    Declared(
+      "q_repetition",
+      Some(
+        """SELECT lang, count(*) AS docs,
+          |       round(avg(rep), 4) AS avg_rep,
+          |       CAST(count_if(rep > 0.2) AS BIGINT) AS repetitive
+          |FROM (
+          |  SELECT lang,
+          |         1.0 - len(list_distinct(regexp_split_to_array(text, ' +'))) * 1.0
+          |               / nullif(len(regexp_split_to_array(text, ' +')), 0) AS rep
+          |  FROM documents)
+          |GROUP BY lang ORDER BY lang""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("lang"), TextAnalysis.repetitionRatio(col("text")).as("rep"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("docs"),
+          round(avg("rep"), 4).as("avg_rep"),
+          sum(when(col("rep") > 0.2, 1L).otherwise(0L)).as("repetitive"))
+        .orderBy("lang")
+    },
+
     // bounded-memory heavy hitters (Misra-Gries TypedImperativeAggregate):
     // top-10 corpus tokens through the sketch. capacity=1024 >> the 31
     // distinct tokens here, so counts are exact and the oracle checks them;
