@@ -59,6 +59,18 @@ class PlanSpec extends AnyFunSuite {
       s"expected 2-column pruned scan:\n$p")
   }
 
+  test("q_contamination: the benchmark shingle set broadcasts (corpus never shuffles on the shingle)") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast benchmark side:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle on the shingle:\n$p")
+  }
+
+  test("q_split: narrow split assignment, single aggregation exchange") {
+    val p = plan("q_split")
+    assert(p.contains("partial_"), s"expected map-side partial agg:\n$p")
+    assert(!p.contains("Join"), s"split assignment must not join:\n$p")
+  }
+
   test("q_editdist: pigeonhole pre-filter + thresholded DP fused into the broadcast join") {
     val p = plan("q_editdist")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast (lang,band) join:\n$p")
