@@ -136,6 +136,46 @@ object Dedup {
     verifiedPairs(lshCandidates(docs, idCol, textCol), threshold)
 
   /**
+   * Incremental dedup: near-dup pairs BETWEEN two corpora (`incoming` da ×
+   * `existing` db) — the recurring-crawl shape: signature + band both
+   * sides, CROSS-side band equi-join only (no incoming×incoming or
+   * existing×existing pairs are ever generated), exact-verify candidates.
+   * At 100 TB the existing side's band table is computed once and
+   * persisted bucketed by (band, h); each increment signatures only
+   * itself and joins — cost ∝ increment, not corpus.
+   */
+  def minhashLshPairsBetween(
+      incoming: DataFrame,
+      existing: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): DataFrame = {
+    def prep(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+    def banded(sh: DataFrame): DataFrame = sh
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"), explode(bandHashes(col("sig"), numHashes, bands)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val shA = prep(incoming)
+    val shB = prep(existing)
+    val pairs = banded(shA).select(col("band"), col("h"), col("id").as("da"))
+      .join(banded(shB).select(col("band"), col("h"), col("id").as("db")), Seq("band", "h"))
+      .select("da", "db")
+      .dropDuplicates("da", "db")
+    verifiedPairs(
+      pairs
+        .join(shA.select(col("id").as("da"), col("sh").as("sa")), "da")
+        .join(shB.select(col("id").as("db"), col("sh").as("sb")), "db")
+        .select("da", "db", "sa", "sb"),
+      threshold)
+  }
+
+  /**
    * Exact all-pairs n-gram Jaccard (explode + equi-join on shingle; shuffle
    * keys are shingles). O(n²) worst case — the small-corpus oracle against
    * which the LSH path is verified; never the 100 TB path.

@@ -106,6 +106,42 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
+    // INCREMENTAL dedup — the recurring-crawl shape: keep only incoming
+    // documents (id % 10 == 0 stands in for the new increment) that have
+    // no near-dup partner in the existing corpus. Cross-side LSH banding
+    // (Dedup.minhashLshPairsBetween) + left-anti join; the oracle derives
+    // the same cross-side pair set the exact way, so the check proves the
+    // incremental LSH path loses nothing at the threshold.
+    Declared(
+      "q_dedup_incr",
+      Some(
+        """WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents),
+          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-2),
+          |                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+          |       FROM w WHERE len(w) >= 3),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          |          FROM sh a JOIN sh b ON a.s = b.s
+          |          WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+          |          GROUP BY 1, 2),
+          |dup AS (SELECT DISTINCT da FROM inter
+          |        JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+          |        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8)
+          |SELECT doc_id, lang FROM documents
+          |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT da FROM dup)
+          |ORDER BY doc_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val docs     = Tables.documents(spark, dir)
+      val incoming = docs.where(col("doc_id") % 10 === 0)
+      val existing = docs.where(col("doc_id") % 10 =!= 0)
+      val dups = Dedup.minhashLshPairsBetween(incoming, existing, "doc_id", "text")
+        .select(col("da").as("doc_id")).distinct()
+      incoming.join(dups, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // benchmark DECONTAMINATION: corpus documents sharing >= 3 distinct
     // 3-word shingles with the benchmark subset (docs with id % 97 == 0
     // stand in for the eval suite). The canonical pre-training hygiene
