@@ -56,6 +56,26 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exact)
   }
 
+  test("minhashLshPairsBetween finds exactly the cross-side exact pairs, and only those") {
+    val docs     = Tables.documents(spark, dir)
+    val incoming = docs.where(col("doc_id") % 10 === 0)
+    val existing = docs.where(col("doc_id") % 10 =!= 0)
+    // exact cross-side pair set: all-pairs jaccard restricted to (in, ex)
+    // in either orientation (exactJaccardPairs orders by id, the between
+    // variant by side)
+    val allExact: Set[(Long, Long)] = Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = allExact.collect {
+      case (a, b) if a % 10 == 0 && b % 10 != 0 => (a, b)
+      case (a, b) if b % 10 == 0 && a % 10 != 0 => (b, a)
+    }
+    val between = Dedup.minhashLshPairsBetween(incoming, existing, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(between === exact)
+    // no within-side pairs can appear by construction
+    assert(between.forall { case (a, b) => a % 10 == 0 && b % 10 != 0 })
+  }
+
   test("simhash: equal text equal hash; near-dup pairs have small hamming distance") {
     val df = Seq((1, "the quick brown fox jumps over the lazy dog"),
                  (2, "the quick brown fox jumps over the lazy dog"))
