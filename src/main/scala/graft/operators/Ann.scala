@@ -41,26 +41,33 @@ object Ann {
       .map { case (p, j) => when(dotLit(v, p) >= 0, lit(1L << j)).otherwise(lit(0L)) }
       .reduce(_ + _)
 
-  /** The 1-row probe frame for `probeId`, validated to exist: a silent
-    * empty probe would make every top-k below return 0 rows instead of
-    * surfacing the caller's bad id. The existence check is a pushed-filter
-    * point lookup (`take(1)`), not a second full scan. */
+  private def missingProbe(probeId: Long, idCol: String): Nothing =
+    throw new IllegalArgumentException(
+      s"probe id $probeId not found in column '$idCol'")
+
+  /** The 1-row probe frame for `probeId` under `projection`, validated to
+    * exist: a silent empty probe would make every top-k below return 0 rows
+    * instead of surfacing the caller's bad id. The pushed-filter point
+    * lookup runs ONCE — the row is collected and re-lifted as a local
+    * relation, so the downstream broadcast join never re-scans the corpus
+    * for the probe. */
   private def probeFrame(
-      emb: DataFrame, probeId: Long, idCol: String, vecCol: String): DataFrame = {
-    val probe = emb.filter(col(idCol) === probeId)
-      .select(col(vecCol).as("p"), Similarity.l2Norm(col(vecCol)).as("p_norm"))
-      .limit(1)
-    if (probe.take(1).isEmpty)
-      throw new IllegalArgumentException(
-        s"probe id $probeId not found in column '$idCol'")
-    probe
+      emb: DataFrame, probeId: Long, idCol: String, projection: Seq[Column]): DataFrame = {
+    val lookup = emb.filter(col(idCol) === probeId).select(projection: _*).limit(1)
+    val rows   = lookup.take(1)
+    if (rows.isEmpty) missingProbe(probeId, idCol)
+    lookup.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows(0)), lookup.schema)
   }
+
+  private def probeVecNorm(vecCol: String): Seq[Column] =
+    Seq(col(vecCol).as("p"), Similarity.l2Norm(col(vecCol)).as("p_norm"))
 
   /** Exact cosine top-k against the probe vector of `probeId`. */
   def bruteForceTopK(
       emb: DataFrame, probeId: Long, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val probe = probeFrame(emb, probeId, idCol, vecCol)
+    val probe = probeFrame(emb, probeId, idCol, probeVecNorm(vecCol))
     emb.crossJoin(broadcast(probe))
       .select(col(idCol),
         round(Similarity.cosineVsProbe(col(vecCol), col("p"), col("p_norm")), 4).as("sim"))
@@ -131,8 +138,7 @@ object Ann {
     val assigned = assignCentroid(emb, centroids, vecCol)
     val probeVec = emb.filter(col(idCol) === probeId)
       .select(col(vecCol).cast("array<double>")).take(1).headOption
-      .getOrElse(throw new IllegalArgumentException(
-        s"probe id $probeId not found in column '$idCol'"))
+      .getOrElse(missingProbe(probeId, idCol))
       .getSeq[Double](0).toArray
     val nearCids = centroids.zipWithIndex
       .map { case (cj, j) =>
@@ -141,7 +147,7 @@ object Ann {
       }
       .sortBy { case (j, d) => (d, j) }
       .take(nprobe).map(_._1)
-    val probe = probeFrame(emb, probeId, idCol, vecCol)
+    val probe = probeFrame(emb, probeId, idCol, probeVecNorm(vecCol))
     assigned
       .where(col("cid").isin(nearCids.toIndexedSeq: _*))
       .crossJoin(broadcast(probe))
@@ -224,14 +230,8 @@ object Ann {
     val ps       = planes(dim, numPlanes)
     val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), ps))
     // probe side: explode into the multiprobe bucket set, broadcast
-    val probeBase = bucketed.filter(col(idCol) === probeId)
-      .select(col(vecCol).as("p"), Similarity.l2Norm(col(vecCol)).as("p_norm"),
-        col("bucket").as("pb"))
-      .limit(1)
-    if (probeBase.take(1).isEmpty)
-      throw new IllegalArgumentException(
-        s"probe id $probeId not found in column '$idCol'")
-    val probe = probeBase
+    val probe = probeFrame(bucketed, probeId, idCol,
+        probeVecNorm(vecCol) :+ col("bucket").as("pb"))
       .withColumn("bucket",
         explode(array(multiprobeMasks(numPlanes, maxHamming)
           .map(m => col("pb").bitwiseXOR(lit(m))): _*)))

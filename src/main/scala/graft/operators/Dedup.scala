@@ -98,27 +98,42 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16
   ): DataFrame = {
-    val shingled = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .where(size(col("sh")) > 0)
-    // band join carries ONLY (id, band, hash) — the shingle arrays would
-    // multiply the shuffle bytes by the average document size; they are
-    // re-attached per UNIQUE pair below, where cost ∝ candidates
-    val banded = shingled
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col("id"),
-        explode(bandHashes(col("sig"), numHashes, bands)).as("bh"))
-      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val shingled = shingledDocs(docs, idCol, textCol, shingleSize)
+    val banded   = bandedIds(shingled, numHashes, bands)
     val a = banded.select(col("band"), col("h"), col("id").as("da"))
     val b = banded.select(col("band"), col("h"), col("id").as("db"))
     val pairs = a.join(b, Seq("band", "h")).where(col("da") < col("db"))
       .select("da", "db")
       .dropDuplicates("da", "db")
-    pairs
-      .join(shingled.select(col("id").as("da"), col("sh").as("sa")), "da")
-      .join(shingled.select(col("id").as("db"), col("sh").as("sb")), "db")
-      .select("da", "db", "sa", "sb")
+    attachShingles(pairs, shingled, shingled)
   }
+
+  /** `(id, sh)` with empty-shingle docs dropped (shorter than the shingle
+    * size — they can never pair). */
+  private def shingledDocs(
+      docs: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+
+  /** `(id, band, h)` band-bucket rows. The band join downstream carries
+    * ONLY these narrow keys — the shingle arrays would multiply the
+    * shuffle bytes by the average document size; they are re-attached per
+    * UNIQUE candidate pair by [[attachShingles]], where cost ∝ candidates. */
+  private def bandedIds(shingled: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    shingled
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"),
+        explode(bandHashes(col("sig"), numHashes, bands)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+
+  /** Re-attach the two shingle arrays to candidate `(da, db)` pairs. */
+  private def attachShingles(
+      pairs: DataFrame, left: DataFrame, right: DataFrame): DataFrame =
+    pairs
+      .join(left.select(col("id").as("da"), col("sh").as("sa")), "da")
+      .join(right.select(col("id").as("db"), col("sh").as("sb")), "db")
+      .select("da", "db", "sa", "sb")
 
   /** Exact Jaccard over candidate pairs (the verification step). */
   def verifiedPairs(candidates: DataFrame, threshold: Double): DataFrame = {
@@ -154,25 +169,14 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16
   ): DataFrame = {
-    def prep(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .where(size(col("sh")) > 0)
-    def banded(sh: DataFrame): DataFrame = sh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col("id"), explode(bandHashes(col("sig"), numHashes, bands)).as("bh"))
-      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
-    val shA = prep(incoming)
-    val shB = prep(existing)
-    val pairs = banded(shA).select(col("band"), col("h"), col("id").as("da"))
-      .join(banded(shB).select(col("band"), col("h"), col("id").as("db")), Seq("band", "h"))
+    val shA = shingledDocs(incoming, idCol, textCol, shingleSize)
+    val shB = shingledDocs(existing, idCol, textCol, shingleSize)
+    val pairs = bandedIds(shA, numHashes, bands).select(col("band"), col("h"), col("id").as("da"))
+      .join(bandedIds(shB, numHashes, bands).select(col("band"), col("h"), col("id").as("db")),
+        Seq("band", "h"))
       .select("da", "db")
       .dropDuplicates("da", "db")
-    verifiedPairs(
-      pairs
-        .join(shA.select(col("id").as("da"), col("sh").as("sa")), "da")
-        .join(shB.select(col("id").as("db"), col("sh").as("sb")), "db")
-        .select("da", "db", "sa", "sb"),
-      threshold)
+    verifiedPairs(attachShingles(pairs, shA, shB), threshold)
   }
 
   /**

@@ -5,12 +5,15 @@ import graft.operators.{Ann, Multimodal}
 import org.apache.spark.sql.functions._
 
 /**
- * ANN similarity search + multimodal plumbing queries. q_ann is the
- * LSH-bucketed approximate path (xxhash-free but plane signs are not
- * SQL-portable → rows-only; recall vs brute force asserted in AnnSpec);
- * the media queries oracle-check the binary-column plumbing INCLUDING the
- * partition-wise stub decoder (its deterministic outputs are re-derivable
- * in SQL).
+ * ANN similarity search + multimodal plumbing queries. The LSH paths
+ * (q_ann, q_knn_lsh) are FULLY oracle-checked: the hyperplanes are
+ * data-independent (deterministic seed), so [[bucketSql]] inlines them as
+ * literal arrays and the DuckDB oracle replays bucket assignment +
+ * multiprobe + rerank bit-for-bit (recall vs brute force is additionally
+ * asserted in AnnSpec). Only the data-dependent IVF quantizer stays
+ * rows-only. The media queries oracle-check the binary-column plumbing
+ * INCLUDING the partition-wise stub decoder (its deterministic outputs
+ * are re-derivable in SQL).
  */
 object AnnMediaQueries {
 
@@ -40,7 +43,10 @@ object AnnMediaQueries {
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
            |p AS (SELECT bucket AS pb, v AS pv FROM b WHERE vec_id = 0),
-           |cand AS (SELECT b.vec_id, round(list_cosine_similarity(b.v, p.pv), 4) AS sim
+           |cand AS (SELECT b.vec_id,
+           |                round(list_dot_product(b.v, p.pv)
+           |                  / nullif(sqrt(list_dot_product(b.v, b.v))
+           |                           * sqrt(list_dot_product(p.pv, p.pv)), 0), 4) AS sim
            |         FROM b, p WHERE bit_count(xor(b.bucket, p.pb)) <= 2)
            |SELECT vec_id, sim FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
       )
@@ -97,7 +103,9 @@ object AnnMediaQueries {
            |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
            |p AS (SELECT vec_id AS probe_id, bucket AS pb, v AS pv FROM b WHERE vec_id < 10),
            |cand AS (SELECT p.probe_id, b.vec_id,
-           |                round(list_cosine_similarity(b.v, p.pv), 4) AS sim
+           |                round(list_dot_product(b.v, p.pv)
+           |                  / nullif(sqrt(list_dot_product(b.v, b.v))
+           |                           * sqrt(list_dot_product(p.pv, p.pv)), 0), 4) AS sim
            |         FROM b JOIN p
            |           ON bit_count(xor(b.bucket, p.pb)) <= 2 AND b.vec_id <> p.probe_id),
            |r AS (SELECT probe_id, vec_id, sim,

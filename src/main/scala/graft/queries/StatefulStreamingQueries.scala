@@ -32,6 +32,19 @@ object StatefulStreamingQueries {
     try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** transformWithState requires the RocksDB state-store provider — set for
+    * the body, restore (or unset) after. */
+  def withRocksDBProvider[A](spark: SparkSession)(f: => A): A = {
+    val key  = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Per-user running state for the fmgs query (custom state ≠ any built-in
     * aggregate: carries an update `version` so the final state per key is
     * identifiable in update-mode output). */
@@ -361,11 +374,7 @@ object StatefulStreamingQueries {
     ) { (spark, dir) =>
       import spark.implicits._
       val table = s"graft_stream_tws_${runId.incrementAndGet()}"
-      val providerKey  = "spark.sql.streaming.stateStore.providerClass"
-      val prevProvider = spark.conf.getOption(providerKey)
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksDBProvider(spark) {
         withStatePartitions(spark, 4) {
           val updates = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
             .select("user_id", "event_type")
@@ -381,9 +390,6 @@ object StatefulStreamingQueries {
             .start()
           q.awaitTermination()
         }
-      } finally prevProvider match {
-        case Some(p) => spark.conf.set(providerKey, p)
-        case None    => spark.conf.unset(providerKey)
       }
       val w = Window.partitionBy("user_id", "event_type").orderBy(col("version").desc)
       spark.table(table)
@@ -429,11 +435,7 @@ object StatefulStreamingQueries {
     ) { (spark, dir) =>
       import spark.implicits._
       val table = s"graft_stream_tws_timer_${runId.incrementAndGet()}"
-      val providerKey  = "spark.sql.streaming.stateStore.providerClass"
-      val prevProvider = spark.conf.getOption(providerKey)
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksDBProvider(spark) {
         withStatePartitions(spark, 4) {
           // ts kept in the projection so the watermark attribute reaches
           // the stateful operator; the processor consumes the µs column
@@ -454,9 +456,6 @@ object StatefulStreamingQueries {
             .start()
           q.awaitTermination()
         }
-      } finally prevProvider match {
-        case Some(p) => spark.conf.set(providerKey, p)
-        case None    => spark.conf.unset(providerKey)
       }
       spark.table(table)
         .select(col("user_id"),

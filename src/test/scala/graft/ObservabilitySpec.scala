@@ -35,11 +35,7 @@ class ObservabilitySpec extends AnyFunSuite {
 
   test("streaming progress exposes state-operator metrics for the TWS timer pipeline") {
     import spark.implicits._
-    val providerKey  = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    StatefulStreamingQueries.withRocksDBProvider(spark) {
       val updates = Ingest.feed(spark, dir, maxBatchSize = 400)
         .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
         .withWatermark("ts", "1 second")
@@ -67,9 +63,6 @@ class ObservabilitySpec extends AnyFunSuite {
       val watermarks = progresses
         .flatMap(p => Option(p.eventTime.get("watermark")))
       assert(watermarks.nonEmpty, s"watermark should appear in progress: $progresses")
-    } finally prevProvider match {
-      case Some(p) => spark.conf.set(providerKey, p)
-      case None    => spark.conf.unset(providerKey)
     }
   }
 }
