@@ -180,6 +180,66 @@ object Dedup {
   }
 
   /**
+   * Connected components over a near-dup pair set — the clustering step
+   * that turns pairwise matches into dedup groups (then keep one document
+   * per component). Pairwise keeper selection alone ([[graft.queries
+   * .DedupQueries]] q_dedup_keep) over-drops on chains (a~b, b~c drops
+   * both b and c even though c survives once b is gone); component-level
+   * grouping is the standard fix.
+   *
+   * Iterative min-label propagation: every node repeatedly takes the
+   * minimum label over itself and its neighbors until fixpoint, so the
+   * final label is the component's minimum node id — a deterministic,
+   * order-independent representative. Each round is one shuffle-join plus
+   * one aggregation; `localCheckpoint` truncates lineage so the plan stays
+   * flat across rounds. Converges in O(diameter) rounds: thresholded
+   * near-dup graphs are small dense clusters (diameter ≲ 3), so 2–4
+   * rounds in practice. For adversarially long chains the alternating
+   * star algorithm (Kiveris et al., "Connected Components in MapReduce
+   * and Beyond") drops this to O(log² n) rounds — not needed here.
+   *
+   * The per-round convergence check counts changed labels — an action on
+   * label-sized (not corpus-sized) data, mirroring how the driver only
+   * ever sees model artifacts elsewhere in this package.
+   */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "da",
+      bCol: String = "db",
+      maxRounds: Int = 25
+  ): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .dropDuplicates("u", "v")
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var round   = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("component").as("vc")), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min("vc").as("nc"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nc"), col("component"))).as("component"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("component", "prev"), "id")
+        .where(col("component") =!= col("prev"))
+        .count()
+      labels = next
+      round += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
+    labels
+  }
+
+  /**
    * Exact all-pairs n-gram Jaccard (explode + equi-join on shingle; shuffle
    * keys are shingles). O(n²) worst case — the small-corpus oracle against
    * which the LSH path is verified; never the 100 TB path.

@@ -153,6 +153,95 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // winnowing document fingerprints (Schleimer et al., "Winnowing: Local
+    // Algorithms for Document Fingerprinting" — the MOSS scheme): hash every
+    // k-char k-gram, keep the minimum hash of each w-wide sliding window,
+    // emit the distinct selected hashes per document. Guarantees every
+    // shared substring of length >= k+w-1 contributes a shared fingerprint
+    // (the local-dedup primitive robust to insertions/reorderings). The
+    // whole computation is higher-order functions over one projection —
+    // NO shuffle at all until the final sort: each doc's fingerprint set
+    // is derived in place, which is the 100 TB shape (winnowing is
+    // embarrassingly parallel per document). Hash = first 8 hex chars of
+    // md5, identical and identically ordered (ASCII hex) in both engines.
+    Declared(
+      "q_winnow",
+      Some(
+        """WITH h AS (
+          |  SELECT doc_id,
+          |         list_transform(range(1, len(text) - 6), i -> substr(md5(substr(text, i, 8)), 1, 8)) AS hs,
+          |         len(text) AS n
+          |  FROM documents WHERE len(text) >= 15)
+          |SELECT doc_id, unnest(list_distinct(list_transform(range(1, n - 13), j -> list_min(hs[j:j+7])))) AS fp
+          |FROM h ORDER BY doc_id, fp""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val k = 8; val w = 8 // k-gram size, window width
+      Tables.documents(spark, dir)
+        .where(col("n_chars") >= k + w - 1)
+        .withColumn("hs",
+          expr(s"transform(sequence(1, length(text) - ${k - 1}), i -> substring(md5(substring(text, i, $k)), 1, 8))"))
+        .select(col("doc_id"),
+          explode(array_distinct(
+            expr(s"transform(sequence(1, length(text) - ${k + w - 2}), j -> array_min(slice(hs, j, $w)))"))).as("fp"))
+        .orderBy("doc_id", "fp")
+    },
+
+    // corpus bigram statistics: top-50 word bigrams. Narrow HOF bigram
+    // derivation (no self-join), partial-aggregated count, then
+    // TakeOrderedAndProject — the top-K never materializes a full sort.
+    Declared(
+      "q_ngram",
+      Some(
+        """WITH w AS (SELECT regexp_split_to_array(text, ' +') AS w FROM documents)
+          |SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM (
+          |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+          |  FROM w WHERE len(w) >= 2)
+          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(split(col("text"), " +").as("w"))
+        .where(size(col("w")) >= 2)
+        .select(explode(
+          expr("transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(50)
+    },
+
+    // token-distribution Shannon entropy per document — the information-
+    // density quality signal (low entropy = templated/repetitive text;
+    // complements q_repetition's distinct-ratio rule). Token counts via
+    // one (doc_id, token) aggregation; the per-doc total reuses the same
+    // hash partitioning for the window AND the final per-doc aggregate —
+    // one shuffle total. abs() guards the -0.0 vs 0.0 hash mismatch a
+    // zero-entropy doc would produce (entropy is exactly nonnegative:
+    // every summand is nonpositive before negation, in FP too).
+    Declared(
+      "q_entropy",
+      Some(
+        """WITH cnt AS (
+          |  SELECT doc_id, t, count(*) AS c
+          |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS t FROM documents)
+          |  GROUP BY 1, 2),
+          |wn AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM cnt)
+          |SELECT doc_id, round(abs(-sum((c / n) * ln(c / n))), 4) AS entropy
+          |FROM wn GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " +")).as("t"))
+        .groupBy("doc_id", "t")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("n", sum("c").over(Window.partitionBy("doc_id")))
+        .groupBy("doc_id")
+        .agg(round(abs(-sum((col("c") / col("n")) * log(col("c") / col("n")))), 4).as("entropy"))
+        .orderBy("doc_id")
+    },
+
     // exact-content fingerprints (md5), the exact-dedup primitive
     Declared(
       "q_fingerprint",
