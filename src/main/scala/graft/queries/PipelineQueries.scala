@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextAnalysis
+import graft.operators.Pack
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -92,6 +93,43 @@ object PipelineQueries {
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("docs"), sum("n_chars").cast("long").as("chars"))
         .orderBy("lang", "split")
+    },
+
+    // sequence packing for pre-training: documents concatenated in doc_id
+    // order and cut into 2048-token bins; a document belongs to the bin its
+    // first token lands in. The global running offset comes from
+    // Pack.assignOffsets' two-pass distributed prefix sum (range shuffle +
+    // per-partition bases — never a single-partition window), so the same
+    // plan holds at 100 TB where `sum() OVER (ORDER BY doc_id)` would
+    // serialize through one task. The oracle states the semantics with the
+    // single-node window form — the definition, not the scale plan.
+    Declared(
+      "q_pack",
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, len(regexp_split_to_array(text, ' +')) AS n_tokens
+          |  FROM documents),
+          |off AS (
+          |  SELECT doc_id, n_tokens,
+          |         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+          |  FROM toks)
+          |SELECT CAST(start_off // 2048 AS BIGINT) AS bin,
+          |       count(*) AS docs,
+          |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+          |       min(doc_id) AS first_doc
+          |FROM off GROUP BY 1 ORDER BY 1""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Pack.assignBins(toks, "doc_id", "n_tokens", budget = 2048L)
+        .groupBy("bin")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum("n_tokens").as("tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("bin")
     }
   )
 }

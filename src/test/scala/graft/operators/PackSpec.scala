@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PackSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def weighted(n: Int) =
+    (1 to n).map(i => (i.toLong, ((i * 37) % 11 + 1).toLong)).toDF("id", "w")
+
+  test("assignOffsets equals the single-partition window prefix sum") {
+    val df = weighted(997)
+    val got = Pack.assignOffsets(df, "id", "w")
+      .select("id", "start_off").as[(Long, Long)].collect().toMap
+    val want = df
+      .withColumn("start_off", coalesce(
+        sum("w").over(Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("id", "start_off").as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("offsets are invariant to input partitioning and partition count") {
+    val df = weighted(500)
+    val a = Pack.assignOffsets(df.repartition(1), "id", "w", partitions = 3)
+      .select("id", "start_off").as[(Long, Long)].collect().toMap
+    val b = Pack.assignOffsets(df.repartition(13), "id", "w", partitions = 7)
+      .select("id", "start_off").as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
+  test("assignBins: bin is the bin of the document's first token") {
+    val df = Seq((1L, 3L), (2L, 4L), (3L, 2L), (4L, 6L)).toDF("id", "w")
+    // offsets: 0, 3, 7, 9 — budget 5 → bins 0, 0, 1, 1
+    val bins = Pack.assignBins(df, "id", "w", budget = 5L)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    assert(bins === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("non-long weight column is rejected") {
+    val df = Seq((1L, 2)).toDF("id", "w") // w is IntegerType
+    val e = intercept[IllegalArgumentException](Pack.assignOffsets(df, "id", "w"))
+    assert(e.getMessage.contains("LongType"))
+  }
+}
