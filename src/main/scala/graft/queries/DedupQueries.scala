@@ -62,6 +62,35 @@ object DedupQueries {
       docs.join(drop, Seq("doc_id"), "left_anti").agg(count(lit(1)).as("kept"))
     },
 
+    // duplicate-cluster assignment: connected components over the near-dup
+    // pair graph (pairs found the scale way, via LSH), each doc labeled
+    // with the min doc_id of its cluster — the canonical-doc reduction a
+    // corpus dedup needs when duplicates chain transitively (A~B, B~C, but
+    // A!~C still means one cluster). Spark side is iterative min-label
+    // propagation over the symmetrized edge list (O(diameter) rounds, each
+    // one groupBy shuffle); the oracle states the same fixpoint as a
+    // recursive-CTE transitive closure + min over the reachable set.
+    Declared(
+      "q_dupgroups",
+      Some(
+        s"""WITH RECURSIVE pairs AS ($exactPairsSql),
+           |edges AS (SELECT da AS s, db AS d FROM pairs
+           |          UNION SELECT db, da FROM pairs),
+           |reach(node, r) AS (
+           |  SELECT s, s FROM edges
+           |  UNION
+           |  SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r)
+           |SELECT node AS doc_id, min(r) AS group_id
+           |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val pairs = Dedup.minhashLshPairs(
+        Tables.documents(spark, dir), "doc_id", "text", threshold = 0.8)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component").as("group_id"))
+        .orderBy("doc_id")
+    },
+
     // banded edit-distance near-dup: candidates blocked on (lang, length
     // band) — the blocking that makes Levenshtein (quadratic per pair)
     // affordable at corpus scale: band sizes bound the per-bucket pair

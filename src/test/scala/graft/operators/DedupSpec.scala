@@ -116,4 +116,41 @@ class DedupSpec extends AnyFunSuite {
     assert(found.size.toDouble / exact.size >= 0.8,
       s"simhash found ${found.size}/${exact.size} planted pairs")
   }
+
+  test("connectedComponents labels transitive chains with the cluster min id") {
+    // 1-2-3-4 chain (2~1, 2~3, 3~4), pair 10-11, chain 20-21-22
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("da", "db")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents converges on a path graph in O(diameter) rounds") {
+    val n = 17
+    val path = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("da", "db")
+    val comp = Dedup.connectedComponents(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size === n)
+    assert(comp.values.forall(_ == 1L))
+    // and refuses to return a non-fixpoint when the round budget is too small
+    val e = intercept[IllegalArgumentException](
+      Dedup.connectedComponents(path, maxRounds = 3))
+    assert(e.getMessage.contains("converge"))
+  }
+
+  test("components over LSH pairs equal components over the exact pair graph") {
+    val docs = Tables.documents(spark, dir)
+    val viaLsh = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExact = Dedup.connectedComponents(
+      Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLsh === viaExact)
+    assert(viaLsh.nonEmpty)
+  }
 }
