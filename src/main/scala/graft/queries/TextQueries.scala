@@ -257,6 +257,102 @@ object TextQueries {
           TextAnalysis.fingerprint(col("text")).as("fp"),
           TextAnalysis.normalizedFingerprint(col("text")).as("fp_norm"))
         .orderBy("doc_id")
+    },
+
+    // TF-IDF vocabulary weights: smoothed idf = ln((N+1)/(df+1)) + 1 and
+    // the corpus weight Σ_docs (tf/doclen)·idf per term. One wide shuffle
+    // on (doc_id, term) for tf, whose doc_id partitioning is reused by the
+    // doclen window, then one term-keyed shuffle for df/Σ — idf joins in as
+    // a broadcast scalar (N), never a driver action. At 100 TB the term
+    // shuffle is the bottleneck and is pure partial-agg (map-side combine).
+    Declared(
+      "q_tfidf",
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS term
+          |  FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          |dl AS (SELECT term, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
+          |agg AS (SELECT term, count(*) AS df, sum(tf * 1.0 / dl) AS s
+          |        FROM dl GROUP BY term),
+          |n AS (SELECT count(*) * 1.0 AS n FROM documents)
+          |SELECT term, df,
+          |       round(ln((n.n + 1) / (df + 1)) + 1, 4) AS idf,
+          |       round((ln((n.n + 1) / (df + 1)) + 1) * s, 4) AS weight
+          |FROM agg, n ORDER BY term""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val nDf  = docs.agg(count(lit(1)).cast("double").as("n"))
+      val tf = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val dl = tf.withColumn(
+        "dl", sum("tf").over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      dl.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum(col("tf") * lit(1.0) / col("dl")).as("s"))
+        .crossJoin(broadcast(nDf))
+        .withColumn("raw_idf", log((col("n") + 1) / (col("df") + 1)) + 1)
+        .select(
+          col("term"), col("df"),
+          round(col("raw_idf"), 4).as("idf"),
+          round(col("raw_idf") * col("s"), 4).as("weight"))
+        .orderBy("term")
+    },
+
+    // BM25 (k1=1.2, b=0.75) document scoring for a fixed query-term set —
+    // the retrieval-quality scorer a curation pipeline uses for relevance
+    // weighting. Same tf/doclen plan as q_tfidf; the per-term idf table
+    // (|query| rows) and the (N, avgdl) scalars broadcast to the scoring
+    // join, so the only big shuffles are tf and the final per-doc sum.
+    Declared(
+      "q_bm25",
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS term
+          |  FROM documents),
+          |tf0 AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          |tf AS (SELECT doc_id, term, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl
+          |       FROM tf0),
+          |n AS (SELECT count(*) * 1.0 AS n,
+          |             avg(len(regexp_split_to_array(text, ' +'))) AS avgdl
+          |      FROM documents),
+          |d AS (SELECT term, count(*) AS df FROM tf
+          |      WHERE term IN ('spark', 'join', 'stream') GROUP BY term),
+          |i AS (SELECT term, ln(1 + (n.n - df + 0.5) / (df + 0.5)) AS idf FROM d, n)
+          |SELECT doc_id,
+          |       round(sum(i.idf * tf * 2.2 /
+          |                 (tf + 1.2 * (0.25 + 0.75 * dl / n.avgdl))), 4) AS bm25
+          |FROM tf JOIN i USING (term), n
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val qterms = Seq("spark", "join", "stream")
+      val docs   = Tables.documents(spark, dir)
+      val stats = docs.agg(
+        count(lit(1)).cast("double").as("n"),
+        avg(TextAnalysis.tokenCount(col("text"))).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+        .withColumn(
+          "dl", sum("tf").over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      val idf = tf.where(col("term").isin(qterms: _*))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(stats)
+        .select(col("term"),
+          (log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))).as("idf"),
+          col("avgdl"))
+      tf.where(col("term").isin(qterms: _*))
+        .join(broadcast(idf), "term")
+        .withColumn("score",
+          col("idf") * col("tf") * 2.2 /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id")
+        .agg(round(sum("score"), 4).as("bm25"))
+        .orderBy("doc_id")
     }
   )
 }
