@@ -80,6 +80,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException("graft_rollhash(text)")
         }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[graft.expressions.ZOrderCode].getName, "graft_zorder"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expressions.ZOrderCode(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountInSet].getName, "graft_count_in"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

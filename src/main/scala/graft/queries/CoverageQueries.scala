@@ -340,6 +340,34 @@ object CoverageQueries {
         .orderBy("event_id")
     },
 
+    // Z-order (Morton) clustering key: multi-dimensional data skipping.
+    // q_clusterby's 1-D range layout prunes only its sort column; sorting
+    // by the interleaved code keeps BOTH user_id and event_id locality in
+    // every file, so min/max stats prune filters on either column (layout
+    // quality is asserted quantitatively in ZOrderSpec). The native
+    // codegen'd graft_zorder expression is the clustering key; the oracle
+    // replays the bit interleave with DuckDB list arithmetic, and the
+    // bucketed roll-up keeps the checked output small at any SF.
+    Declared(
+      "q_zorder",
+      Some(
+        """WITH z AS (
+          |  SELECT CAST(list_sum(list_transform(range(0, 21), i ->
+          |           ((user_id >> i) & 1) * (1::BIGINT << (2*i)) +
+          |           ((event_id >> i) & 1) * (1::BIGINT << (2*i+1)))) AS BIGINT) AS zcode
+          |  FROM events)
+          |SELECT zcode >> 32 AS zbucket, count(*) AS n,
+          |       min(zcode) AS zmin, max(zcode) AS zmax
+          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .select(expr("graft_zorder(user_id, event_id)").as("zcode"))
+        .groupBy(shiftright(col("zcode"), 32).as("zbucket"))
+        .agg(count(lit(1)).as("n"), min("zcode").as("zmin"), max("zcode").as("zmax"))
+        .orderBy("zbucket")
+    },
+
     // hive-style partitioned layout: write partitionBy(event_type), read
     // one partition — the scan's PartitionFilters eliminate the other
     // directories BEFORE any file I/O (vs q_clusterby's row-group stats,
