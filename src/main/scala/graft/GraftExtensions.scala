@@ -85,6 +85,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.expressions.ZOrderCode(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[graft.expressions.BloomMightContain].getName, "graft_bloom_contains"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expressions.BloomMightContain(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountInSet].getName, "graft_count_in"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

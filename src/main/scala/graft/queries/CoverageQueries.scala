@@ -340,6 +340,34 @@ object CoverageQueries {
         .orderBy("event_id")
     },
 
+    // runtime bloom-filter join pruning: the dim side (orders over the
+    // price cut) builds a distributed bloom over its join keys and the
+    // FACT side is pruned by a codegen'd graft_bloom_contains predicate
+    // directly above its scan — before the join shuffle ever sees the
+    // ~98% of lineitem that cannot match. The exact join then removes the
+    // bloom's false positives, so the result hash-matches the plain-join
+    // oracle (which is the whole correctness statement of runtime
+    // filtering). BloomSpec asserts the fpp bound + no-false-negatives.
+    Declared(
+      "q_bloomjoin",
+      Some(
+        """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 4) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_totalprice > 400000
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val dim = Tables.orders(spark, dir)
+        .filter(col("o_totalprice") > 400000)
+        .select("o_orderkey")
+      graft.operators.BloomPrune
+        .prune(Tables.lineitem(spark, dir), "l_orderkey", dim, "o_orderkey")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 4).as("revenue"))
+        .orderBy("l_returnflag")
+    },
+
     // Z-order (Morton) clustering key: multi-dimensional data skipping.
     // q_clusterby's 1-D range layout prunes only its sort column; sorting
     // by the interleaved code keeps BOTH user_id and event_id locality in
