@@ -340,6 +340,45 @@ object CoverageQueries {
         .orderBy("event_id")
     },
 
+    // SCD-2 history build (gaps-and-islands): collapse each user's event
+    // run into validity intervals — a row survives only where the tracked
+    // attribute CHANGES (lag compare), then valid_to = the next change's
+    // valid_from (lead), NULL marking the current state. Both windows share
+    // one user_id partitioning, so the whole history build is a single
+    // shuffle; at 100 TB this is the standard dimension-history
+    // materialization that q_upsert's SCD-1 MERGE cannot express.
+    Declared(
+      "q_scd2",
+      Some(
+        """WITH s AS (
+          |  SELECT user_id, ts, event_id, event_type,
+          |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM events WHERE user_id < 20),
+          |c AS (SELECT user_id, ts, event_id, event_type FROM s
+          |      WHERE prev IS NULL OR prev <> event_type)
+          |SELECT user_id, event_type, ts AS valid_from,
+          |       coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+          |                TIMESTAMP '2099-12-31 00:00:00') AS valid_to,
+          |       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+          |         AS is_current
+          |FROM c ORDER BY user_id, valid_from, event_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(spark, dir)
+        .where(col("user_id") < 20)
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .where(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("next_ts", lead("ts", 1).over(w))
+        .select(
+          col("user_id"), col("event_type"), col("ts").as("valid_from"),
+          coalesce(col("next_ts"), lit("2099-12-31 00:00:00").cast("timestamp"))
+            .as("valid_to"),
+          col("next_ts").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from")
+    },
+
     // runtime bloom-filter join pruning: the dim side (orders over the
     // price cut) builds a distributed bloom over its join keys and the
     // FACT side is pruned by a codegen'd graft_bloom_contains predicate

@@ -259,6 +259,36 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // BPE-style pair statistics: the first step of byte-pair-encoding vocab
+    // induction is "count every ADJACENT token pair, merge the most
+    // frequent" — this is that count (order-preserving, NOT the distinct
+    // shingle set dedup uses). Narrow HOF expansion per doc, one term-keyed
+    // partial-agg shuffle, TakeOrdered top-20 with a total (n, pair)
+    // tiebreak. At 100 TB each merge round is exactly this plan re-run on
+    // the re-tokenized corpus.
+    Declared(
+      "q_bpe",
+      Some(
+        """WITH w AS (SELECT regexp_split_to_array(text, ' +') AS w FROM documents),
+          |p AS (SELECT unnest(list_transform(generate_series(1, len(w)-1),
+          |                    i -> w[i] || ' ' || w[i+1])) AS pair
+          |      FROM w)
+          |SELECT pair, count(*) AS n FROM p GROUP BY pair
+          |ORDER BY n DESC, pair LIMIT 20""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(split(col("text"), " +").as("w"))
+        .where(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w)-1), i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"))
+          .as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+
     // TF-IDF vocabulary weights: smoothed idf = ln((N+1)/(df+1)) + 1 and
     // the corpus weight Σ_docs (tf/doclen)·idf per term. One wide shuffle
     // on (doc_id, term) for tf, whose doc_id partitioning is reused by the
