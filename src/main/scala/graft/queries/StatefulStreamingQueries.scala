@@ -332,6 +332,59 @@ object StatefulStreamingQueries {
       spark.table(table).orderBy("event_id")
     },
 
+    // streaming MERGE/upsert sink (foreachBatch): each micro-batch reduces
+    // to one candidate row per user (argmax by (ts, event_id), carried as
+    // a lexicographic struct max so the payload rides the comparison), then
+    // MERGEs into the keyed state table — existing key: keep the later
+    // version; new key: insert. The table is versioned parquet per batch
+    // (the poor-man's Delta MERGE; the state table is key-sized, never
+    // event-sized). The final table must equal the batch argmax oracle —
+    // which is exactly the at-least-once-safe idempotent-upsert guarantee.
+    Declared(
+      "q_stream_upsert",
+      Some(
+        """WITH r AS (
+          |  SELECT user_id, event_type, value,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events)
+          |SELECT user_id, event_type, round(value, 4) AS value
+          |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val base = graft.ScratchDirs.dir("graft-stream-upsert")
+      @volatile var cur: Option[String] = None
+      withStatePartitions(spark, 8) {
+        val q = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-upsert-ckpt"))
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val s = batch.sparkSession
+            val latest = batch.groupBy("user_id")
+              .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
+                .as("r"))
+            val merged = cur match {
+              case None    => latest
+              case Some(p) =>
+                s.read.parquet(p).union(latest)
+                  .groupBy("user_id").agg(max(col("r")).as("r"))
+            }
+            val out = s"$base/v$batchId"
+            merged.write.mode("overwrite").parquet(out)
+            cur = Some(out)
+          }
+          .start()
+        q.awaitTermination()
+      }
+      spark.read.parquet(cur.getOrElse(sys.error("q_stream_upsert: no batch ran")))
+        .select(
+          col("user_id"),
+          col("r.event_type").as("event_type"),
+          round(col("r.value"), 4).as("value"))
+        .orderBy("user_id")
+    },
+
     // exactly-once FILE sink: feed → filter/project → parquet file sink
     // (transactional via the sink's _spark_metadata commit log) → read the
     // committed files back. The canonical streaming-ETL landing pattern.
