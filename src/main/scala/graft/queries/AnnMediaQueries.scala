@@ -209,6 +209,39 @@ object AnnMediaQueries {
       Multimodal.resizeAssets(spark, media, targetBytes = 256)
         .select(col("asset_id"), col("out_bytes"), round(col("mean_byte"), 4).as("mean_byte"))
         .orderBy("asset_id")
+    },
+
+    // per-label embedding centroids (the k-means E-step / class-prototype
+    // computation): posexplode to (label, dim, component), partial-agg mean
+    // per (label, dim), then fold dims back into the centroid L2 norm. Two
+    // map-side-combining shuffles whose reduce keys are label×dim — at
+    // 100 TB the heavy first shuffle carries one double per (row, dim) and
+    // collapses 1000× in the combiner; nothing is ever driver-side.
+    Declared(
+      "q_centroids",
+      Some(
+        """WITH comp AS (
+          |  SELECT label,
+          |         unnest(range(1, len(embedding) + 1)) AS dim,
+          |         unnest(embedding) AS e
+          |  FROM embeddings),
+          |m AS (SELECT label, dim, avg(e) AS m FROM comp GROUP BY label, dim)
+          |SELECT label, count(*) AS dims,
+          |       round(sqrt(sum(m * m)), 4) AS centroid_norm,
+          |       round(sum(abs(m)), 4) AS centroid_l1
+          |FROM m GROUP BY label ORDER BY label""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.embeddings(spark, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "e")))
+        .groupBy(col("label"), (col("dim0") + 1).as("dim"))
+        .agg(avg(col("e").cast("double")).as("m"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("dims"),
+          round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"),
+          round(sum(abs(col("m"))), 4).as("centroid_l1"))
+        .orderBy("label")
     }
   )
 }
