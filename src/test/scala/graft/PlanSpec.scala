@@ -80,4 +80,39 @@ class PlanSpec extends AnyFunSuite {
     // a silent regression to the unthresholded full-matrix DP would still
     // be correct — this pin is what keeps it from coming back unnoticed
   }
+
+  test("q_bloomjoin: bloom probe filters the fact side below the join") {
+    val p = plan("q_bloomjoin")
+    assert(p.contains("bloommightcontain"), s"expected the bloom predicate:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dim join:\n$p")
+    // the probe must run BEFORE the join: in the plan string the Filter
+    // node carrying it appears below the join, above the lineitem scan
+    val joinIdx  = p.indexOf("BroadcastHashJoin")
+    val bloomIdx = p.indexOf("bloommightcontain")
+    assert(bloomIdx > joinIdx, s"bloom filter should sit under the join:\n$p")
+  }
+
+  test("q_zorder: codegen'd morton key feeding a partial aggregate") {
+    val p = plan("q_zorder")
+    assert(p.toLowerCase.contains("zordercode"), s"expected the native zorder expression:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial agg:\n$p")
+  }
+
+  test("q_scd2: both history windows share one user_id exchange") {
+    val p = plan("q_scd2")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected a single window exchange, got $exchanges:\n$p")
+  }
+
+  test("q_bpe: top-20 pairs via TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_bpe")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial pair counts:\n$p")
+  }
+
+  test("q_centroids: two partial-agg shuffles, no joins") {
+    val p = plan("q_centroids")
+    assert(p.contains("partial_avg") || p.contains("partial_"), s"expected partial agg:\n$p")
+    assert(!p.contains("Join"), s"centroid fold must not join:\n$p")
+  }
 }
