@@ -340,6 +340,39 @@ object CoverageQueries {
         .orderBy("event_id")
     },
 
+    // weighted sampling (Efraimidis–Spirakis A-ES): per-item key
+    // ln(u)/w with u uniform and w = n_chars; the k largest keys per
+    // stratum are a weight-proportional sample WITHOUT replacement — the
+    // sampler a curation pipeline uses to over-sample long documents.
+    // u comes from a deterministic Knuth multiplicative hash of doc_id
+    // (engine-RNG samples can't be oracle-compared; same trick as
+    // q_sample's md5 bucket). One window shuffle on lang; at 100 TB the
+    // same key + TakeOrdered per stratum needs no global sort.
+    Declared(
+      "q_weighted",
+      Some(
+        """WITH s AS (
+          |  SELECT doc_id, lang, n_chars,
+          |         ln(((doc_id * 2654435761) % 1000003 + 1) / 1000004.0) / n_chars AS k
+          |  FROM documents),
+          |r AS (SELECT doc_id, lang, n_chars,
+          |             row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rn
+          |      FROM s)
+          |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 5
+          |ORDER BY lang, doc_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val u = (col("doc_id") * 2654435761L % 1000003L + 1L) / lit(1000004.0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("k").desc, col("doc_id"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), (log(u) / col("n_chars")).as("k"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    },
+
     // SCD-2 history build (gaps-and-islands): collapse each user's event
     // run into validity intervals — a row survives only where the tracked
     // attribute CHANGES (lag compare), then valid_to = the next change's
