@@ -340,6 +340,36 @@ object CoverageQueries {
         .orderBy("event_id")
     },
 
+    // grouped top-K (top-3 events per user by value): declared with the
+    // standard rank-filter window idiom ON PURPOSE — Catalyst's
+    // InferWindowGroupLimit rewrites it to WindowGroupLimitExec, a bounded
+    // per-partition top-k heap BELOW the window sort (partial before the
+    // exchange, final after), so per-group data entering the sort is ≤ k
+    // rows, not the full group. PlanSpec pins the rewrite; hand-building a
+    // custom heap operator would duplicate this built-in (SURVEY §7's
+    // custom-vs-builtin ledger: prefer the optimizer's own rewrite).
+    Declared(
+      "q_topkgroup",
+      Some(
+        """WITH r AS (
+          |  SELECT user_id, event_id, value,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY value DESC, event_id) AS rn
+          |  FROM events)
+          |SELECT user_id, event_id, round(value, 4) AS value, rn
+          |FROM r WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), round(col("value"), 4).as("value"), col("rn"))
+        .orderBy("user_id", "rn")
+    },
+
     // weighted sampling (Efraimidis–Spirakis A-ES): per-item key
     // ln(u)/w with u uniform and w = n_chars; the k largest keys per
     // stratum are a weight-proportional sample WITHOUT replacement — the

@@ -110,6 +110,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"expected map-side partial pair counts:\n$p")
   }
 
+  test("q_topkgroup: rank filter is rewritten to WindowGroupLimit heaps") {
+    val p = plan("q_topkgroup")
+    assert(p.contains("WindowGroupLimit"), s"expected InferWindowGroupLimit rewrite:\n$p")
+    assert(p.contains("Partial") && p.contains("Final"),
+      s"expected partial (pre-exchange) + final group-limit:\n$p")
+  }
+
   test("q_centroids: two partial-agg shuffles, no joins") {
     val p = plan("q_centroids")
     assert(p.contains("partial_avg") || p.contains("partial_"), s"expected partial agg:\n$p")
