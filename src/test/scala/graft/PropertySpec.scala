@@ -172,4 +172,28 @@ class PropertySpec extends AnyFunSuite {
       lev(pa, pb) > 5 || filterPasses(pa, pb)
     })
   }
+
+  test("ZOrder.interleave: dominance monotonicity, masking, bijectivity in range") {
+    import graft.expressions.ZOrder
+    val coord = Gen.chooseNum(0L, ZOrder.Mask)
+    val gen = for { x1 <- coord; y1 <- coord; x2 <- coord; y2 <- coord } yield (x1, y1, x2, y2)
+    // componentwise dominance implies curve order — the property that makes
+    // min/max file stats on the z column sound for BOTH source columns
+    check("zorderDominance", Prop.forAll(gen) { case (x1, y1, x2, y2) =>
+      val (lox, hix) = (math.min(x1, x2), math.max(x1, x2))
+      val (loy, hiy) = (math.min(y1, y2), math.max(y1, y2))
+      ZOrder.interleave(lox, loy) <= ZOrder.interleave(hix, hiy)
+    })
+    // in-range pairs map to distinct codes (bit-interleave is a bijection)
+    check("zorderInjective", Prop.forAll(gen) { case (x1, y1, x2, y2) =>
+      (x1 == x2 && y1 == y2) ||
+        ZOrder.interleave(x1, y1) != ZOrder.interleave(x2, y2)
+    })
+    // inputs above 21 bits cannot perturb the code
+    val big = Gen.chooseNum(0L, Long.MaxValue / 2)
+    check("zorderMask", Prop.forAll(coord, coord, big) { (x, y, noise) =>
+      ZOrder.interleave(x | (noise << 21), y) == ZOrder.interleave(x, y) &&
+        ZOrder.interleave(x, y | (noise << 21)) == ZOrder.interleave(x, y)
+    })
+  }
 }

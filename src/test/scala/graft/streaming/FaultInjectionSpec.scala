@@ -80,4 +80,48 @@ class FaultInjectionSpec extends AnyFunSuite {
       assert(new String(log.read(off).toOption.get, "UTF-8").contains(s""""id":"$off""""))
     }
   }
+
+  test("upsert sink fault: last committed version stays readable, none of the failed batch leaks") {
+    // same fail-fast contract for the q_stream_upsert MERGE sink: versioned
+    // parquet per batch means a mid-batch fault cannot corrupt the current
+    // version — the pointer only advances AFTER a version is fully written
+    val base = graft.ScratchDirs.dir("graft-fault-upsert")
+    @volatile var cur: Option[String] = None
+    val failAtBatch = 1L
+
+    def run(failing: Boolean): Unit = {
+      val q = Ingest.feed(spark, dir, maxBatchSize = 400)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-fault-upsert-ckpt"))
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (failing && batchId >= failAtBatch)
+            throw new RuntimeException("injected upsert-sink fault")
+          val s = batch.sparkSession
+          val latest = batch.groupBy("user_id")
+            .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("r"))
+          val merged = cur match {
+            case None    => latest
+            case Some(p) => s.read.parquet(p).union(latest)
+              .groupBy("user_id").agg(max(col("r")).as("r"))
+          }
+          val out = s"$base/v$batchId"
+          merged.write.mode("overwrite").parquet(out)
+          cur = Some(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    val ex = intercept[StreamingQueryException](run(failing = true))
+    assert(causeChain(ex).contains("injected upsert-sink fault"))
+
+    // the state table is exactly batch 0's merge — readable, no v1 leak
+    assert(cur === Some(s"$base/v0"))
+    val afterFault = spark.read.parquet(cur.get)
+    assert(afterFault.count() ===
+      graft.Tables.events(spark, dir).where(col("event_id") < 400)
+        .select("user_id").distinct().count())
+    assert(!new java.io.File(s"$base/v1").exists, "failed batch must not commit a version")
+  }
 }
