@@ -259,30 +259,30 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // BPE-style pair statistics: the first step of byte-pair-encoding vocab
-    // induction is "count every ADJACENT token pair, merge the most
-    // frequent" — this is that count (order-preserving, NOT the distinct
-    // shingle set dedup uses). Narrow HOF expansion per doc, one term-keyed
-    // partial-agg shuffle, TakeOrdered top-20 with a total (n, pair)
-    // tiebreak. At 100 TB each merge round is exactly this plan re-run on
+    // BPE vocab-induction pair statistics: the first byte-pair-encoding
+    // merge step counts every adjacent CHARACTER pair within words and
+    // merges the most frequent (word-level bigrams are q_ngram's job —
+    // this is the subword level where BPE actually operates). Two narrow
+    // HOF expansions per doc (words, then substr(wd,i,2) windows), one
+    // pair-keyed partial-agg shuffle, TakeOrdered top-20 with a total
+    // (n, pair) tiebreak. At 100 TB each merge round re-runs this plan on
     // the re-tokenized corpus.
     Declared(
       "q_bpe",
       Some(
-        """WITH w AS (SELECT regexp_split_to_array(text, ' +') AS w FROM documents),
-          |p AS (SELECT unnest(list_transform(generate_series(1, len(w)-1),
-          |                    i -> w[i] || ' ' || w[i+1])) AS pair
-          |      FROM w)
+        """WITH words AS (
+          |  SELECT unnest(regexp_split_to_array(text, ' +')) AS wd FROM documents),
+          |p AS (SELECT unnest(list_transform(range(1, len(wd)), i -> substr(wd, i, 2))) AS pair
+          |      FROM words WHERE len(wd) >= 2)
           |SELECT pair, count(*) AS n FROM p GROUP BY pair
           |ORDER BY n DESC, pair LIMIT 20""".stripMargin
       )
     ) { (spark, dir) =>
       Tables.documents(spark, dir)
-        .select(split(col("text"), " +").as("w"))
-        .where(size(col("w")) >= 2)
+        .select(explode(split(col("text"), " +")).as("wd"))
+        .where(length(col("wd")) >= 2)
         .select(explode(expr(
-          "transform(sequence(1, size(w)-1), i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"))
-          .as("pair"))
+          "transform(sequence(1, length(wd) - 1), i -> substr(wd, i, 2))")).as("pair"))
         .groupBy("pair")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
