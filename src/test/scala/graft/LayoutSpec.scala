@@ -65,4 +65,43 @@ class LayoutSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
       s"scan should read only the needed columns:\n$plan")
   }
+
+  test("compaction: small-file sprawl → few clustered files, content identical") {
+    import spark.implicits._
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "value")
+
+    // the small-file problem a streaming file sink produces: 64 files for
+    // a table that fits comfortably in 4
+    val sprawl = graft.ScratchDirs.dir("graft-sprawl")
+    events.repartition(64).write.mode("overwrite").parquet(sprawl)
+    def files(p: String) =
+      new java.io.File(p).listFiles.count(f => f.getName.endsWith(".parquet"))
+    assert(files(sprawl) === 64)
+
+    // compact = range-recluster on the scan key while rewriting: fewer
+    // files AND restored event_id locality (row-group pruning works again)
+    val compact = graft.ScratchDirs.dir("graft-compact")
+    spark.read.parquet(sprawl)
+      .repartitionByRange(4, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(compact)
+    assert(files(compact) === 4)
+
+    // content identical
+    val before = events.orderBy("event_id").as[(Long, Long, Double)].collect()
+    val after = spark.read.parquet(compact)
+      .orderBy("event_id").as[(Long, Long, Double)].collect()
+    assert(after === before)
+
+    // clustering restored: per-file event_id ranges are pairwise disjoint
+    val ranges = spark.read.parquet(compact)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("event_id").as("lo"), max("event_id").as("hi"))
+      .select("lo", "hi").as[(Long, Long)].collect().sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, "file ranges overlap")
+      case _                         =>
+    }
+  }
 }
