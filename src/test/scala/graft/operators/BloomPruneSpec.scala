@@ -44,6 +44,21 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("Observation metrics report prune selectivity in-flight (no second scan)") {
+    val dim = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000).select("o_orderkey")
+    val obs = org.apache.spark.sql.Observation("bloom_prune")
+    val out = BloomPrune.prune(Tables.lineitem(spark, dir), "l_orderkey", dim, "o_orderkey")
+      .observe(obs, count(lit(1)).as("kept"))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    out.collect()
+    val kept  = obs.get("kept").asInstanceOf[Long]
+    val total = Tables.lineitem(spark, dir).count()
+    assert(kept > 0 && kept < total / 2,
+      s"observed kept=$kept of $total — prune metric implausible")
+  }
+
   test("the bloom predicate actually cuts the fact side ahead of the join") {
     val dim = Tables.orders(spark, dir)
       .filter(col("o_totalprice") > 400000).select("o_orderkey")
