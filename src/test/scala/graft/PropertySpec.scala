@@ -173,6 +173,24 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("winnowing guarantee: shared substring >= k+w-1 chars ⇒ shared fingerprint") {
+    import graft.expressions.Winnow
+    import org.apache.spark.unsafe.types.UTF8String
+    def fps(s: String): Set[Long] =
+      Winnow.fingerprints(UTF8String.fromString(s), 8, 8).toLongArray().toSet
+    val asciiStr = (n: Int) => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)
+    val gen = for {
+      common <- Gen.chooseNum(15, 40).flatMap(asciiStr) // >= k+w-1 = 15
+      preA   <- Gen.chooseNum(0, 30).flatMap(asciiStr)
+      sufA   <- Gen.chooseNum(0, 30).flatMap(asciiStr)
+      preB   <- Gen.chooseNum(0, 30).flatMap(asciiStr)
+      sufB   <- Gen.chooseNum(0, 30).flatMap(asciiStr)
+    } yield (preA + common + sufA, preB + common + sufB)
+    check("winnowGuarantee", Prop.forAll(gen) { case (a, b) =>
+      (fps(a) intersect fps(b)).nonEmpty
+    })
+  }
+
   test("ZOrder.interleave: dominance monotonicity, masking, bijectivity in range") {
     import graft.expressions.ZOrder
     val coord = Gen.chooseNum(0L, ZOrder.Mask)
