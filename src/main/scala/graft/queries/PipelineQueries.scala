@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextAnalysis
-import graft.operators.Pack
+import graft.operators.{Dedup, Pack}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -130,6 +130,113 @@ object PipelineQueries {
           sum("n_tokens").as("tokens"),
           min("doc_id").as("first_doc"))
         .orderBy("bin")
+    },
+
+    // THE flagship curation run — every pipeline stage this library ships,
+    // chained the way a full 100 TB pre-training data build chains them:
+    //   exact dedup (normalized fingerprint, keep-first)
+    //   → near-dup drop (MinHash-LSH pairs — the scale path)
+    //   → benchmark decontamination (broadcast shingle join, ≥3 shared)
+    //   → quality filter (length score + stopword ratio)
+    //   → deterministic train/val/test split (md5 hex bands)
+    //   → per-split sequence packing (distributed prefix sum, 2048-token bins).
+    // Shuffle ledger: fingerprint window, LSH band join, shingle join,
+    // one split group-by, one range shuffle per split's pack — each keyed
+    // differently and each provably necessary. The oracle replays the
+    // whole chain in one SQL statement (near-dup via the exact pair CTE,
+    // packing via a per-split window prefix sum).
+    Declared(
+      "q_curate",
+      Some(
+        """WITH dd AS (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY md5(trim(regexp_replace(text, ' +', ' ', 'g')))
+          |    ORDER BY doc_id) AS rn
+          |  FROM documents),
+          |kept0 AS (SELECT doc_id, text, lang, n_chars FROM dd WHERE rn = 1),
+          |w AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents),
+          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-2),
+          |                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+          |       FROM w WHERE len(w) >= 3),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |          GROUP BY 1, 2),
+          |dropdup AS (SELECT DISTINCT db AS doc_id FROM inter
+          |            JOIN sizes sa ON da = sa.doc_id
+          |            JOIN sizes sb ON db = sb.doc_id
+          |            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+          |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+          |contam AS (SELECT sh.doc_id FROM sh JOIN bench USING (s)
+          |           WHERE sh.doc_id % 97 <> 0
+          |           GROUP BY sh.doc_id HAVING count(*) >= 3),
+          |kept1 AS (
+          |  SELECT k.* FROM kept0 k
+          |  WHERE k.doc_id NOT IN (SELECT doc_id FROM dropdup)
+          |    AND k.doc_id NOT IN (SELECT doc_id FROM contam)
+          |    AND k.doc_id % 97 <> 0),
+          |scored AS (
+          |  SELECT doc_id,
+          |         least(n_chars / 500.0, 1.0) AS len_score,
+          |         len(list_filter(regexp_split_to_array(text, ' +'),
+          |                         t -> t IN ('the','a','of','and','to'))) * 1.0
+          |           / nullif(len(regexp_split_to_array(text, ' +')), 0) AS stop_ratio,
+          |         len(regexp_split_to_array(text, ' +')) AS n_tokens
+          |  FROM kept1),
+          |q AS (SELECT doc_id, n_tokens FROM scored
+          |      WHERE len_score >= 0.2 AND stop_ratio > 0),
+          |s AS (SELECT doc_id, n_tokens,
+          |             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+          |                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+          |                  ELSE 'test' END AS split
+          |      FROM q),
+          |o AS (SELECT split, doc_id, n_tokens,
+          |             COALESCE(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+          |      FROM s)
+          |SELECT split, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+          |       CAST(count(DISTINCT start_off // 2048) AS BIGINT) AS bins
+          |FROM o GROUP BY split ORDER BY split""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val wfp = Window
+        .partitionBy(TextAnalysis.normalizedFingerprint(col("text")))
+        .orderBy("doc_id")
+      val kept0 = docs.withColumn("rn", row_number().over(wfp))
+        .where(col("rn") === 1).drop("rn")
+      val drops = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+        .select(col("db").as("doc_id")).distinct()
+      val sh = docs.select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("s"))
+      val bench = sh.where(col("doc_id") % 97 === 0).select("s").distinct()
+      val contam = sh.where(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("s"))
+        .groupBy("doc_id").agg(count(lit(1)).as("ns"))
+        .where(col("ns") >= 3).select("doc_id")
+      val kept1 = kept0
+        .join(drops, Seq("doc_id"), "left_anti")
+        .join(contam, Seq("doc_id"), "left_anti")
+        .where(col("doc_id") % 97 =!= 0)
+      val q = kept1
+        .withColumn("len_score", TextAnalysis.lengthScore(col("n_chars")))
+        .withColumn("stop_ratio", TextAnalysis.stopwordRatio(col("text")))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .where(col("len_score") >= 0.2 && col("stop_ratio") > 0)
+      val prefix = substring(md5(col("doc_id").cast("string")), 1, 2)
+      val withSplit = q
+        .withColumn("split",
+          when(prefix < "e6", "train").when(prefix < "f3", "val").otherwise("test"))
+        .select("split", "doc_id", "n_tokens")
+      val packed = Seq("train", "val", "test")
+        .map(sp => Pack.assignBins(
+          withSplit.where(col("split") === sp), "doc_id", "n_tokens", budget = 2048L))
+        .reduce(_ unionByName _)
+      packed.groupBy("split")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum("n_tokens").as("tokens"),
+          countDistinct(col("bin")).as("bins"))
+        .orderBy("split")
     }
   )
 }
