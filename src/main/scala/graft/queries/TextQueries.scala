@@ -189,6 +189,50 @@ object TextQueries {
         .orderBy("doc_id", "fp")
     },
 
+    // exact-substring duplication pairs via winnow fingerprints: two docs
+    // sharing ≥5 fingerprints share substantial verbatim spans (each
+    // shared fingerprint witnesses a shared ≥8-char substring) — the
+    // partial-overlap detector whole-doc Jaccard misses. Ubiquitous
+    // fingerprints (doc-frequency > 50: boilerplate phrases) are dropped
+    // BEFORE the self-join — the stop-fingerprint guard that bounds every
+    // join bucket at scale (without it one hot 8-gram would pair the
+    // whole corpus quadratically).
+    Declared(
+      "q_windup",
+      Some(
+        """WITH h AS (
+          |  SELECT doc_id,
+          |         list_transform(range(1, len(text) - 6), i ->
+          |           list_reduce(
+          |             list_prepend(7::BIGINT,
+          |               list_transform(range(0, 8), j -> ascii(substr(text, i + j, 1))::BIGINT)),
+          |             (a, c) -> (a * 31 + c) % 1000000007)) AS hs,
+          |         len(text) AS n
+          |  FROM documents WHERE len(text) >= 15),
+          |f AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, n - 13),
+          |               j -> list_min(hs[j:j+7])))) AS fp
+          |      FROM h),
+          |rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50)
+          |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+          |FROM f a JOIN rare USING (fp) JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 HAVING count(*) >= 5
+          |ORDER BY da, db""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val f = Tables.documents(spark, dir)
+        .where(col("n_chars") >= 15)
+        .select(col("doc_id"), explode(call_function("graft_winnow", col("text"))).as("fp"))
+      val rare = f.groupBy("fp").agg(count(lit(1)).as("df")).where(col("df") <= 50).select("fp")
+      val fr = f.join(rare, Seq("fp"))
+      fr.select(col("fp"), col("doc_id").as("da"))
+        .join(fr.select(col("fp"), col("doc_id").as("db")), Seq("fp"))
+        .where(col("da") < col("db"))
+        .groupBy("da", "db")
+        .agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= 5)
+        .orderBy("da", "db")
+    },
+
     // corpus bigram statistics: top-50 word bigrams. Narrow HOF bigram
     // derivation (no self-join), partial-aggregated count, then
     // TakeOrderedAndProject — the top-K never materializes a full sort.
