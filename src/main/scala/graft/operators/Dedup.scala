@@ -86,6 +86,34 @@ object Dedup {
   }
 
   /**
+   * LSH S-curve: the probability that a pair with Jaccard similarity `s`
+   * becomes a candidate under (bands b, rows-per-band r) banding —
+   * `1 − (1 − s^r)^b`. The design tool behind the shipped 16×4 default:
+   * recall and candidate-rate claims in the query docs are instances of
+   * this formula (DedupSpec pins them numerically).
+   */
+  def candidateProbability(s: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /**
+   * Pick (bands, rowsPerBand) dividing `numHashes`: among configurations
+   * whose recall at the threshold is ≥ `minRecall`, take the one with the
+   * LOWEST candidate probability well below the threshold (fewest false
+   * candidates reaching the exact-verify stage). Recall binds first —
+   * LSH false negatives are silent data loss, false positives only cost
+   * verification work. For (0.8, 64) this selects the shipped 16×4.
+   */
+  def tuneLsh(threshold: Double, numHashes: Int = 64, minRecall: Double = 0.95): (Int, Int) = {
+    val options = (1 to numHashes).filter(numHashes % _ == 0).map(b => (b, numHashes / b))
+    val fpProbe = math.max(0.05, threshold - 0.3)
+    val recallOk = options.filter { case (b, r) => candidateProbability(threshold, b, r) >= minRecall }
+    if (recallOk.nonEmpty)
+      recallOk.minBy { case (b, r) => candidateProbability(fpProbe, b, r) }
+    else
+      options.maxBy { case (b, r) => candidateProbability(threshold, b, r) }
+  }
+
+  /**
    * Candidate near-duplicate pairs via MinHash-LSH banding: documents
    * sharing any band bucket. Returns (da, db, sa, sb) with da < db and the
    * two shingle arrays for downstream verification.

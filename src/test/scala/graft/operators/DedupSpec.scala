@@ -117,6 +117,25 @@ class DedupSpec extends AnyFunSuite {
       s"simhash found ${found.size}/${exact.size} planted pairs")
   }
 
+  test("LSH S-curve: shipped 16x4 banding has ~certain recall at corpus similarity") {
+    // the planted near-dups sit at jaccard >= 0.98; the 16-band/4-row
+    // default must make them near-certain candidates...
+    assert(Dedup.candidateProbability(0.98, 16, 4) > 1 - 1e-9)
+    // ...while a sub-threshold pair (0.5) stays mostly unpaired
+    assert(Dedup.candidateProbability(0.5, 16, 4) < 0.7)
+    // monotone in s
+    val ps = (1 to 9).map(i => Dedup.candidateProbability(i / 10.0, 16, 4))
+    assert(ps === ps.sorted)
+    // the tuner is recall-first and reproduces the shipped default
+    val (b, r) = Dedup.tuneLsh(0.8, 64)
+    assert((b, r) === (16, 4))
+    assert(Dedup.candidateProbability(0.8, b, r) > 0.95,
+      s"tuned ($b,$r) must catch threshold pairs")
+    assert(Dedup.candidateProbability(0.5, b, r) <
+      Dedup.candidateProbability(0.5, 64, 1),
+      "tuned config must false-candidate less than the recall-max config")
+  }
+
   test("connectedComponents labels transitive chains with the cluster min id") {
     // 1-2-3-4 chain (2~1, 2~3, 3~4), pair 10-11, chain 20-21-22
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
