@@ -28,6 +28,18 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("round-6 injected functions are reachable from plain SQL text") {
+    // the SessionExtensions injection is the public SQL surface — every
+    // native expression must be callable without the Scala DSL
+    val z = spark.sql("SELECT graft_zorder(5L, 3L) AS z").head().getLong(0)
+    assert(z === ZOrder.interleave(5L, 3L))
+    val fps = spark.sql("SELECT graft_winnow('the quick brown fox jumps over dog') AS f")
+      .head().getSeq[Long](0)
+    assert(fps.nonEmpty && fps === fps.sorted)
+    val noFps = spark.sql("SELECT graft_winnow('short') AS f").head().getSeq[Long](0)
+    assert(noFps.isEmpty)
+  }
+
   test("z-order layout bounds BOTH columns' per-file ranges; linear bounds one") {
     val n    = 1 << 16
     val side = 1024L
