@@ -82,6 +82,33 @@ object SqlQueries {
           |CROSS JOIN (SELECT embedding AS p FROM embeddings WHERE vec_id = 0) p
           |ORDER BY round(graft_cosine(e.embedding, p.p), 4) DESC, e.vec_id
           |LIMIT 10""".stripMargin)
+    },
+
+    // LATERAL correlated subquery (per-customer top-2 orders): the
+    // correlated-inner-loop surface SQL users expect; Catalyst decorrelates
+    // the lateral into a join + WindowGroupLimit-style per-key limit rather
+    // than executing the inner query per outer row. Big-spender cut keeps
+    // the checked output small at any SF.
+    Declared(
+      "q_lateral",
+      Some(
+        """SELECT c_custkey, o_orderkey, round(o_totalprice, 4) AS price
+          |FROM customer c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |WHERE c_acctbal > 9000
+          |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        """SELECT c_custkey, o_orderkey, round(o_totalprice, 4) AS price
+          |FROM customer c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |WHERE c_acctbal > 9000
+          |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
     }
   )
 }
