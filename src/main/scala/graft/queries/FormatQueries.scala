@@ -57,6 +57,19 @@ object FormatQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           round(col("value"), 4).as("value"))
         .orderBy("event_id")
+    },
+
+    // XML round-trip (Spark 4 built-in XML source, one <row> element per
+    // record). Text re-parse like CSV/JSON; explicit schema on read.
+    Declared("q_xmlfile", Some(oracleSql)) { (spark, dir) =>
+      val out = graft.ScratchDirs.dir("graft-xml")
+      subset(spark, dir).write.mode("overwrite")
+        .format("xml").option("rowTag", "row").save(out)
+      spark.read.schema(roundtripSchema)
+        .format("xml").option("rowTag", "row").load(out)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_id")
     }
   )
 }

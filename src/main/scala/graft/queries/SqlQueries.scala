@@ -109,6 +109,39 @@ object SqlQueries {
           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
           |WHERE c_acctbal > 9000
           |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
+    },
+
+    // WITH RECURSIVE (Spark 4 recursive CTE): calendar-fill — generate the
+    // January-1995 date spine recursively (31 driver-coordinated iterations
+    // of a 1-row frontier; ≤ the 100-level recursion limit), then LEFT JOIN
+    // orders so zero-order days survive with 0 revenue. At scale the spine
+    // is tiny and broadcasts; the fact side stays a pruned scan.
+    Declared(
+      "q_recursive",
+      Some(
+        """WITH RECURSIVE days(d) AS (
+          |  SELECT DATE '1995-01-01'
+          |  UNION ALL
+          |  SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM days
+          |  WHERE d < DATE '1995-01-31'
+          |)
+          |SELECT d, count(o_orderkey) AS n_orders,
+          |       round(coalesce(sum(o_totalprice), 0), 4) AS revenue
+          |FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+          |GROUP BY d ORDER BY d""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        """WITH RECURSIVE days(d) AS (
+          |  SELECT DATE '1995-01-01'
+          |  UNION ALL
+          |  SELECT date_add(d, 1) FROM days
+          |  WHERE d < DATE '1995-01-31'
+          |)
+          |SELECT d, count(o_orderkey) AS n_orders,
+          |       round(coalesce(sum(o_totalprice), 0), 4) AS revenue
+          |FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+          |GROUP BY d ORDER BY d""".stripMargin)
     }
   )
 }

@@ -85,6 +85,38 @@ object StreamingQueries {
         .orderBy("w")
     },
 
+    // State-store reader (Spark 4 `statestore` data source): run the same
+    // hour-window count to completion, then read the streaming STATE back
+    // from the checkpoint — the ops/debugging surface for inspecting live
+    // state without stopping a production query. With no watermark the
+    // state holds every window's aggregation buffer, so the read-back
+    // equals the batch group-by exactly. Scale: the reader maps state
+    // partitions to tasks — no driver materialization.
+    Declared(
+      "q_stream_state_read",
+      Some(
+        """SELECT date_trunc('hour', ts) AS w, count(*) AS n
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val ckpt = graft.ScratchDirs.dir("graft-statereader-ckpt")
+      withStatePartitions(spark, 8) {
+        val q = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode("complete")
+          .format("noop")
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.awaitTermination()
+      }
+      spark.read.format("statestore").load(ckpt)
+        .select(col("key.window.start").as("w"), col("value.count").as("n"))
+        .orderBy("w")
+    },
+
     // streaming stateful dedup: dropDuplicates state across micro-batches,
     // then a downstream stateful aggregation — two chained stateful ops
     Declared(
