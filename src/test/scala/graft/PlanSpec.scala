@@ -117,6 +117,16 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial (pre-exchange) + final group-limit:\n$p")
   }
 
+  test("q_lateral: correlated LATERAL is decorrelated, not executed per outer row") {
+    val p = plan("q_lateral")
+    assert(p.contains("WindowGroupLimit"), s"expected per-key limit heaps:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast of filtered customers:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"decorrelation must not fall back to a nested loop:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal"),
+      s"expected acctbal pushdown into the customer scan:\n$p")
+  }
+
   test("q_centroids: two partial-agg shuffles, no joins") {
     val p = plan("q_centroids")
     assert(p.contains("partial_avg") || p.contains("partial_"), s"expected partial agg:\n$p")
