@@ -118,6 +118,31 @@ class WatchSpec extends AnyFunSuite {
     assert(finalMap === (0 until 10).map(i => i.toLong -> i.toString).toMap)
   }
 
+  test("session timeout forces disconnect; cursor reconnect misses nothing (server.go:26-27,70)") {
+    val log = new OffsetLog(0, 1000)
+    (0 until 4).foreach(i => log.write(bytes(i)))
+
+    // writer keeps appending while the session runs, and KEEPS appending
+    // after its deadline — the timeout must cut the stream anyway
+    val writer = new Thread(() => {
+      (4 until 8).foreach { i => Thread.sleep(150); log.write(bytes(i)); () }
+    })
+    writer.start()
+    val s1 = Watch.session(spark, "w_session", log,
+      startingOffset = Some(0L), maxDurationMs = 1500)
+    assert(s1.expired, "an unbounded watch must end by timeout, not drain")
+    assert(s1.records.map(_._1) === (0L until s1.nextOffset))
+    writer.join()
+
+    // reconnect with the returned cursor (the reference client's
+    // reconnect-with-offset loop): delivers exactly the missed suffix
+    val s2 = Watch.session(spark, "w_session2", log,
+      startingOffset = Some(s1.nextOffset), maxDurationMs = 1500)
+    assert((s1.records ++ s2.records).map(_._1) === (0L until 8L))
+    assert((s1.records ++ s2.records).map(_._2) === (0 until 8).map(_.toString))
+    assert(s2.nextOffset === 8L)
+  }
+
   test("watch from a purged offset errors (server_test.go:350-359)") {
     val log = new OffsetLog(0, 5)
     (0 until 20).foreach(i => log.write(bytes(i))) // log retains 10..19
