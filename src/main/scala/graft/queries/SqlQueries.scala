@@ -111,6 +111,28 @@ object SqlQueries {
           |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
     },
 
+    // Join-strategy hint surface: SHUFFLE_HASH forces a shuffled hash join
+    // where the planner would broadcast — the manual override a 100 TB user
+    // reaches for when the "small" side won't fit executor memory (or,
+    // inverted, NO_BROADCAST_HASH/MERGE when broadcast would OOM the
+    // driver). The hint is a standard block comment, so the IDENTICAL text
+    // runs as the DuckDB oracle. Hint honored = pinned in PlanSpec.
+    Declared(
+      "q_hint",
+      Some(
+        """SELECT /*+ SHUFFLE_HASH(c) */ c_mktsegment,
+          |       count(*) AS n, round(sum(o_totalprice) / 1000000.0, 2) AS rev_m
+          |FROM customer c JOIN orders o ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        """SELECT /*+ SHUFFLE_HASH(c) */ c_mktsegment,
+          |       count(*) AS n, round(sum(o_totalprice) / 1000000.0, 2) AS rev_m
+          |FROM customer c JOIN orders o ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+
     // WITH RECURSIVE (Spark 4 recursive CTE): calendar-fill — generate the
     // January-1995 date spine recursively (31 driver-coordinated iterations
     // of a 1-row frontier; ≤ the 100-level recursion limit), then LEFT JOIN

@@ -127,6 +127,12 @@ class PlanSpec extends AnyFunSuite {
       s"expected acctbal pushdown into the customer scan:\n$p")
   }
 
+  test("q_hint: SHUFFLE_HASH hint overrides the broadcast the planner would pick") {
+    val p = plan("q_hint")
+    assert(p.contains("ShuffledHashJoin"), s"expected hint-forced shuffled hash join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"hint must suppress the broadcast:\n$p")
+  }
+
   test("q_centroids: two partial-agg shuffles, no joins") {
     val p = plan("q_centroids")
     assert(p.contains("partial_avg") || p.contains("partial_"), s"expected partial agg:\n$p")
