@@ -85,6 +85,43 @@ object StreamingQueries {
         .orderBy("w")
     },
 
+    // File-based streaming SOURCE (the standard at-scale ingestion path:
+    // a landing directory of parquet drops, discovered incrementally).
+    // Events staged as 8 files, admitted 2 files per trigger → a real
+    // multi-batch replay through the file source's discovery log, with a
+    // stateful agg accumulating across batches. Complements
+    // q_stream_filesink (the exactly-once file SINK).
+    Declared(
+      "q_stream_filesrc",
+      Some(
+        """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val stage = graft.ScratchDirs.dir("graft-filesrc")
+      val ev = graft.Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      ev.repartition(8).write.mode("overwrite").parquet(stage)
+      val table = s"graft_stream_filesrc_${runId.incrementAndGet()}"
+      withStatePartitions(spark, 8) {
+        val q = spark.readStream
+          .schema(ev.schema) // file sources require an explicit schema
+          .option("maxFilesPerTrigger", 2)
+          .parquet(stage)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode("complete")
+          .format("memory")
+          .queryName(table)
+          .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-filesrc-ckpt"))
+          .start()
+        q.awaitTermination()
+      }
+      spark.table(table).orderBy("event_type")
+    },
+
     // State-store reader (Spark 4 `statestore` data source): run the same
     // hour-window count to completion, then read the streaming STATE back
     // from the checkpoint — the ops/debugging surface for inspecting live
