@@ -65,4 +65,30 @@ class ObservabilitySpec extends AnyFunSuite {
       assert(watermarks.nonEmpty, s"watermark should appear in progress: $progresses")
     }
   }
+
+  test("state-metadata reader describes a checkpoint's operators without running it") {
+    // the companion to the `statestore` reader (q_stream_state_read): an
+    // operator inventory of ANY checkpoint — which stateful operators,
+    // which stores, how many shuffle partitions — recoverable offline,
+    // e.g. before attempting a state-repartitioning migration
+    val ckpt = Ingest.ephemeralCheckpoint("graft-statemeta-ckpt")
+    val q = Ingest.feed(spark, dir, maxBatchSize = 100000)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("complete")
+      .format("noop")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+
+    val meta = spark.read.format("state-metadata").load(ckpt)
+      .select("operatorId", "operatorName", "stateStoreName", "numPartitions")
+      .collect()
+    assert(meta.nonEmpty, "expected one row per stateful operator store")
+    assert(meta.exists(_.getString(1) == "stateStoreSave"),
+      s"windowed agg should surface as stateStoreSave: ${meta.mkString(", ")}")
+    assert(meta.forall(_.getInt(3) > 0))
+  }
 }
