@@ -24,6 +24,40 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
 
   val all: Seq[Declared] = Seq(
+    // Sliding-window document chunking (context-window prep for training /
+    // RAG): 64-token chunks on a 32-token stride, fingerprinted per chunk.
+    // A narrow map + generator — no shuffle at all until the final
+    // presentation sort; at 100 TB this is embarrassingly parallel and the
+    // chunk fingerprint doubles as the key for downstream chunk-level
+    // dedup. Overlap means token counts here are ~2× corpus tokens by
+    // design (stride = window/2).
+    Declared(
+      "q_chunk",
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents),
+          |s AS (
+          |  SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 32)) AS start
+          |  FROM t)
+          |SELECT doc_id, start // 32 AS chunk_idx,
+          |       least(64, len(w) - start) AS n_tokens,
+          |       md5(array_to_string(w[start + 1 : start + 64], ' ')) AS fp
+          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val toks = split(col("text"), " +")
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), toks.as("w"))
+        .select(col("doc_id"), col("w"),
+          posexplode(sequence(lit(0), size(col("w")) - 1, lit(32))))
+        .select(
+          col("doc_id"),
+          col("pos").cast("long").as("chunk_idx"),
+          least(lit(64), size(col("w")) - col("col")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", slice(col("w"), col("col") + 1, lit(64)))).as("fp"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     Declared(
       "q_pipeline",
       Some(
