@@ -138,4 +138,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_avg") || p.contains("partial_"), s"expected partial agg:\n$p")
     assert(!p.contains("Join"), s"centroid fold must not join:\n$p")
   }
+
+  test("no declared batch query plans a CartesianProduct") {
+    // the one plan shape that is ALWAYS wrong at 100 TB: every declared
+    // subquery/probe/cross pattern must come out as a broadcast (1-row
+    // BNLJ) or an equi-join, never a partition-cartesian. Streaming
+    // bodies are excluded (planning them runs the stream); every batch
+    // query's physical plan is swept.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("q_stream"))
+      .filter { n =>
+        SparkEntry.queries(n)(spark, dir)
+          .queryExecution.executedPlan.toString.contains("CartesianProduct")
+      }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
 }
