@@ -59,6 +59,68 @@ object FormatQueries {
         .orderBy("event_id")
     },
 
+    // Schema evolution: a landing directory whose older files lack a
+    // column added later. mergeSchema unions the footers; legacy rows
+    // surface NULL for the new column. At 100 TB this read path (schema
+    // drift across years of drops) is the rule, not the edge case — the
+    // query proves both cohorts aggregate correctly through one scan.
+    Declared(
+      "q_evolve",
+      Some(
+        """SELECT (event_id % 2 = 0) AS legacy, count(*) AS n,
+          |       round(sum(CASE WHEN event_id % 2 = 1 THEN value * 2
+          |                      ELSE value END), 4) AS total
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val out = graft.ScratchDirs.dir("graft-evolve")
+      val ev = graft.Tables.events(spark, dir).select("event_id", "value")
+      ev.filter(col("event_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$out/gen1")
+      ev.filter(col("event_id") % 2 === 1)
+        .withColumn("value_v2", col("value") * 2) // the evolved column
+        .write.mode("overwrite").parquet(s"$out/gen2")
+      spark.read.option("mergeSchema", "true")
+        .parquet(s"$out/gen1", s"$out/gen2")
+        .groupBy(col("value_v2").isNull.as("legacy"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(coalesce(col("value_v2"), col("value"))), 4).as("total"))
+        .orderBy("legacy")
+    },
+
+    // Corrupt-record-tolerant ingestion (PERMISSIVE mode): real landing
+    // zones contain malformed lines, and a 100 TB load must quarantine
+    // them — not die (FAILFAST) and not silently drop them (DROPMALFORMED).
+    // Three poisoned lines land in `_corrupt_record`; the good cohort
+    // aggregates exactly the source table.
+    Declared(
+      "q_badrecords",
+      Some(
+        """SELECT 'corrupt' AS kind, CAST(3 AS BIGINT) AS n, CAST(0 AS BIGINT) AS id_sum
+          |UNION ALL
+          |SELECT 'ok', count(*), CAST(sum(event_id) AS BIGINT) FROM events
+          |ORDER BY kind""".stripMargin
+      )
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val out = graft.ScratchDirs.dir("graft-badrec")
+      graft.Tables.events(spark, dir).select("event_id", "event_type", "value")
+        .write.mode("overwrite").json(s"$out/good")
+      Seq("{{{", "not json at all", "[1,2").toDS()
+        .write.mode("overwrite").text(s"$out/bad")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("_corrupt_record", StringType)))
+      spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(s"$out/good", s"$out/bad")
+        .groupBy(when(col("_corrupt_record").isNull, "ok").otherwise("corrupt").as("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("event_id"), lit(0L))).as("id_sum"))
+        .orderBy("kind")
+    },
+
     // XML round-trip (Spark 4 built-in XML source, one <row> element per
     // record). Text re-parse like CSV/JSON; explicit schema on read.
     Declared("q_xmlfile", Some(oracleSql)) { (spark, dir) =>
