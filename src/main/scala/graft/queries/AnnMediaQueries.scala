@@ -34,6 +34,44 @@ object AnnMediaQueries {
     }.mkString(" + ")
 
   val all: Seq[Declared] = Seq(
+    // int8 symmetric quantization prep (the serving/PQ compression step:
+    // 4× smaller vectors, SIMD int8 dot products downstream): per-vector
+    // max-abs scale, floor-quantize to [-127,127], report saturation +
+    // reconstruction MAE. floor (not round) so no half-tie divergence
+    // between engines; per-element double chains are IEEE-identical.
+    // Narrow map, no shuffle — embarrassingly parallel at any scale.
+    Declared(
+      "q_quant",
+      Some(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |m AS (SELECT vec_id, v,
+          |             list_aggregate(list_transform(v, x -> abs(x)), 'max') AS s
+          |      FROM e)
+          |SELECT vec_id, round(s, 4) AS scale,
+          |       len(list_filter(v, x -> abs(floor(x * 127 / s)) >= 127)) AS n_sat,
+          |       round(list_aggregate(
+          |               list_transform(v, x -> abs(x - floor(x * 127 / s) * s / 127)),
+          |               'sum') / len(v) * 1000, 4) AS mae_x1000
+          |FROM m WHERE s > 0 ORDER BY vec_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val v = col("embedding").cast("array<double>")
+      val s = aggregate(transform(v, x => abs(x)), lit(0.0d), (a, x) => greatest(a, x))
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), v.as("v"), s.as("s"))
+        .where(col("s") > 0)
+        .select(
+          col("vec_id"),
+          round(col("s"), 4).as("scale"),
+          size(filter(col("v"),
+            x => abs(floor(x * lit(127) / col("s"))) >= 127)).cast("long").as("n_sat"),
+          round(aggregate(
+            transform(col("v"),
+              x => abs(x - floor(x * lit(127) / col("s")) * col("s") / 127)),
+            lit(0.0d), (a, x) => a + x) / size(col("v")) * 1000, 4).as("mae_x1000"))
+        .orderBy("vec_id")
+    },
+
     // approximate top-10 for probe vec_id=0 (bucket join + exact rerank).
     // Oracle replays the same algorithm: literal-plane bucket ids,
     // multiprobe = hamming(bucket, probe bucket) <= 2, exact cosine rerank.
