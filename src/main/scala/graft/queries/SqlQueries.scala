@@ -133,6 +133,28 @@ object SqlQueries {
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     },
 
+    // ANSI-mode safety surface (Spark 4 defaults ANSI on, so x/0 and bad
+    // casts THROW): try_divide/try_cast are the per-row quarantine —
+    // NULL instead of a job-killing exception 40 TB into a scan. DuckDB's
+    // native semantics (NULL on /0, TRY_CAST) mirror them exactly.
+    Declared(
+      "q_try",
+      Some(
+        """SELECT event_id,
+          |       round(value / CAST(event_id % 5 AS DOUBLE), 4) AS ratio,
+          |       CAST(TRY_CAST(CASE WHEN event_id % 2 = 0 THEN '42'
+          |                          ELSE event_type END AS INTEGER) AS BIGINT) AS parsed
+          |FROM events ORDER BY event_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        """SELECT event_id,
+          |       round(try_divide(value, CAST(event_id % 5 AS DOUBLE)), 4) AS ratio,
+          |       CAST(try_cast(CASE WHEN event_id % 2 = 0 THEN '42'
+          |                          ELSE event_type END AS INT) AS BIGINT) AS parsed
+          |FROM events ORDER BY event_id""".stripMargin)
+    },
+
     // WITH RECURSIVE (Spark 4 recursive CTE): calendar-fill — generate the
     // January-1995 date spine recursively (31 driver-coordinated iterations
     // of a 1-row frontier; ≤ the 100-level recursion limit), then LEFT JOIN
