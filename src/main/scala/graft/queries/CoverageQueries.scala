@@ -21,6 +21,51 @@ import org.apache.spark.sql.functions._
 object CoverageQueries {
 
   val all: Seq[Declared] = Seq(
+    // MapType surface: build a per-user event_type→count map from sorted
+    // entries (deterministic iteration order), then read it back with
+    // element_at / size. The map itself never reaches the output (the
+    // driver compare can't hash a map cell); its ACCESSES do, and the
+    // oracle re-derives them relationally — proving construction + lookup.
+    Declared(
+      "q_map",
+      Some(
+        """SELECT user_id,
+          |       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+          |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+          |FROM events GROUP BY user_id
+          |HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+          |ORDER BY user_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("cnt")))))
+          .as("m"))
+        .select(
+          col("user_id"),
+          element_at(col("m"), "purchase").as("n_purchase"),
+          size(col("m")).cast("long").as("n_types"))
+        .where(col("n_purchase").isNotNull)
+        .orderBy("user_id")
+    },
+
+    // GROUP BY ALL / ORDER BY ALL (the modern SQL ergonomics both engines
+    // share): every non-aggregate select item becomes a grouping key.
+    Declared(
+      "q_groupall",
+      Some(
+        """SELECT event_type, user_id % 10 AS cohort,
+          |       count(*) AS n, round(avg(value), 4) AS avg_value
+          |FROM events GROUP BY ALL ORDER BY ALL""".stripMargin
+      )
+    ) { (spark, dir) =>
+      graft.Engine.sql(spark, dir,
+        """SELECT event_type, user_id % 10 AS cohort,
+          |       count(*) AS n, round(avg(value), 4) AS avg_value
+          |FROM events GROUP BY ALL ORDER BY ALL""".stripMargin)
+    },
+
     // UNION ALL — multiset union, no dedup shuffle at all (a pure narrow
     // concat of the two scans; compare q_union's distinct variant)
     Declared(
