@@ -104,4 +104,24 @@ class LayoutSpec extends AnyFunSuite {
       case _                         =>
     }
   }
+
+  test("REBALANCE hint right-sizes write partitions at runtime (AQE)") {
+    // the declarative alternative to manual repartition-before-write: the
+    // optimizer inserts a rebalance shuffle and AQE coalesces/splits its
+    // output to target-size partitions from ACTUAL byte counts — on a
+    // 1000-executor writer this is what prevents both 10k tiny files and
+    // one 50 GB straggler file, without hand-tuning a partition count
+    val out = graft.ScratchDirs.dir("graft-rebalance")
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "value")
+      .repartition(64) // inherited sprawl from an upstream stage
+      .hint("rebalance")
+      .write.mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files < 64, s"AQE rebalance should coalesce the 64-way sprawl, wrote $files files")
+    // and nothing was lost in the rebalance shuffle
+    assert(spark.read.parquet(out).count() ===
+      Tables.events(spark, "/root/testdata/sf0.001").count())
+  }
 }
