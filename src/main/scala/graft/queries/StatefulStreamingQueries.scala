@@ -299,6 +299,59 @@ object StatefulStreamingQueries {
       spark.table(table).orderBy("error_id", "purchase_id")
     },
 
+    // stream-stream FULL OUTER interval join — completes the outer-join
+    // matrix (inner: q_stream_join, left: q_stream_outer). BOTH sides
+    // null-extend, each gated on the min-of-inputs watermark closing ITS
+    // join window: an unmatched error emits once wm passes ets+10min (no
+    // future purchase can match), an unmatched purchase once wm passes its
+    // pts (matching errors have ets ≤ pts, all behind the watermark).
+    Declared(
+      "q_stream_fullouter",
+      Some(
+        """WITH t AS (SELECT least(
+          |             (SELECT max(ts) FROM events WHERE event_type = 'error'),
+          |             (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+          |           - INTERVAL 1 SECOND AS wm)
+          |SELECT e.event_id AS error_id, p.event_id AS purchase_id
+          |FROM (SELECT * FROM events WHERE event_type = 'error') e
+          |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          |  ON p.user_id = e.user_id
+          | AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 10 MINUTE
+          |WHERE (e.event_id IS NOT NULL AND p.event_id IS NOT NULL)
+          |   OR (p.event_id IS NULL AND e.ts + INTERVAL 10 MINUTE < (SELECT wm FROM t))
+          |   OR (e.event_id IS NULL AND p.ts < (SELECT wm FROM t))
+          |ORDER BY error_id, purchase_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val table = s"graft_stream_fullouter_${runId.incrementAndGet()}"
+      withStatePartitions(spark, 4) {
+        val feed = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
+        val errors = feed
+          .where(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id").as("eu"), col("ts").as("ets"))
+          .withWatermark("ets", "1 second")
+        val purchases = feed
+          .where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts"))
+          .withWatermark("pts", "1 second")
+        val q = errors.join(purchases,
+            col("eu") === col("pu") &&
+              col("pts") >= col("ets") &&
+              col("pts") < col("ets") + expr("INTERVAL 10 MINUTE"),
+            "full_outer")
+          .select("error_id", "purchase_id")
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode("append")
+          .format("memory")
+          .queryName(table)
+          .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-ssfull-ckpt"))
+          .start()
+        q.awaitTermination()
+      }
+      spark.table(table).orderBy("error_id", "purchase_id")
+    },
+
     // stream-static join: the live feed enriched against a static dimension
     // (documents keyed by event_id % 500) — the dimension is read per
     // micro-batch and broadcast; no stream state at all, unlike the
