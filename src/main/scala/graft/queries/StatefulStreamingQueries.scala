@@ -352,6 +352,53 @@ object StatefulStreamingQueries {
       spark.table(table).orderBy("error_id", "purchase_id")
     },
 
+    // stream-stream LEFT SEMI interval join: "errors followed by a purchase
+    // within 10 min" WITHOUT row multiplication — each error emits at most
+    // once, on its first match, and semi-join state for the right side
+    // still evicts on the watermark. Unlike the outer variants the oracle
+    // needs NO watermark cut: matched rows are all emitted by the time the
+    // bounded replay drains.
+    Declared(
+      "q_stream_semijoin",
+      Some(
+        """SELECT e.event_id AS error_id FROM events e
+          |WHERE e.event_type = 'error'
+          |  AND EXISTS (SELECT 1 FROM events p
+          |              WHERE p.event_type = 'purchase'
+          |                AND p.user_id = e.user_id
+          |                AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 10 MINUTE)
+          |ORDER BY error_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val table = s"graft_stream_semijoin_${runId.incrementAndGet()}"
+      withStatePartitions(spark, 4) {
+        val feed = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
+        val errors = feed
+          .where(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id").as("eu"), col("ts").as("ets"))
+          .withWatermark("ets", "1 second")
+        val purchases = feed
+          .where(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("ts").as("pts"))
+          .withWatermark("pts", "1 second")
+        val q = errors.join(purchases,
+            col("eu") === col("pu") &&
+              col("pts") >= col("ets") &&
+              col("pts") < col("ets") + expr("INTERVAL 10 MINUTE"),
+            "left_semi")
+          .select("error_id")
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode("append")
+          .format("memory")
+          .queryName(table)
+          .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-sssemi-ckpt"))
+          .start()
+        q.awaitTermination()
+      }
+      spark.table(table).orderBy("error_id")
+    },
+
     // stream-static join: the live feed enriched against a static dimension
     // (documents keyed by event_id % 500) — the dimension is read per
     // micro-batch and broadcast; no stream state at all, unlike the
