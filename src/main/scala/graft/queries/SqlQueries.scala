@@ -155,6 +155,33 @@ object SqlQueries {
           |FROM events ORDER BY event_id""".stripMargin)
     },
 
+    // Time-based RANGE window frame (q_winframe covers ROWS frames): the
+    // trailing-1-hour sliding aggregate per user — "activity in the last
+    // hour at each event" — where the frame is defined by event-TIME
+    // distance, not row count. One user-keyed sort-window shuffle;
+    // identical text runs on both engines.
+    Declared(
+      "q_rangeframe",
+      Some(
+        """SELECT event_id, user_id,
+          |       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+          |       round(sum(value) OVER w, 4) AS sum_1h
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        """SELECT event_id, user_id,
+          |       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+          |       round(sum(value) OVER w, 4) AS sum_1h
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin)
+    },
+
     // WITH RECURSIVE (Spark 4 recursive CTE): calendar-fill — generate the
     // January-1995 date spine recursively (31 driver-coordinated iterations
     // of a 1-row frontier; ≤ the 100-level recursion limit), then LEFT JOIN
