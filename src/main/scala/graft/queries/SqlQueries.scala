@@ -182,6 +182,29 @@ object SqlQueries {
           |ORDER BY event_id""".stripMargin)
     },
 
+    // LOCF gap-filling (last observation carried forward): sensor-style
+    // sparse readings forward-filled per user with last_value IGNORE NULLS
+    // — the standard time-series repair before windowed aggregation.
+    // Sparsity is engineered (every 5th event carries a reading); the fill
+    // is one user-keyed sort-window shuffle. Identical text both engines.
+    Declared(
+      "q_locf",
+      Some(
+        """SELECT event_id, user_id,
+          |       round(last_value(CASE WHEN event_id % 5 = 0 THEN value END IGNORE NULLS)
+          |               OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS filled
+          |FROM events ORDER BY event_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      // Spark spells null-skipping as last_value(expr, true); DuckDB as
+      // last_value(expr IGNORE NULLS) — same semantics, dialect spellings
+      Engine.sql(spark, dir,
+        """SELECT event_id, user_id,
+          |       round(last_value(CASE WHEN event_id % 5 = 0 THEN value END, true)
+          |               OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS filled
+          |FROM events ORDER BY event_id""".stripMargin)
+    },
+
     // WITH RECURSIVE (Spark 4 recursive CTE): calendar-fill — generate the
     // January-1995 date spine recursively (31 driver-coordinated iterations
     // of a 1-row frontier; ≤ the 100-level recursion limit), then LEFT JOIN
