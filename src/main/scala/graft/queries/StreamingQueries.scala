@@ -122,6 +122,64 @@ object StreamingQueries {
       spark.table(table).orderBy("event_type")
     },
 
+    // STREAMING curation (the flagship batch chain q_curate, re-expressed
+    // incrementally): documents land as files, stream through normalize →
+    // stateful exact-dedup (dropDuplicates on the normalized text) →
+    // quality gate → running corpus profile. All aggregated quantities are
+    // fingerprint-determined (normalized-text length/tokens), so the
+    // result is ARRIVAL-ORDER-INVARIANT — which is what makes an
+    // incremental curation pipeline restartable and its numbers stable.
+    Declared(
+      "q_stream_curate",
+      Some(
+        """WITH n AS (SELECT DISTINCT trim(regexp_replace(text, ' +', ' ', 'g')) AS norm
+          |           FROM documents),
+          |q AS (SELECT len(regexp_split_to_array(norm, ' ')) AS n_tokens,
+          |             least(length(norm) / 500.0, 1.0) AS len_score,
+          |             len(list_filter(regexp_split_to_array(norm, ' '),
+          |                             t -> t IN ('the','a','of','and','to'))) * 1.0
+          |               / nullif(len(regexp_split_to_array(norm, ' ')), 0) AS stop_ratio
+          |      FROM n)
+          |SELECT CAST(count(*) AS BIGINT) AS distinct_docs,
+          |       CAST(sum(CASE WHEN len_score >= 0.2 AND stop_ratio > 0
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS quality_pass,
+          |       CAST(sum(CASE WHEN len_score >= 0.2 AND stop_ratio > 0
+          |                     THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens
+          |FROM q""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val docs = graft.Tables.documents(spark, dir)
+      val stage = graft.ScratchDirs.dir("graft-streamcurate")
+      docs.repartition(8).write.mode("overwrite").parquet(stage)
+      val table = s"graft_stream_curate_${runId.incrementAndGet()}"
+      withStatePartitions(spark, 8) {
+        val pass = col("len_score") >= 0.2 && col("stop_ratio") > 0
+        val q = spark.readStream
+          .schema(docs.schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(stage)
+          .select(trim(regexp_replace(col("text"), " +", " ")).as("norm"))
+          .dropDuplicates("norm")
+          .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long"))
+          .withColumn("len_score", least(length(col("norm")) / 500.0, lit(1.0)))
+          .withColumn("stop_ratio",
+            graft.functions.TextAnalysis.stopwordRatio(col("norm")))
+          .agg(
+            count(lit(1)).as("distinct_docs"),
+            sum(when(pass, 1L).otherwise(0L)).as("quality_pass"),
+            sum(when(pass, col("n_tokens")).otherwise(0L)).as("tokens"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode("complete")
+          .format("memory")
+          .queryName(table)
+          .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-streamcurate-ckpt"))
+          .start()
+        q.awaitTermination()
+      }
+      spark.table(table)
+    },
+
     // State-store reader (Spark 4 `statestore` data source): run the same
     // hour-window count to completion, then read the streaming STATE back
     // from the checkpoint — the ops/debugging surface for inspecting live
