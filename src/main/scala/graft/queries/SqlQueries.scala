@@ -205,6 +205,31 @@ object SqlQueries {
           |FROM events ORDER BY event_id""".stripMargin)
     },
 
+    // Null-safe equality join: Spark's <=> / DuckDB's IS NOT DISTINCT FROM.
+    // With plain `=` the NULL cohort silently vanishes from the join — the
+    // classic silent-data-loss bug in key-nullable joins; null-safe
+    // equality keeps it as a first-class group. Still hash-partitionable
+    // (NULL is one key), so the plan stays a normal equi-join at scale.
+    Declared(
+      "q_nullsafe",
+      Some(
+        """WITH f AS (SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+          |                       ELSE user_id % 100 END AS k FROM events),
+          |d AS (SELECT DISTINCT k FROM f)
+          |SELECT d.k, CAST(count(*) AS BIGINT) AS n
+          |FROM d JOIN f ON d.k IS NOT DISTINCT FROM f.k
+          |GROUP BY d.k ORDER BY d.k""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        """WITH f AS (SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+          |                       ELSE user_id % 100 END AS k FROM events),
+          |d AS (SELECT DISTINCT k FROM f)
+          |SELECT d.k, CAST(count(*) AS BIGINT) AS n
+          |FROM d JOIN f ON d.k <=> f.k
+          |GROUP BY d.k ORDER BY d.k""".stripMargin)
+    },
+
     // WITH RECURSIVE (Spark 4 recursive CTE): calendar-fill — generate the
     // January-1995 date spine recursively (31 driver-coordinated iterations
     // of a 1-row frontier; ≤ the 100-level recursion limit), then LEFT JOIN
