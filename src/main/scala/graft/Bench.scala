@@ -38,8 +38,8 @@ object Bench {
   private val headline: Seq[String] = Seq(
     "q_tpch1", "q_agg", "q_join3", "q_window", "q_asof", "q_rangejoin",
     "q_skewjoin", "q_topk", "q_quantile", "q_minhash_lsh", "q_dedup_keep",
-    "q_ivf", "q_knn", "q_sim", "q_pipeline", "q_stream", "q_stream_join",
-    "q_stream_window", "q_stream_tail")
+    "q_ivf", "q_knn", "q_sim", "q_pipeline", "q_curate", "q_stream",
+    "q_stream_join", "q_stream_window", "q_stream_tail")
 
   private def group(name: String): String =
     if (name.startsWith("q_stream")) "streaming"
@@ -47,7 +47,7 @@ object Bench {
                  "q_dedup", "q_dedup_keep", "q_dedup_rows", "q_ivf", "q_editdist",
                  "q_knn", "q_knn_lsh", "q_ann", "q_sim", "q_sql_sim",
                  "q_dedup_incr", "q_contamination", "q_dupgroups",
-                 "q_centroids", "q_windup", "q_curate").contains(name)) "dedup_vector"
+                 "q_centroids", "q_windup", "q_curate", "q_quant").contains(name)) "dedup_vector"
     else "relational"
 
   // Locale.ROOT: the f-interpolator uses the default locale, which on a
