@@ -50,6 +50,39 @@ object CoverageQueries {
         .orderBy("user_id")
     },
 
+    // Array SET operations (the §2.2 array category beyond HOFs): distinct
+    // token vocab per adjacent-doc pair, sorted set intersection joined to
+    // a string (the driver compare can't hash array cells), union/overlap
+    // sizes. Self-join on doc_id+1 is a narrow co-partitioned equi-join.
+    Declared(
+      "q_arrayops",
+      Some(
+        """WITH t AS (SELECT doc_id,
+          |                  list_distinct(regexp_split_to_array(text, ' +')) AS toks
+          |           FROM documents)
+          |SELECT a.doc_id,
+          |       CAST(len(a.toks) AS BIGINT) AS n_a,
+          |       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_common,
+          |       array_to_string(list_sort(list_intersect(a.toks, b.toks)), ',') AS common
+          |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+          |WHERE a.doc_id % 50 = 0
+          |ORDER BY a.doc_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val toks = array_distinct(split(col("text"), " +"))
+      val t = Tables.documents(spark, dir).select(col("doc_id"), toks.as("toks"))
+      val a = t.as("a")
+      val b = t.select(col("doc_id").as("bid"), col("toks").as("btoks"))
+      a.join(b, col("bid") === col("doc_id") + 1)
+        .where(col("doc_id") % 50 === 0)
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_a"),
+          size(array_intersect(col("toks"), col("btoks"))).cast("long").as("n_common"),
+          array_join(array_sort(array_intersect(col("toks"), col("btoks"))), ",").as("common"))
+        .orderBy("doc_id")
+    },
+
     // GROUP BY ALL / ORDER BY ALL (the modern SQL ergonomics both engines
     // share): every non-aggregate select item becomes a grouping key.
     Declared(
