@@ -92,6 +92,57 @@ object StatefulStreamingQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // DYNAMIC-gap session window: the gap is per-EVENT (errors hold the
+    // session open 10 min, everything else 30) — sessionization where the
+    // timeout depends on activity type. Each event contributes the window
+    // [ts, ts+gap); overlapping windows merge, so the oracle's "new
+    // session" test is ts ≥ running max of all previous ts+gap — the
+    // lag-based rule of the fixed-gap oracle is NOT equivalent here (a
+    // short-gap event inside a long-gap window must not split the session).
+    Declared(
+      "q_stream_session_dyn",
+      Some(
+        """WITH x AS (
+          |  SELECT user_id, ts,
+          |         ts + CASE WHEN event_type = 'error' THEN INTERVAL 10 MINUTE
+          |                   ELSE INTERVAL 30 MINUTE END AS we
+          |  FROM events),
+          |g AS (
+          |  SELECT user_id, ts,
+          |         CASE WHEN max(we) OVER w IS NULL OR ts >= max(we) OVER w
+          |              THEN 1 ELSE 0 END AS new_s
+          |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+          |s AS (
+          |  SELECT user_id, ts,
+          |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM g)
+          |SELECT user_id, min(ts) AS session_start, count(*) AS n
+          |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val table = s"graft_stream_session_dyn_${runId.incrementAndGet()}"
+      withStatePartitions(spark, 4) {
+        val gap = when(col("event_type") === "error", lit("10 minutes"))
+          .otherwise(lit("30 minutes"))
+        val q = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
+          .groupBy(session_window(col("ts"), gap), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode("complete")
+          .format("memory")
+          .queryName(table)
+          .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-session-dyn-ckpt"))
+          .start()
+        q.awaitTermination()
+      }
+      spark.table(table)
+        .select(col("user_id"), col("session_window.start").as("session_start"), col("n"))
+        .orderBy("user_id", "session_start")
+    },
+
     // streaming SESSION window in APPEND mode: a session is emitted exactly
     // once — when the watermark passes its close (last event + gap), the
     // same watermark-closure-cut technique as q_stream_outer. The oracle
