@@ -249,6 +249,25 @@ object AdvancedQueries {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
     },
 
+    // MERGEABLE distinct-count sketches (Apache DataSketches HLL): build
+    // one sketch per day, then hll_union_agg merges them — the warehouse
+    // re-aggregation pattern at 100 TB: daily sketches are tiny persisted
+    // artifacts, and any date-range distinct count is a merge, not a
+    // rescan. Engine-specific binary → rows-only; SketchSpec pins that
+    // the merged estimate equals the global-sketch estimate exactly
+    // (associativity) and tracks exact within the HLL error bound.
+    Declared("q_hll", None) { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      ev.createOrReplaceTempView("graft_hll_events")
+      spark.sql(
+        """WITH daily AS (
+          |  SELECT CAST(ts AS DATE) AS d, hll_sketch_agg(user_id) AS sk
+          |  FROM graft_hll_events GROUP BY 1)
+          |SELECT CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT) AS merged_distinct,
+          |       CAST(count(*) AS BIGINT) AS n_daily_sketches
+          |FROM daily""".stripMargin)
+    },
+
     // approximate percentiles (mergeable t-digest-style sketch, single pass,
     // bounded memory — the 100 TB path where exact q_quantile's full sort
     // per group won't fly). Engine-specific sketch → rows-only; SketchSpec

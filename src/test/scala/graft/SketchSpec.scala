@@ -40,4 +40,20 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.15,
       s"approx $approx vs exact $exact")
   }
+
+  test("HLL daily-sketch union equals the global sketch exactly (mergeability)") {
+    val ev = Tables.events(spark, dir)
+    ev.createOrReplaceTempView("graft_hll_spec")
+    val merged = SparkEntry.queries("q_hll")(spark, dir).head().getLong(0)
+    val global = spark.sql(
+      "SELECT CAST(hll_sketch_estimate(hll_sketch_agg(user_id)) AS BIGINT) FROM graft_hll_spec")
+      .head().getLong(0)
+    // sketch merge is associative: per-day sketches unioned must give the
+    // SAME estimate as one global sketch — this is what makes persisted
+    // daily sketches re-aggregable over any date range without rescans
+    assert(merged === global, s"merged $merged vs global $global")
+    val exact = ev.select("user_id").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"HLL estimate $merged vs exact $exact")
+  }
 }
