@@ -139,6 +139,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"centroid fold must not join:\n$p")
   }
 
+  test("q_hll: sketch build and union are partial/final object aggregates") {
+    val p = plan("q_hll")
+    assert(p.contains("ObjectHashAggregate"), s"expected object agg for sketches:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial sketches:\n$p")
+  }
+
   test("no declared batch query plans a CartesianProduct") {
     // the one plan shape that is ALWAYS wrong at 100 TB: every declared
     // subquery/probe/cross pattern must come out as a broadcast (1-row
