@@ -23,6 +23,23 @@ import org.apache.spark.sql.functions._
  */
 object PipelineQueries {
 
+  /** Sliding-window chunking of a whitespace-tokenized text column:
+    * `window`-token chunks every `stride` tokens (chunk_idx, n_tokens,
+    * md5 fingerprint per chunk). Pure generator pipeline — no shuffle. */
+  def chunked(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " +")
+    docs
+      .select(col(idCol), toks.as("w"))
+      .select(col(idCol), col("w"),
+        posexplode(sequence(lit(0), size(col("w")) - 1, lit(stride))))
+      .select(
+        col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        least(lit(window), size(col("w")) - col("col")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", slice(col("w"), col("col") + 1, lit(window)))).as("fp"))
+  }
+
   val all: Seq[Declared] = Seq(
     // Sliding-window document chunking (context-window prep for training /
     // RAG): 64-token chunks on a 32-token stride, fingerprinted per chunk.
@@ -45,16 +62,7 @@ object PipelineQueries {
           |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
       )
     ) { (spark, dir) =>
-      val toks = split(col("text"), " +")
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), toks.as("w"))
-        .select(col("doc_id"), col("w"),
-          posexplode(sequence(lit(0), size(col("w")) - 1, lit(32))))
-        .select(
-          col("doc_id"),
-          col("pos").cast("long").as("chunk_idx"),
-          least(lit(64), size(col("w")) - col("col")).cast("long").as("n_tokens"),
-          md5(concat_ws(" ", slice(col("w"), col("col") + 1, lit(64)))).as("fp"))
+      chunked(Tables.documents(spark, dir), "doc_id", "text", window = 64, stride = 32)
         .orderBy("doc_id", "chunk_idx")
     },
 
