@@ -38,4 +38,39 @@ class ConcurrencySpec extends AnyFunSuite {
       }
     } finally pool.shutdown()
   }
+
+  test("one writer + concurrent readers: range/read invariants never tear") {
+    // the reference's deployment shape: the collector goroutine appends
+    // while HTTP readers poll range/point/page concurrently
+    val log = new graft.streaming.OffsetLog(0, 500)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val readers = (1 to 4).map { _ =>
+      new Thread(() => {
+        while (!stop.get()) {
+          val r = log.range
+          if (!r.isEmpty) {
+            if (r.earliest > r.latest) failures.add(s"inverted range $r")
+            // a read inside the observed range may race retention (purged
+            // → OutOfRange is legal) but must NEVER report FutureOffset
+            log.read(r.latest) match {
+              case Left(graft.operators.EventLog.FutureOffset) =>
+                failures.add(s"future error inside observed range $r")
+              case _ => ()
+            }
+            val snap = log.snapshot.map(_._1)
+            if (snap.nonEmpty && snap != (snap.head to snap.last)) {
+              failures.add(s"snapshot offsets not dense: ${snap.take(5)}...")
+            }
+          }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    (0 until 2000).foreach(i => log.write(i.toString.getBytes("UTF-8")))
+    stop.set(true)
+    readers.foreach(_.join())
+    assert(failures.isEmpty, s"invariant violations: ${failures.toArray.take(3).mkString("; ")}")
+    assert(log.range.latest === 1999L)
+  }
 }
