@@ -205,6 +205,56 @@ object SqlQueries {
           |FROM events ORDER BY event_id""".stripMargin)
     },
 
+    // Correlated scalar subquery in the SELECT list (q_scalarsub covers the
+    // uncorrelated broadcast form): per-customer max order value inline.
+    // Catalyst decorrelates to aggregate + left outer join — one pass over
+    // orders, NOT one subquery execution per customer row.
+    Declared(
+      "q_corrsub",
+      Some(
+        """SELECT c_custkey,
+          |       round(coalesce((SELECT max(o_totalprice) FROM orders o
+          |                       WHERE o.o_custkey = c.c_custkey), 0), 4) AS max_order
+          |FROM customer c
+          |WHERE c_acctbal > 9000
+          |ORDER BY c_custkey""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        """SELECT c_custkey,
+          |       round(coalesce((SELECT max(o_totalprice) FROM orders o
+          |                       WHERE o.o_custkey = c.c_custkey), 0), 4) AS max_order
+          |FROM customer c
+          |WHERE c_acctbal > 9000
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // NOT IN three-valued logic — the classic silent-wrong-answer trap: if
+    // the subquery produces ANY NULL, `x NOT IN (...)` is never TRUE and
+    // the result is empty. Both engines implement the standard; the query
+    // pins both cohorts (null-free list → real count, null-polluted list
+    // → 0) side by side so a future rewrite to anti-join can't silently
+    // change the semantics.
+    Declared(
+      "q_notin",
+      Some(
+        """SELECT
+          |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+          |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)) AS never_ordered,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+          |   WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+          |                                       ELSE o_custkey END FROM orders)) AS null_poisoned""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        """SELECT
+          |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+          |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)) AS never_ordered,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+          |   WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+          |                                       ELSE o_custkey END FROM orders)) AS null_poisoned""".stripMargin)
+    },
+
     // Null-safe equality join: Spark's <=> / DuckDB's IS NOT DISTINCT FROM.
     // With plain `=` the NULL cohort silently vanishes from the join — the
     // classic silent-data-loss bug in key-nullable joins; null-safe
