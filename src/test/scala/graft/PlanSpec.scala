@@ -139,6 +139,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"centroid fold must not join:\n$p")
   }
 
+  test("q_corrsub: correlated scalar subquery decorrelates to one aggregate + outer join") {
+    val p = plan("q_corrsub")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"expected one aggregated pass over orders:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"decorrelation must not fall back to a nested loop:\n$p")
+  }
+
+  test("q_notin: null-aware anti join, not a plain anti join") {
+    val p = plan("q_notin")
+    assert(p.contains("LeftAnti"), s"expected anti join for NOT IN:\n$p")
+  }
+
   test("q_hll: sketch build and union are partial/final object aggregates") {
     val p = plan("q_hll")
     assert(p.contains("ObjectHashAggregate"), s"expected object agg for sketches:\n$p")
