@@ -255,6 +255,28 @@ object SqlQueries {
           |                                       ELSE o_custkey END FROM orders)) AS null_poisoned""".stripMargin)
     },
 
+    // Ordered-set aggregates (WITHIN GROUP): listagg with a deterministic
+    // ORDER BY (Spark 4) and interpolated percentile_cont — the ANSI
+    // spellings of ordered string aggregation and continuous quantiles.
+    // DuckDB spells the first string_agg(… ORDER BY …); same semantics.
+    Declared(
+      "q_withingroup",
+      Some(
+        """SELECT event_type,
+          |       string_agg(DISTINCT CAST(user_id % 5 AS VARCHAR), ','
+          |                  ORDER BY CAST(user_id % 5 AS VARCHAR)) AS cohorts,
+          |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS med
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        """SELECT event_type,
+          |       listagg(DISTINCT CAST(user_id % 5 AS STRING), ',')
+          |         WITHIN GROUP (ORDER BY CAST(user_id % 5 AS STRING)) AS cohorts,
+          |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS med
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
     // Null-safe equality join: Spark's <=> / DuckDB's IS NOT DISTINCT FROM.
     // With plain `=` the NULL cohort silently vanishes from the join — the
     // classic silent-data-loss bug in key-nullable joins; null-safe
