@@ -83,7 +83,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[graft.expressions.ZOrderCode].getName, "graft_zorder"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.expressions.ZOrderCode(children(0), children(1))))
+        children match {
+          case Seq(x, y) => graft.expressions.ZOrderCode(x, y)
+          case _ => throw new IllegalArgumentException("graft_zorder(x, y)")
+        }))
     ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[graft.expressions.WinnowFingerprints].getName, "graft_winnow"),
@@ -101,7 +104,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[graft.expressions.BloomMightContain].getName, "graft_bloom_contains"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.expressions.BloomMightContain(children(0), children(1))))
+        children match {
+          case Seq(key, bloom) => graft.expressions.BloomMightContain(key, bloom)
+          case _ => throw new IllegalArgumentException("graft_bloom_contains(key, bloom)")
+        }))
     ext.injectFunction((
       new FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountInSet].getName, "graft_count_in"),

@@ -32,6 +32,11 @@ case class BloomMightContain(left: Expression, right: Expression)
     else if (right.dataType != BinaryType || !right.foldable)
       TypeCheckResult.TypeCheckFailure(
         "graft_bloom_contains expects a foldable BINARY bloom-filter literal")
+    else if (right.eval() == null)
+      // a NULL literal would otherwise NPE lazily inside BloomFilter.readFrom
+      // on the executor — reject it at analysis time instead
+      TypeCheckResult.TypeCheckFailure(
+        "graft_bloom_contains bloom-filter literal must not be NULL")
     else TypeCheckResult.TypeCheckSuccess
 
   @transient private lazy val bloom: BloomFilter = {

@@ -516,8 +516,11 @@ object CoverageQueries {
           col("user_id"), col("event_type"), col("ts").as("valid_from"),
           coalesce(col("next_ts"), lit("2099-12-31 00:00:00").cast("timestamp"))
             .as("valid_to"),
-          col("next_ts").isNull.as("is_current"))
-        .orderBy("user_id", "valid_from")
+          col("next_ts").isNull.as("is_current"), col("event_id"))
+        // event_id tiebreak keeps the row order deterministic when two
+        // change-rows for one user share a ts (matches the oracle ORDER BY)
+        .orderBy("user_id", "valid_from", "event_id")
+        .drop("event_id")
     },
 
     // runtime bloom-filter join pruning: the dim side (orders over the

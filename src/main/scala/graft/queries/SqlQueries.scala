@@ -52,8 +52,13 @@ object SqlQueries {
           |FROM events ORDER BY event_id""".stripMargin
       )
     ) { (spark, dir) =>
-      spark.udf.register("graft_reverse", (s: String) => s.reverse)
-      spark.udf.register("graft_weight", (s: String, u: Long) => s.length * u)
+      // register-if-absent: the bench replays every query 3× in one session
+      // and an unconditional register logs "replaced a previously registered
+      // function" per pass
+      if (!spark.catalog.functionExists("graft_reverse"))
+        spark.udf.register("graft_reverse", (s: String) => s.reverse)
+      if (!spark.catalog.functionExists("graft_weight"))
+        spark.udf.register("graft_weight", (s: String, u: Long) => s.length * u)
       Engine.sql(spark, dir,
         """SELECT event_id, graft_reverse(event_type) AS rev,
           |       graft_weight(event_type, user_id) AS weighted
@@ -274,6 +279,35 @@ object SqlQueries {
           |       listagg(DISTINCT CAST(user_id % 5 AS STRING), ',')
           |         WITHIN GROUP (ORDER BY CAST(user_id % 5 AS STRING)) AS cohorts,
           |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS med
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
+    // mode(): the last §2.2 scalar-aggregate residual. Spark 4's ordered
+    // variant `mode() WITHIN GROUP (ORDER BY k)` breaks frequency ties by
+    // taking the smallest value, which makes the result deterministic;
+    // the oracle replays that exact tie-break with a count + row_number
+    // (ORDER BY cnt DESC, cohort ASC) since DuckDB's own mode() leaves
+    // ties unspecified. Plan-wise this is an ordinary partial→final hash
+    // aggregate on event_type — no extra shuffle over a plain count.
+    Declared(
+      "q_mode",
+      Some(
+        """WITH c AS (SELECT event_type, user_id % 10 AS cohort, count(*) AS cnt
+          |           FROM events GROUP BY 1, 2),
+          |r AS (SELECT event_type, cohort,
+          |             row_number() OVER (PARTITION BY event_type
+          |                                ORDER BY cnt DESC, cohort) AS rn
+          |      FROM c)
+          |SELECT r.event_type, r.cohort AS modal_cohort, t.n
+          |FROM r JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          |             FROM events GROUP BY 1) t USING (event_type)
+          |WHERE rn = 1 ORDER BY event_type""".stripMargin
+      )
+    ) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        """SELECT event_type,
+          |       mode() WITHIN GROUP (ORDER BY user_id % 10) AS modal_cohort,
+          |       CAST(count(*) AS BIGINT) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     },
 
