@@ -205,9 +205,13 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
-    // SimHash signatures (xxhash64-based — not expressible in the oracle;
-    // rows-only check; pair recall asserted against exact pairs in DedupSpec)
-    Declared("q_simhash", None) { (spark, dir) =>
+    // SimHash signatures. Fully oracle-checked via the q_ann technique
+    // taken one step further: the oracle REPLAYS XXH64(seed=42) itself in
+    // DuckDB HUGEINT mod-2^64 bit arithmetic ([[SimHashOracle]]), then
+    // folds the same 64 bit votes — so the native codegen'd SimHash64
+    // expression is hash-checked bit-for-bit, not just spec-pinned
+    // (DedupSpec still asserts HOF/codegen parity + pair recall).
+    Declared("q_simhash", Some(SimHashOracle.sql)) { (spark, dir) =>
       Tables.documents(spark, dir)
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
         .orderBy("doc_id")
