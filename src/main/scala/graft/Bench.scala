@@ -94,7 +94,13 @@ object Bench {
       }
     }
 
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated name filter for subset runs
+    // (the sf1 scale rehearsal times a hand-picked batch registry subset;
+    // the driver never sets this, so its per-round full run is unchanged)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Wall-clock budget for the timed passes: pass 1 always runs; a later
     // pass starts only if the previous pass's duration still fits. Guards
     // the protocol against a heavily-loaded box (a 3× slowdown must

@@ -38,12 +38,19 @@ object Tables {
       case _        => spark.read.parquet(s"$dir/$name.parquet")
     }
 
-  /** `events` with `ts` normalized from ns-long to a µs TimestampType. */
+  /** `events` with `ts` normalized from ns-long to a µs TimestampType.
+    * Schema-adaptive: the driver-generated files carry INT64
+    * TIMESTAMP(NANOS) (read as a raw long under `nanosAsLong`), while
+    * derived directories (the ScaleUp sf1 rehearsal slice) carry a plain
+    * INT64 — both arrive as LongType and get the same µs rebuild. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
   }
 
   /** Typed events Dataset (case-class Encoder; compile-time field safety). */

@@ -87,10 +87,11 @@ object StreamingQueries {
 
     // File-based streaming SOURCE (the standard at-scale ingestion path:
     // a landing directory of parquet drops, discovered incrementally).
-    // Events staged as 8 files, admitted 2 files per trigger → a real
-    // multi-batch replay through the file source's discovery log, with a
-    // stateful agg accumulating across batches. Complements
-    // q_stream_filesink (the exactly-once file SINK).
+    // Events staged as 4 files, admitted 2 files per trigger → a real
+    // 2-batch replay through the file source's discovery log, with a
+    // stateful agg accumulating across the batch boundary (the same
+    // transition 4 batches proved, at half the per-batch floor).
+    // Complements q_stream_filesink (the exactly-once file SINK).
     Declared(
       "q_stream_filesrc",
       Some(
@@ -101,7 +102,7 @@ object StreamingQueries {
       val stage = graft.ScratchDirs.dir("graft-filesrc")
       val ev = graft.Tables.events(spark, dir)
         .select("event_id", "ts", "user_id", "event_type", "value")
-      ev.repartition(8).write.mode("overwrite").parquet(stage)
+      ev.repartition(4).write.mode("overwrite").parquet(stage)
       val table = s"graft_stream_filesrc_${runId.incrementAndGet()}"
       withStatePartitions(spark, 8) {
         val q = spark.readStream
@@ -150,7 +151,9 @@ object StreamingQueries {
     ) { (spark, dir) =>
       val docs = graft.Tables.documents(spark, dir)
       val stage = graft.ScratchDirs.dir("graft-streamcurate")
-      docs.repartition(8).write.mode("overwrite").parquet(stage)
+      // 4 staged files / 2 per trigger = 2 micro-batches: the dedup +
+      // running-profile state still crosses a batch boundary
+      docs.repartition(4).write.mode("overwrite").parquet(stage)
       val table = s"graft_stream_curate_${runId.incrementAndGet()}"
       withStatePartitions(spark, 8) {
         val pass = col("len_score") >= 0.2 && col("stop_ratio") > 0

@@ -88,15 +88,18 @@ object Ingest {
 
   /**
    * Admission-control batch size targeting a fixed number of micro-batches
-   * over a bounded replay (default 3 — enough to prove cross-batch state,
-   * few enough that the ~0.5-1.5 s/micro-batch local-mode floor doesn't
-   * dominate; under a loaded machine every batch pays the floor, so batch
-   * count is the direct variance-exposure knob). Row count comes from
-   * parquet footer metadata (no scan). A live unbounded pipeline would
-   * instead size this to poll-interval × peak-rate, exactly like Kafka's
-   * maxOffsetsPerTrigger.
+   * over a bounded replay (default 2 — the minimum that still proves
+   * cross-batch state: batch 1 builds state, batch 2 continues/extends it
+   * across the boundary, which is the transition every stateful operator
+   * in the registry is asserting; a third batch re-proves the same
+   * transition while paying the ~0.5-1.5 s/micro-batch local-mode floor
+   * again, and under a loaded machine every batch pays the floor, so
+   * batch count is the direct variance-exposure knob). Row count comes
+   * from parquet footer metadata (no scan). A live unbounded pipeline
+   * would instead size this to poll-interval × peak-rate, exactly like
+   * Kafka's maxOffsetsPerTrigger.
    */
-  def pacedBatchSize(spark: SparkSession, dir: String, targetBatches: Int = 3): Int = {
+  def pacedBatchSize(spark: SparkSession, dir: String, targetBatches: Int = 2): Int = {
     val n = spark.read.parquet(s"$dir/events.parquet").count()
     math.max(1000, math.ceil(n.toDouble / targetBatches).toInt)
   }
