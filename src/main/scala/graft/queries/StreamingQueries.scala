@@ -362,7 +362,13 @@ object StreamingQueries {
           .start()
         q.awaitTermination()
       }
-      Ingest.parsed(spark.table(table))
+      // detach the delivered records from the memory sink's MemoryPlan
+      // (whose rows would otherwise ship inside every downstream task
+      // binary) — they're already driver-resident, so re-distribute once
+      // via broadcast like the log view itself
+      val delivered = spark.table(table).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+      Ingest.parsed(Ingest.distributedRecords(spark, delivered))
         .select(
           col("offset").as("log_offset"),
           col("ce.data.event_id").as("event_id"),

@@ -116,6 +116,14 @@ class EventFeedMicroBatchStream(
 
   private lazy val rows: Array[EventFeed.FeedRow] = EventFeed.load(path, startingTimestamp)
 
+  /** The materialized feed ships to executors ONCE via TorrentBroadcast
+    * (chunked through the block manager); partitions carry only [start,end)
+    * indices. Embedding row slices in the InputPartition instead would ride
+    * the task serialization path — ~4 MiB/task `TaskSetManager` warnings at
+    * sf0.1, and a per-task (not per-executor) transfer at scale. */
+  private lazy val bcRows: org.apache.spark.broadcast.Broadcast[Array[EventFeed.FeedRow]] =
+    SparkSession.active.sparkContext.broadcast(rows)
+
   override def initialOffset(): Offset = FeedPosition(0L)
   override def deserializeOffset(json: String): Offset = FeedPosition(json.toLong)
   override def commit(end: Offset): Unit = ()
@@ -148,17 +156,20 @@ class EventFeedMicroBatchStream(
     val s = start.asInstanceOf[FeedPosition].n.toInt
     val e = end.asInstanceOf[FeedPosition].n.toInt
     if (e <= s) Array.empty
-    else Array(EventFeedPartition(rows.slice(s, e)))
+    else Array(EventFeedPartition(bcRows, s, e))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-      val slice = partition.asInstanceOf[EventFeedPartition].rows
+      val p     = partition.asInstanceOf[EventFeedPartition]
+      val all   = p.rows.value
+      val start = p.start
+      val n     = p.end - p.start
       new PartitionReader[InternalRow] {
         private var i = -1
-        override def next(): Boolean = { i += 1; i < slice.length }
+        override def next(): Boolean = { i += 1; i < n }
         override def get(): InternalRow = {
-          val r = slice(i)
+          val r = all(start + i)
           new GenericInternalRow(Array[Any](
             r._1,
             if (r._2 == null) null else r._2.longValue(),
@@ -174,4 +185,8 @@ class EventFeedMicroBatchStream(
   }
 }
 
-case class EventFeedPartition(rows: Array[EventFeed.FeedRow]) extends InputPartition
+case class EventFeedPartition(
+    rows: org.apache.spark.broadcast.Broadcast[Array[EventFeed.FeedRow]],
+    start: Int,
+    end: Int
+) extends InputPartition

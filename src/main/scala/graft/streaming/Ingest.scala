@@ -165,10 +165,35 @@ object Ingest {
   }
 
   /** The retained log as a DataFrame of (offset, value) — the queryable sink
-    * table every batch operator (range/point/page/watch replay) runs over. */
-  def logFrame(spark: SparkSession, log: OffsetLog): DataFrame = {
+    * table every batch operator (range/point/page/watch replay) runs over.
+    * The snapshot ships via TorrentBroadcast and the rows materialize
+    * executor-side: `seq.toDF` would plant a LocalRelation whose rows ride
+    * inside every downstream stage's serialized task binary (the ~4 MiB
+    * `DAGScheduler` broadcast warnings at sf0.1), re-shipped per stage
+    * instead of once per executor. */
+  def logFrame(spark: SparkSession, log: OffsetLog): DataFrame =
+    distributedRecords(spark, log.snapshot.map { case (o, b) => (o, new String(b, "UTF-8")) })
+
+  /** Driver-resident (offset, value) records as a DISTRIBUTED frame: the
+    * array ships once per executor via TorrentBroadcast and rows
+    * materialize inside the tasks. Also used to detach memory-sink
+    * contents (q_stream_tail) from their MemoryPlan, whose embedded rows
+    * otherwise ride every downstream stage's task binary. */
+  def distributedRecords(spark: SparkSession, records: Seq[(Long, String)]): DataFrame = {
+    val snap = records.toIndexedSeq
     import spark.implicits._
-    log.snapshot.map { case (o, b) => (o, new String(b, "UTF-8")) }.toDF("offset", "value")
+    val bc    = spark.sparkContext.broadcast(snap)
+    val parts = math.max(1, math.min(snap.length / 8192 + 1, 32))
+    spark.createDataset(
+      spark.sparkContext
+        .parallelize(0 until parts, parts)
+        .flatMap { p =>
+          val a  = bc.value
+          val lo = (a.length.toLong * p / parts).toInt
+          val hi = (a.length.toLong * (p + 1) / parts).toInt
+          a.iterator.slice(lo, hi)
+        })
+      .toDF("offset", "value")
   }
 
   /** Parse stored CloudEvent bytes back to typed columns (O12 / §1.2). */
