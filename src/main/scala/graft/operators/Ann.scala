@@ -88,17 +88,31 @@ object Ann {
    * C codegen'd distance expressions — a narrow map) and recomputes means
    * via a (cid, dim) partial-aggregated shuffle. Only the C×dim centroid
    * matrix ever reaches the driver — the model artifact, not data.
+   *
+   * The fit TRAINS on a bounded deterministic sample (`fitSample`, hash-
+   * strided on the id so it's reproducible and scan-prunable): Lloyd
+   * iterations re-scan their input `iters` times, and re-scanning a 100 TB
+   * corpus three times to place 16 coarse centroids is waste — quantizer
+   * quality saturates long before 4k training points. Assignment
+   * ([[assignCentroid]] / [[ivfTopK]]) always runs over the FULL corpus;
+   * corpora already at-or-under the cap train on everything (all current
+   * test SFs — the sf1 rehearsal slice is the first to trigger sampling).
    */
   def ivfFit(
       emb: DataFrame, c: Int, iters: Int = 5,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      fitSample: Int = 4096): Array[Array[Double]] = {
+    val n = emb.count()
+    val train =
+      if (n <= fitSample) emb
+      else emb.filter(pmod(xxhash64(col(idCol)), lit(n / fitSample)) === 0)
     var centroids: Array[Array[Double]] =
-      emb.orderBy(col(idCol)).limit(c)
+      train.orderBy(col(idCol)).limit(c)
         .select(col(vecCol).cast("array<double>"))
         .collect()
         .map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to iters) {
-      val means = assignCentroid(emb, centroids, vecCol)
+      val means = assignCentroid(train, centroids, vecCol)
         .select(col("cid"), posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
         .agg(avg("x").as("m"))
