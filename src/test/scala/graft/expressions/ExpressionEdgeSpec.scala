@@ -46,6 +46,23 @@ class ExpressionEdgeSpec extends AnyFunSuite {
     assert(math.abs(self.asInstanceOf[Double] - 1.0) < 1e-6)
   }
 
+  test("type and arity misuse fails at analysis time with a usable message") {
+    // wrong input type → AnalysisException (not an executor-side
+    // ClassCastException mid-stage)
+    val winnowTypeErr = intercept[Exception](one("graft_winnow(42)"))
+    assert(winnowTypeErr.getMessage.contains("STRING"))
+    // NULL bloom literal → analysis error (not a lazy executor NPE in
+    // BloomFilter.readFrom)
+    val bloomNullErr = intercept[Exception](
+      one("graft_bloom_contains(CAST(1 AS BIGINT), CAST(NULL AS BINARY))"))
+    assert(bloomNullErr.getMessage.toLowerCase.contains("null"))
+    // wrong arity → usage message, not IndexOutOfBoundsException
+    val zorderArity = intercept[Exception](one("graft_zorder(1)"))
+    assert(zorderArity.getMessage.contains("graft_zorder"))
+    val bloomArity = intercept[Exception](one("graft_bloom_contains(CAST(1 AS BIGINT))"))
+    assert(bloomArity.getMessage.contains("graft_bloom_contains"))
+  }
+
   test("expressions survive a whole-column pass over real data with injected nulls") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
