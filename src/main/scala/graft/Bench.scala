@@ -46,7 +46,7 @@ object Bench {
     else if (Set("q_neardup", "q_embdup", "q_minhash_lsh", "q_simhash",
                  "q_dedup", "q_dedup_keep", "q_dedup_rows", "q_ivf", "q_editdist",
                  "q_knn", "q_knn_lsh", "q_ann", "q_sim", "q_sql_sim",
-                 "q_dedup_incr", "q_contamination", "q_dupgroups",
+                 "q_dedup_incr", "q_contamination", "q_dupgroups", "q_hnsw",
                  "q_centroids", "q_windup", "q_curate", "q_quant").contains(name)) "dedup_vector"
     else "relational"
 

@@ -237,6 +237,58 @@ object Ann {
    * cosine rerank. Same output schema as [[bruteForceTopK]]. With H=8 and
    * radius 2 the probe scans 37/256 ≈ 14% of a uniformly-bucketed corpus.
    */
+  // ----- shard-local navigable-small-world graph ANN ------------------------
+
+  /**
+   * Graph-ANN top-k over SHARD-LOCAL navigable-small-world graphs — the
+   * third ANN family next to [[lshTopK]] (hash buckets) and [[ivfTopK]]
+   * (coarse quantizer), covering the regime where graph indexes win:
+   * high-recall search without scanning a bucket/list's full contents.
+   *
+   * Spark-first distribution (the industrial shard-per-worker shape, cf.
+   * the HNSW paper's flat predecessor NSW, Malkov et al.): each of
+   * `shards` partitions builds ONE single-layer NSW graph over its rows
+   * inside `mapPartitions` — greedy beam search finds each inserted
+   * node's `m` nearest among the already-inserted, edges are
+   * bidirectional with degree capped at 2m (pruned by similarity) — then
+   * searches the probe with beam width `ef` and emits its LOCAL top-k.
+   * The global answer is the k best of the ≤ shards·k candidates (a
+   * TakeOrderedAndProject merge, rows ∝ shards·k, never the corpus).
+   *
+   * Everything is deterministic: hash sharding on the id, insertion in id
+   * order, similarity ties broken by node index — same corpus, same
+   * graph, same answer. Construction is O(n·ef·m) per shard and stays
+   * executor-local; nothing but the final candidate rows moves.
+   */
+  def nswTopK(
+      emb: DataFrame, probeId: Long, k: Int,
+      m: Int = 8, ef: Int = 48, shards: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val probeVec = emb.filter(col(idCol) === probeId)
+      .select(col(vecCol).cast("array<double>")).take(1).headOption
+      .getOrElse(missingProbe(probeId, idCol))
+      .getSeq[Double](0).toArray
+    val bcProbe = spark.sparkContext.broadcast(probeVec)
+
+    val local = emb
+      .repartition(shards, col(idCol))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val items = it.toArray.sortBy(_._1) // deterministic insertion order
+        if (items.isEmpty) Iterator.empty
+        else NswShard.searchTopK(items, bcProbe.value, k, m, ef).iterator
+      }
+      .toDF(idCol, "sim")
+
+    local
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("sim"), 4).as("sim"))
+  }
+
   def lshTopK(
       emb: DataFrame, probeId: Long, k: Int,
       numPlanes: Int = 8, maxHamming: Int = 2, dim: Int = 64,

@@ -102,6 +102,15 @@ object AnnMediaQueries {
       Ann.ivfTopK(emb, probeId = 0L, k = 10, centroids, nprobe = 4)
     },
 
+    // Graph-ANN top-10: shard-local navigable-small-world graphs (the
+    // HNSW family) built per partition inside mapPartitions, probe
+    // beam-searched per shard, global merge of shards·k candidates.
+    // Graph construction is data-order-dependent → not SQL-portable;
+    // rows-only here, recall vs brute force asserted in AnnSpec.
+    Declared("q_hnsw", None) { (spark, dir) =>
+      Ann.nswTopK(Tables.embeddings(spark, dir), probeId = 0L, k = 10)
+    },
+
     // batch k-NN join: exact top-5 neighbors for every probe vec_id < 10 —
     // the training-data "find similar examples per sample" shape
     Declared(

@@ -67,6 +67,33 @@ class AnnSpec extends AnyFunSuite {
     assert(assigned.select("cid").distinct().count() > 1)
   }
 
+  test("NSW graph top-k recovers planted clusters; deterministic across runs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      c <- 0 until 20
+      center = Array.fill(64)(rnd.nextGaussian().toFloat)
+      m <- 0 until 10
+    } yield ((c * 10 + m).toLong, center.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq)
+    val emb = rows.toDF("vec_id", "embedding")
+
+    val probes = Seq(0L, 55L, 111L, 190L)
+    val recalls = probes.map { p =>
+      val exact  = Ann.bruteForceTopK(emb, p, 10).collect().map(_.getLong(0)).toSet
+      val approx = Ann.nswTopK(emb, p, 10).collect().map(_.getLong(0)).toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 $mean (per-probe: $recalls)")
+
+    // probe ranks itself first at sim 1; result is bit-identical on re-run
+    // (hash sharding + id-ordered insertion + id tie-breaks)
+    val a = Ann.nswTopK(emb, 0L, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Ann.nswTopK(emb, 0L, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a === b)
+    assert(a.head._1 === 0L && a.head._2 === 1.0)
+  }
+
   test("knnJoin returns exactly k ranked neighbors per probe, no self-matches") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, dir)
