@@ -87,20 +87,24 @@ object Bench {
     def exercise(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try exercise(fn, warmDir) catch { case _: Throwable => () }
-      }
-    }
-
     // SPARK_GRAFT_BENCH_ONLY: comma-separated name filter for subset runs
-    // (the sf1 scale rehearsal times a hand-picked batch registry subset;
+    // (the scale rehearsals time a hand-picked batch registry subset;
     // the driver never sets this, so its per-round full run is unchanged)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    require(names.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY matched no registry query: ${only.getOrElse(Set.empty).mkString(",")}")
+
+    // warm only the queries this run will time — a subset rerun shouldn't
+    // pay the full-registry warmup (or discover a typo'd filter after it)
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      names.foreach { name =>
+        try exercise(SparkEntry.queries(name), warmDir) catch { case _: Throwable => () }
+      }
+    }
     // Wall-clock budget for the timed passes: pass 1 always runs; a later
     // pass starts only if the previous pass's duration still fits. Guards
     // the protocol against a heavily-loaded box (a 3× slowdown must
@@ -141,7 +145,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","median":true,"passes":$passesRun,"load":[${f3(loadStart)},${f3(loadEnd)}],"queries":$medJson,"samples":$samplesJson,"sf":"$sfDir","cpus":"$cpus"}"""
-    val fullTargets = Seq("/root/repo/BENCH_FULL.json", "BENCH_FULL.json")
+    // a filtered run must not clobber the committed full-registry record —
+    // its total covers only the subset and carries no marker of the filter
+    val fullName = if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json"
+    val fullTargets = Seq(s"/root/repo/$fullName", fullName)
     val written = fullTargets.exists { path =>
       try {
         val out = new java.io.PrintWriter(path)

@@ -23,12 +23,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(children(0), children(1))))
+        children match {
+          case Seq(a, b) => CosineSimilarity(a, b)
+          case _ => throw new IllegalArgumentException("graft_cosine(vec_a, vec_b)")
+        }))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(children(0), children(1))))
+        children match {
+          case Seq(a, b) => DotProduct(a, b)
+          case _ => throw new IllegalArgumentException("graft_dot(vec_a, vec_b)")
+        }))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
@@ -111,11 +117,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountInSet].getName, "graft_count_in"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        // second arg: a foldable array of string literals (the word set)
-        val words = children(1).eval().asInstanceOf[ArrayData]
-          .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
-        CountInSet(children(0), words)
-      }))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        children match {
+          // second arg: a foldable array of string literals (the word set)
+          case Seq(text, set) if set.foldable && set.eval() != null =>
+            val words = set.eval().asInstanceOf[ArrayData]
+              .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+            CountInSet(text, words)
+          case _ => throw new IllegalArgumentException(
+            "graft_count_in(text, array('w1', ...)) — the word set must be a non-null literal array")
+        }))
   }
 }

@@ -90,13 +90,16 @@ object Ann {
    * matrix ever reaches the driver — the model artifact, not data.
    *
    * The fit TRAINS on a bounded deterministic sample (`fitSample`, hash-
-   * strided on the id so it's reproducible and scan-prunable): Lloyd
-   * iterations re-scan their input `iters` times, and re-scanning a 100 TB
-   * corpus three times to place 16 coarse centroids is waste — quantizer
-   * quality saturates long before 4k training points. Assignment
-   * ([[assignCentroid]] / [[ivfTopK]]) always runs over the FULL corpus;
-   * corpora already at-or-under the cap train on everything (all current
-   * test SFs — the sf1 rehearsal slice is the first to trigger sampling).
+   * strided on the id so it's reproducible): Lloyd iterations re-scan
+   * their input `iters` times, and re-scanning a 100 TB corpus three
+   * times to place 16 coarse centroids is waste — quantizer quality
+   * saturates long before 4k training points. The sample is PERSISTED
+   * for the fit (a hash-of-id predicate cannot prune row groups, so
+   * without the cache every iteration would still scan the full corpus
+   * to re-derive the ~4k rows) and unpersisted before returning.
+   * Assignment ([[assignCentroid]] / [[ivfTopK]]) always runs over the
+   * FULL corpus; corpora already at-or-under the cap train on everything
+   * (all current test SFs — the sf1 slice is the first to sample).
    */
   def ivfFit(
       emb: DataFrame, c: Int, iters: Int = 5,
@@ -104,24 +107,27 @@ object Ann {
       fitSample: Int = 4096): Array[Array[Double]] = {
     val n = emb.count()
     val train =
-      if (n <= fitSample) emb
-      else emb.filter(pmod(xxhash64(col(idCol)), lit(n / fitSample)) === 0)
-    var centroids: Array[Array[Double]] =
-      train.orderBy(col(idCol)).limit(c)
-        .select(col(vecCol).cast("array<double>"))
-        .collect()
-        .map(_.getSeq[Double](0).toArray)
-    for (_ <- 1 to iters) {
-      val means = assignCentroid(train, centroids, vecCol)
-        .select(col("cid"), posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
-        .groupBy("cid", "dim")
-        .agg(avg("x").as("m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      centroids = next // empty clusters keep their previous centroid
-    }
-    centroids
+      (if (n <= fitSample) emb
+       else emb.filter(pmod(xxhash64(col(idCol)), lit(n / fitSample)) === 0))
+        .persist()
+    try {
+      var centroids: Array[Array[Double]] =
+        train.orderBy(col(idCol)).limit(c)
+          .select(col(vecCol).cast("array<double>"))
+          .collect()
+          .map(_.getSeq[Double](0).toArray)
+      for (_ <- 1 to iters) {
+        val means = assignCentroid(train, centroids, vecCol)
+          .select(col("cid"), posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+          .groupBy("cid", "dim")
+          .agg(avg("x").as("m"))
+          .collect()
+        val next = centroids.map(_.clone())
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        centroids = next // empty clusters keep their previous centroid
+      }
+      centroids
+    } finally train.unpersist(blocking = false)
   }
 
   /** Nearest-centroid assignment: `cid` = argmin over C squared-L2

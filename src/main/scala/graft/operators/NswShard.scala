@@ -79,9 +79,17 @@ private[operators] object NswShard {
         adj(nb) += i
         if (adj(nb).length > 2 * m) {
           // prune the weakest edge of the over-full node (ties → larger id)
+          // SYMMETRICALLY — removing it from only one side would leave a
+          // dangling reverse edge, and a node all of whose neighbors pruned
+          // it that way becomes unreachable (nothing points TO it). Skip
+          // candidates this edge is the last edge OF, so no node is
+          // orphaned; if every neighbor hangs by this edge, keep them all.
           val vn = norms(nb)
-          val drop = adj(nb).minBy(e => (cos(vecs(nb), vn, e), -e))
-          adj(nb) -= drop
+          val cands = adj(nb).sortBy(e => (cos(vecs(nb), vn, e), -e))
+          cands.find(e => adj(e).length > 1).foreach { drop =>
+            adj(nb)   -= drop
+            adj(drop) -= nb
+          }
         }
       }
       i += 1

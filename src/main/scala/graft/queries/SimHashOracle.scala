@@ -16,11 +16,14 @@ package graft.queries
  * exponentially (measured: the alias form never finished on 27k tokens;
  * the nested form runs in ~1.4 s).
  *
- * Corpus contract this relies on (asserted over the generated documents
- * table): tokens are ASCII and at most 8 bytes, so only XXH64's short
- * path is needed — one optional 8-byte round, one optional 4-byte chunk,
- * and up to three tail bytes. The generic ≥32-byte stripe loop is NOT
- * replayed; a corpus with longer tokens would need it.
+ * Corpus contract this relies on (asserted by DedupSpec's "corpus
+ * contract" test over every driver-testdata SF): tokens are ASCII and at
+ * most 8 bytes, so only XXH64's short path is needed — one optional
+ * 8-byte round, one optional 4-byte chunk, and up to three tail bytes.
+ * The generic ≥32-byte stripe loop is NOT replayed; a corpus with longer
+ * tokens would need it. The [[graft.tools.ScaleUp]] rehearsal dirs
+ * VIOLATE the contract (per-copy token tags lengthen tokens past 8
+ * bytes) — they are bench-only and never oracle-compared.
  */
 object SimHashOracle {
 

@@ -121,13 +121,18 @@ class EventFeedMicroBatchStream(
     * indices. Embedding row slices in the InputPartition instead would ride
     * the task serialization path — ~4 MiB/task `TaskSetManager` warnings at
     * sf0.1, and a per-task (not per-executor) transfer at scale. */
-  private lazy val bcRows: org.apache.spark.broadcast.Broadcast[Array[EventFeed.FeedRow]] =
+  @volatile private var bcShipped = false
+  private lazy val bcRows: org.apache.spark.broadcast.Broadcast[Array[EventFeed.FeedRow]] = {
+    bcShipped = true
     SparkSession.active.sparkContext.broadcast(rows)
+  }
 
   override def initialOffset(): Offset = FeedPosition(0L)
   override def deserializeOffset(json: String): Offset = FeedPosition(json.toLong)
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  // release the whole-feed broadcast at stream stop instead of waiting for
+  // the ContextCleaner to notice it via GC
+  override def stop(): Unit = if (bcShipped) bcRows.destroy()
 
   // --- admission control: ≤ maxBatchSize rows per trigger (the 50-events
   // per-poll cap, `main.go:107` — same mechanism as Kafka

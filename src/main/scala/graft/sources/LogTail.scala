@@ -107,9 +107,22 @@ class LogTailMicroBatchStream(
     }
   }
 
+  // batch broadcasts live until the batch is committed: each planned batch
+  // ships one TorrentBroadcast, and without explicit cleanup a long tail
+  // session accumulates one per micro-batch until GC happens to run the
+  // ContextCleaner — unbounded block-manager growth. Commit keeps only the
+  // most recently planned batch (a completed batch is never re-run within
+  // the query); stop drains the rest.
+  private val shipped =
+    new java.util.ArrayDeque[org.apache.spark.broadcast.Broadcast[Array[(Long, String)]]]()
+
   override def deserializeOffset(json: String): Offset = LogCursor(json.toLong)
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def commit(end: Offset): Unit = synchronized {
+    while (shipped.size > 1) shipped.pollFirst().destroy()
+  }
+  override def stop(): Unit = synchronized {
+    while (!shipped.isEmpty) shipped.pollFirst().destroy()
+  }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxBatchSize.toLong)
 
@@ -142,6 +155,7 @@ class LogTailMicroBatchStream(
       // serialization (~4 MiB/task warnings at sf0.1)
       val rows = (s until e).flatMap(o => log.read(o).toOption.map(b => (o, new String(b, "UTF-8"))))
       val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(rows.toArray)
+      synchronized { shipped.addLast(bc) }
       Array(LogTailPartition(bc))
     }
   }

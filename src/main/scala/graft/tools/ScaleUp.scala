@@ -21,7 +21,11 @@ import org.apache.spark.sql.types.LongType
  *    structure is preserved verbatim, across copies Jaccard collapses to
  *    ~0 — so MinHash-LSH/winnowing workloads scale like 10 independent
  *    corpora instead of exploding quadratically on 10 exact clones of
- *    every document (which would measure the clone blowup, not the plan);
+ *    every document (which would measure the clone blowup, not the plan).
+ *    The tag pushes tokens past the 8-byte bound [[graft.queries.SimHashOracle]]
+ *    relies on, so scaled dirs are BENCH-ONLY — never point the DuckDB
+ *    oracle compare at them (the driver never does; it compares only the
+ *    driver-generated testdata SFs, where DedupSpec pins the bound);
  *  - dimension tables (region/nation/supplier/part) stay fixed, like the
  *    broadcast side of a real warehouse at any SF; lineitem keeps its
  *    part/supp keys so dim joins stay valid;

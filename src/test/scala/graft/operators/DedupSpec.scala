@@ -76,6 +76,25 @@ class DedupSpec extends AnyFunSuite {
     assert(between.forall { case (a, b) => a % 10 == 0 && b % 10 != 0 })
   }
 
+  test("SimHashOracle corpus contract: driver-testdata tokens are ASCII and at most 8 bytes") {
+    // the q_simhash oracle replays only XXH64's short path (one 8-byte
+    // round + 4-byte chunk + 3 tail bytes); this pins the corpus property
+    // that makes that sufficient, at every SF the correctness gate runs on.
+    // Scale-rehearsal dirs from graft.tools.ScaleUp deliberately violate it
+    // (the per-copy token tag lengthens tokens) and are bench-only.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val d = s"/root/testdata/$sf"
+      if (new java.io.File(d).isDirectory) {
+        val bad = Tables.documents(spark, d)
+          .select(explode(split(col("text"), " +")).as("tok"))
+          .where(length(col("tok")) > 0)
+          .where(octet_length(col("tok")) > 8 || col("tok").rlike("[^\\x01-\\x7F]"))
+          .count()
+        assert(bad === 0L, s"$d violates the SimHashOracle token contract")
+      }
+    }
+  }
+
   test("simhash: equal text equal hash; near-dup pairs have small hamming distance") {
     val df = Seq((1, "the quick brown fox jumps over the lazy dog"),
                  (2, "the quick brown fox jumps over the lazy dog"))
