@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.Similarity
 import graft.operators.Dedup
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -214,6 +215,56 @@ object DedupQueries {
     Declared("q_simhash", Some(SimHashOracle.sql)) { (spark, dir) =>
       Tables.documents(spark, dir)
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // Line-level exact dedup (the C4/CCNet stage: drop every repeated
+    // line CORPUS-WIDE, keeping only its first occurrence, then reassemble
+    // each document from its surviving lines). The corpus has no newlines,
+    // so the declared "line" is a deterministic 10-token segment — the
+    // plan shape is the production one regardless of the splitter:
+    // generator-explode (narrow), ONE shuffle keyed on the line to decide
+    // first-occurrence (row_number over (line) ordered by (doc_id, pos) —
+    // at 100 TB a hot boilerplate line skews this key; AQE skew handling
+    // or salting the rn computation with a two-phase min is the standard
+    // mitigation), then one doc-keyed shuffle to rebuild the text. Output
+    // is per-doc kept/dropped counts + a fingerprint of the rebuilt text,
+    // so the oracle checks the reassembly byte-for-byte, not just counts.
+    Declared(
+      "q_linededup",
+      Some(
+        """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents),
+          |s AS (SELECT doc_id, start // 10 AS pos,
+          |             array_to_string(w[start + 1 : start + 10], ' ') AS seg
+          |      FROM (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 10)) AS start
+          |            FROM t)),
+          |r AS (SELECT doc_id, pos, seg,
+          |             row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+          |      FROM s)
+          |SELECT doc_id,
+          |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lines_kept,
+          |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS lines_dropped,
+          |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos), '')) AS fp
+          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val wArr = split(col("text"), " +")
+      val segs = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), size(wArr) - 1, lit(10)),
+            s => array_join(slice(wArr, s + 1, lit(10)), " "))).as(Seq("pos", "seg")))
+      val w = Window.partitionBy("seg").orderBy("doc_id", "pos")
+      segs
+        .withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+          sum(when(col("rn") === 1, 1).otherwise(0)).as("lines_kept"),
+          sum(when(col("rn") > 1, 1).otherwise(0)).as("lines_dropped"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(when(col("rn") === 1, struct(col("pos"), col("seg"))))),
+              x => x.getField("seg")),
+            " ")).as("fp"))
         .orderBy("doc_id")
     },
 

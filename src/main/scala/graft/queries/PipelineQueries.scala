@@ -104,6 +104,51 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // PII redaction (the scrub stage every production corpus pipeline
+    // runs before training). The synthetic corpus carries no PII, so the
+    // declared query FIRST plants a deterministic contact string per doc
+    // (email + phone derived from doc_id — both sides of the oracle build
+    // the identical dirty text), then redacts with the two codegen'd
+    // regexp_replace passes. The fingerprint of the redacted text proves
+    // the patterns matched exactly the planted spans and nothing else
+    // (the surrounding text must survive byte-for-byte); n_pii counts the
+    // matches pre-redaction. Plan: a pure narrow map — zero shuffles, no
+    // UDFs, embarrassingly parallel at 100 TB. Patterns stay in the
+    // RE2 ∩ java.util.regex common subset so both engines agree.
+    Declared(
+      "q_redact",
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id,
+          |         text || ' contact user' || doc_id || '@corp.example.com or +1-555-'
+          |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+          |  FROM documents)
+          |SELECT doc_id,
+          |       CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          |          + len(regexp_extract_all(dirty, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_pii,
+          |       md5(regexp_replace(
+          |             regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |             '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS fp
+          |FROM d ORDER BY doc_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      val dirty = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@corp.example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      Tables.documents(spark, dir)
+        .select(
+          col("doc_id"),
+          (regexp_count(dirty, lit(emailRe)) + regexp_count(dirty, lit(phoneRe)))
+            .cast("long").as("n_pii"),
+          md5(regexp_replace(
+            regexp_replace(dirty, emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("fp"))
+        .orderBy("doc_id")
+    },
+
     // deterministic train/val/test split assignment (~90/5/5): the split a
     // training run must be able to RECOMPUTE from the raw corpus — no
     // random() (unstable across retries/partitions), no persisted
