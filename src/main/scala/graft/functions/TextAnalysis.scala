@@ -115,4 +115,21 @@ object TextAnalysis {
     * sliding-window updates for chunk/winnowing fingerprinting at scale. */
   def rollingFingerprint(text: Column): Column =
     call_function("graft_rollhash", text)
+
+  // --- PII redaction --------------------------------------------------------
+
+  /** Patterns stay in the RE2 ∩ java.util.regex common subset so a DuckDB
+    * oracle can replay them byte-for-byte (no lookaround, no backrefs). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+1-555-[0-9]{4}"
+
+  /** The corpus scrub stage: replace every email/phone span with a typed
+    * placeholder, leaving every other byte untouched. Idempotent (the
+    * placeholders match neither pattern); pure codegen'd narrow map. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"), PhonePattern, "<PHONE>")
+
+  /** Number of PII spans [[redactPii]] would replace. */
+  def piiCount(text: Column): Column =
+    (regexp_count(text, lit(EmailPattern)) + regexp_count(text, lit(PhonePattern))).cast("long")
 }

@@ -360,4 +360,44 @@ object Dedup {
       .dropDuplicates("da", "db")
       .where(col("distance") <= maxDistance)
   }
+
+  /**
+   * Line-level exact dedup (the C4/CCNet stage): split each document into
+   * fixed `segTokens`-token segments (the corpus has no newlines; with
+   * real line breaks the splitter changes, the plan does not), keep only
+   * the CORPUS-WIDE first occurrence of each distinct segment — first =
+   * smallest (doc, pos), decided by a row_number over the segment key —
+   * and reassemble every document from its surviving segments in order.
+   *
+   * Output: (id, lines_kept, lines_dropped, fp) where fp fingerprints the
+   * rebuilt text, so an oracle checks the reassembly byte-for-byte.
+   *
+   * Scale shape: generator explode (narrow) → ONE segment-keyed shuffle
+   * for the keep-first decision (hot boilerplate lines skew this key;
+   * AQE skew handling / salting a two-phase min is the mitigation) → ONE
+   * doc-keyed shuffle whose map-side partial collect_list carries only
+   * kept segments.
+   */
+  def lineDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10): DataFrame = {
+    val wArr = split(col(textCol), " +")
+    val segs = docs
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(wArr) - 1, lit(segTokens)),
+          s => array_join(slice(wArr, s + 1, lit(segTokens)), " "))).as(Seq("pos", "seg")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seg").orderBy(idCol, "pos")
+    segs
+      .withColumn("rn", row_number().over(w))
+      .groupBy(idCol)
+      .agg(
+        sum(when(col("rn") === 1, 1).otherwise(0)).as("lines_kept"),
+        sum(when(col("rn") > 1, 1).otherwise(0)).as("lines_dropped"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") === 1, struct(col("pos"), col("seg"))))),
+            x => x.getField("seg")),
+          " ")).as("fp"))
+  }
 }

@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables
 import graft.functions.Similarity
 import graft.operators.Dedup
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -248,23 +247,7 @@ object DedupQueries {
           |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
       )
     ) { (spark, dir) =>
-      val wArr = split(col("text"), " +")
-      val segs = Tables.documents(spark, dir)
-        .select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), size(wArr) - 1, lit(10)),
-            s => array_join(slice(wArr, s + 1, lit(10)), " "))).as(Seq("pos", "seg")))
-      val w = Window.partitionBy("seg").orderBy("doc_id", "pos")
-      segs
-        .withColumn("rn", row_number().over(w))
-        .groupBy("doc_id")
-        .agg(
-          sum(when(col("rn") === 1, 1).otherwise(0)).as("lines_kept"),
-          sum(when(col("rn") > 1, 1).otherwise(0)).as("lines_dropped"),
-          md5(array_join(
-            transform(
-              array_sort(collect_list(when(col("rn") === 1, struct(col("pos"), col("seg"))))),
-              x => x.getField("seg")),
-            " ")).as("fp"))
+      Dedup.lineDedup(Tables.documents(spark, dir), "doc_id", "text", segTokens = 10)
         .orderBy("doc_id")
     },
 

@@ -132,8 +132,6 @@ object PipelineQueries {
           |FROM d ORDER BY doc_id""".stripMargin
       )
     ) { (spark, dir) =>
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phoneRe = "\\+1-555-[0-9]{4}"
       val dirty = concat(
         col("text"), lit(" contact user"), col("doc_id").cast("string"),
         lit("@corp.example.com or +1-555-"),
@@ -141,11 +139,8 @@ object PipelineQueries {
       Tables.documents(spark, dir)
         .select(
           col("doc_id"),
-          (regexp_count(dirty, lit(emailRe)) + regexp_count(dirty, lit(phoneRe)))
-            .cast("long").as("n_pii"),
-          md5(regexp_replace(
-            regexp_replace(dirty, emailRe, "<EMAIL>"),
-            phoneRe, "<PHONE>")).as("fp"))
+          TextAnalysis.piiCount(dirty).as("n_pii"),
+          md5(TextAnalysis.redactPii(dirty)).as("fp"))
         .orderBy("doc_id")
     },
 

@@ -61,6 +61,13 @@ class ExpressionEdgeSpec extends AnyFunSuite {
     assert(zorderArity.getMessage.contains("graft_zorder"))
     val bloomArity = intercept[Exception](one("graft_bloom_contains(CAST(1 AS BIGINT))"))
     assert(bloomArity.getMessage.contains("graft_bloom_contains"))
+    val cosineArity = intercept[Exception](one("graft_cosine(array(CAST(1.0 AS FLOAT)))"))
+    assert(cosineArity.getMessage.contains("graft_cosine"))
+    val dotArity = intercept[Exception](one("graft_dot(array(CAST(1.0 AS FLOAT)))"))
+    assert(dotArity.getMessage.contains("graft_dot"))
+    // non-literal word set → usage message, not a builder-side cast crash
+    val countInErr = intercept[Exception](one("graft_count_in('a b')"))
+    assert(countInErr.getMessage.contains("graft_count_in"))
   }
 
   test("expressions survive a whole-column pass over real data with injected nulls") {

@@ -63,4 +63,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     // order-sensitive (unlike a bag-of-chars hash)
     assert(ref("ab") !== ref("ba"))
   }
+
+  test("redactPii: exact spans replaced, near-misses and surrounding bytes survive, idempotent") {
+    val cases = Seq(
+      // (input, expected)
+      ("mail x.y@z.io now",            "mail <EMAIL> now"),
+      ("call +1-555-0042 today",       "call <PHONE> today"),
+      ("a@b has no tld",               "a@b has no tld"),           // no dot-TLD → not an email
+      ("+1-555-123 is short",          "+1-555-123 is short"),      // 3 digits → not the phone shape
+      ("two a@b.co c@d.org hits",      "two <EMAIL> <EMAIL> hits"),
+      ("no pii here at all",           "no pii here at all"))
+    val out = cases.toDF("in", "want")
+      .select(TextAnalysis.redactPii(col("in")).as("got"), col("want"),
+        TextAnalysis.piiCount(col("in")).as("n"))
+      .collect()
+    out.zip(cases).foreach { case (r, (in, want)) =>
+      assert(r.getString(0) === want, s"input: $in")
+    }
+    // counts agree with the number of replaced spans
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 1L, 0L, 0L, 2L, 0L))
+    // idempotent: a second pass over redacted text changes nothing
+    val twice = cases.toDF("in", "want")
+      .select(TextAnalysis.redactPii(TextAnalysis.redactPii(col("in"))).as("got"), col("want"))
+      .filter(col("got") =!= col("want")).count()
+    assert(twice === 0L)
+  }
 }

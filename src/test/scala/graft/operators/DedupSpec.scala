@@ -95,6 +95,32 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("lineDedup: corpus-wide keep-first per segment, within-doc repeats dropped, docs reassembled") {
+    // 4-token docs with segTokens=2 → two segments each, A="a b",
+    // B="c d", C="e f". First occurrence is smallest (doc_id, pos):
+    // A@(1,0), B@(1,1), C@(2,1). So doc1=(A,B) keeps both; doc2=(A,C)
+    // loses A to doc1 and keeps C; doc3=(C,C) loses its pos-0 copy to
+    // doc2 and its pos-1 copy as a repeat — kept 0, dropped 2.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "e f e f")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", segTokens = 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(out.map(t => (t._1, t._2, t._3)) ===
+      Seq((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
+    // reassembly fingerprints the surviving text in segment order
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out.map(_._4) === Seq(md5hex("a b c d"), md5hex("e f"), md5hex("")))
+    // invariants: kept = distinct segments corpus-wide; kept+dropped = all
+    assert(out.map(_._2).sum === 3L)
+    assert(out.map(t => t._2 + t._3).sum === 6L)
+  }
+
   test("simhash: equal text equal hash; near-dup pairs have small hamming distance") {
     val df = Seq((1, "the quick brown fox jumps over the lazy dog"),
                  (2, "the quick brown fox jumps over the lazy dog"))
