@@ -16,6 +16,15 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 case class CountInSet(child: Expression, words: Seq[String]) extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType | NullType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_count_in expects ARRAY<STRING> tokens, got $other")
+    }
+
   override def dataType: DataType = LongType
 
   @transient private lazy val set: java.util.HashSet[UTF8String] = {

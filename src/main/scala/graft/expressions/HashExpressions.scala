@@ -1,5 +1,6 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -39,6 +40,17 @@ object HashSeeds {
   * minima, one fused loop (shingles × hash functions). */
 case class MinHashSignature(child: Expression, numHashes: Int = 64, seed: Long = 42L)
     extends UnaryExpression {
+
+  // analysis-time guard: getUTF8String on a non-string array element would
+  // misread the Unsafe layout as offset+length — silently wrong signatures,
+  // not even a crash
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // NullType: the empty-array literal `array()` — zero elements, nothing
+    // to misread, and the empty-input identity case relies on it
+    case ArrayType(StringType | NullType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash expects ARRAY<STRING> shingles, got $other")
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -101,6 +113,12 @@ case class MinHashSignature(child: Expression, numHashes: Int = 64, seed: Long =
 
 /** 64-bit SimHash: ARRAY<STRING> tokens → LONG signature, one fused loop. */
 case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType | NullType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash expects ARRAY<STRING> tokens, got $other")
+  }
 
   override def dataType: DataType = LongType
 

@@ -38,6 +38,12 @@ object RollingHash {
 /** STRING → LONG rolling-hash fingerprint (codegen'd). */
 case class RollingHashFingerprint(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_rollhash expects a STRING document, got ${child.dataType}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =

@@ -17,6 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 case class WordShingles(child: Expression, n: Int = 3) extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles expects a STRING document, got ${child.dataType}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   def compute(s: UTF8String): GenericArrayData = {

@@ -41,6 +41,18 @@ object Ann {
       .map { case (p, j) => when(dotLit(v, p) >= 0, lit(1L << j)).otherwise(lit(0L)) }
       .reduce(_ + _)
 
+  /** Fail loud when the configured plane dimensionality doesn't cover the
+    * corpus vectors: the dot product iterates min(length), so a too-small
+    * `dim` silently buckets on a PREFIX of every vector — recall sinks and
+    * nothing errors. One column-pruned single-row scan pays for the check. */
+  private def requireDim(emb: DataFrame, vecCol: String, dim: Int): Unit =
+    emb.select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
+      val actual = r.getInt(0)
+      require(actual == dim,
+        s"LSH dim=$dim but '$vecCol' vectors have $actual dimensions — " +
+          "the hyperplanes must cover the full vector")
+    }
+
   private def missingProbe(probeId: Long, idCol: String): Nothing =
     throw new IllegalArgumentException(
       s"probe id $probeId not found in column '$idCol'")
@@ -221,6 +233,7 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       probeIdCol: String = "probe_id", probeVecCol: String = "p"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireDim(emb, vecCol, dim)
     val ps     = planes(dim, numPlanes)
     val corpus = emb.withColumn("bucket", lshBucket(col(vecCol), ps))
     val probeB = probes.withColumn("pb", lshBucket(col(probeVecCol), ps))
@@ -312,6 +325,7 @@ object Ann {
       emb: DataFrame, probeId: Long, k: Int,
       numPlanes: Int = 8, maxHamming: Int = 2, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireDim(emb, vecCol, dim)
     val ps       = planes(dim, numPlanes)
     val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), ps))
     // probe side: explode into the multiprobe bucket set, broadcast

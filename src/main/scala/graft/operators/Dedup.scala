@@ -26,13 +26,18 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Prime modulus for minhash arithmetic (fits 32 bits so `a*x+b` stays
-    * within long range under ANSI overflow checking). */
-  val P: Long = 2147483647L
+    * within long range under ANSI overflow checking). ONE constant shared
+    * with the codegen expression — see [[seeds]]. */
+  val P: Long = graft.expressions.HashSeeds.P
 
-  /** `numHashes` (a,b) seed pairs, deterministic (seed=42). */
+  /** `numHashes` (a,b) seed pairs, deterministic (seed=42). Delegates to
+    * the SAME generator the codegen [[graft.expressions.MinHashSignature]]
+    * uses — a second RNG with a different draw order here would make two
+    * "seed=42" families that silently disagree (pinned by the
+    * HOF-vs-codegen parity test in DedupSpec). */
   def seeds(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numHashes)((rnd.nextLong(P - 1) + 1, rnd.nextLong(P)))
+    val (a, b) = graft.expressions.HashSeeds.affineSeeds(numHashes, seed)
+    a.zip(b).toSeq
   }
 
   /** Distinct word n-gram shingles of `text` (default 3-word shingles),

@@ -111,16 +111,21 @@ object EventLog {
     log.filter(col(offsetCol) >= lit(start)).orderBy(col(offsetCol))
 
   /**
-   * O6 (batch view) — 2-segment retention (`README.md:177-184`): the live
-   * window holds at most 2×segmentSize records, i.e.
-   * `offset > latest - capacity`.
+   * O6 (batch view) — 2-segment retention (`README.md:177-184`). The ring
+   * state is fully determined by the latest offset: the active segment
+   * starts at the last segment boundary ≤ latest, history is the one
+   * segment before it, so retained = `offset ≥ S·⌊latest/S⌋ − S`. (The
+   * earlier `offset > latest − 2S` form was the maximal-window UPPER
+   * BOUND, a strict superset of the ring for every latest not on a
+   * boundary-minus-one — up to S−1 extra rows; EventLogOpsSpec now pins
+   * equality against a real OffsetLog snapshot.)
    */
   def retained(log: DataFrame, segmentSize: Int = DefaultSegmentSize, offsetCol: String = "offset"): DataFrame = {
-    val cols     = log.columns.map(col)
-    val capacity = 2L * segmentSize
+    val cols = log.columns.map(col)
     log
       .crossJoin(broadcast(log.agg(max(col(offsetCol)).as("__latest"))))
-      .where(col(offsetCol) > col("__latest") - capacity)
+      .where(col(offsetCol) >=
+        floor(col("__latest") / segmentSize) * segmentSize - segmentSize)
       .select(cols.toIndexedSeq: _*)
       .orderBy(col(offsetCol))
   }

@@ -53,11 +53,14 @@ object Multimodal {
 
   /** Frame sampling: every `frameBytes`-byte slice of the payload, pure SQL
     * (`substring` on BINARY) — the batch-shape analog of video frame
-    * extraction. */
+    * extraction. An EMPTY payload yields zero frames, matching
+    * [[StubDecoder.decode]]'s n_frames = 0 (the greatest(...) floor alone
+    * would emit one zero-byte frame for it). */
   def frameSample(media: org.apache.spark.sql.Column, frameBytes: Int = 64): org.apache.spark.sql.Column =
-    transform(
-      sequence(lit(0), greatest(floor((octet_length(media) - 1) / lit(frameBytes)).cast("int"), lit(0))),
-      i => substring(media, i * frameBytes + 1, lit(frameBytes)))
+    when(octet_length(media) === 0, array().cast("array<binary>"))
+      .otherwise(transform(
+        sequence(lit(0), greatest(floor((octet_length(media) - 1) / lit(frameBytes)).cast("int"), lit(0))),
+        i => substring(media, i * frameBytes + 1, lit(frameBytes))))
 
   /** One decoded-feature row per asset. */
   case class MediaFeatures(

@@ -78,15 +78,17 @@ object TemporalJoins {
     val rb      = floor(unix_micros(col(rightTimeCol)) / deltaUs)
     val l = left
       .withColumn("__bucket", explode(array(lb, lb + 1)))
-    val r     = right.withColumn("__bucket", rb)
-    val keys  = Seq("__bucket")
+    val r = right.withColumn("__bucket", rb)
     val cond = extraKeys
       .map { case (lk, rk) => l(lk) === r(rk) }
       .foldLeft(l("__bucket") === r("__bucket"))(_ && _)
     l.join(r, cond)
+      // qualify via the dataset references like the join condition — bare
+      // col(...) is AMBIGUOUS_REFERENCE whenever both sides share the time
+      // column name (the natural ts-vs-ts call)
       .where(
-        col(rightTimeCol) >= col(leftTimeCol) &&
-          unix_micros(col(rightTimeCol)) < unix_micros(col(leftTimeCol)) + deltaUs)
+        r(rightTimeCol) >= l(leftTimeCol) &&
+          unix_micros(r(rightTimeCol)) < unix_micros(l(leftTimeCol)) + deltaUs)
       .drop("__bucket")
   }
 }

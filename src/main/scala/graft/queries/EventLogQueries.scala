@@ -59,8 +59,10 @@ object EventLogQueries {
     Declared(
       "q_retain",
       Some(
+        // exact 2-segment ring: active starts at the last 100-boundary ≤
+        // latest, history is the segment before it
         s"""SELECT $eventCols FROM events
-           |WHERE event_id > (SELECT max(event_id) FROM events) - 200
+           |WHERE event_id >= ((SELECT max(event_id) FROM events) // 100) * 100 - 100
            |ORDER BY event_id""".stripMargin
       )
     ) { (spark, dir) =>

@@ -178,7 +178,15 @@ object Ingest {
     * array ships once per executor via TorrentBroadcast and rows
     * materialize inside the tasks. Also used to detach memory-sink
     * contents (q_stream_tail) from their MemoryPlan, whose embedded rows
-    * otherwise ride every downstream stage's task binary. */
+    * otherwise ride every downstream stage's task binary.
+    *
+    * Broadcast lifecycle: unlike LogTail's per-micro-batch broadcasts
+    * (destroyed eagerly at commit because the SOURCE holds them alive for
+    * the stream's whole life), this handle's only reference is the
+    * returned frame's RDD lineage — when the caller drops the frame it
+    * becomes unreachable and the ContextCleaner reclaims it, the normal
+    * Spark lifecycle for per-frame broadcasts. Destroying it eagerly here
+    * would kill a frame the caller may still hold. */
   def distributedRecords(spark: SparkSession, records: Seq[(Long, String)]): DataFrame = {
     val snap = records.toIndexedSeq
     import spark.implicits._

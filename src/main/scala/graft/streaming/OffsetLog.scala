@@ -87,7 +87,11 @@ final class OffsetLog(
     synchronized {
       val r     = range
       val start = startParam.getOrElse(r.latest + 1)
-      if (!r.isEmpty && start < r.earliest) Left(OutOfRange)
+      // negative offsets are out of range on ANY log state — without the
+      // start < 0 arm an EMPTY log skips the purged-start guard and the
+      // snapshot loop would read(-1).toOption.get → NoSuchElementException
+      // (a 500 where the reference 400s)
+      if (start < 0 || (!r.isEmpty && start < r.earliest)) Left(OutOfRange)
       else Right(
         (math.max(start, r.earliest) to r.latest)
           .map(o => o -> read(o).toOption.get))

@@ -19,8 +19,8 @@ class ExpressionEdgeSpec extends AnyFunSuite {
   test("null inputs propagate null, not exceptions") {
     assert(one("graft_cosine(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))") == null)
     assert(one("graft_dot(CAST(NULL AS ARRAY<FLOAT>), CAST(NULL AS ARRAY<FLOAT>))") == null)
-    assert(one("graft_minhash(CAST(NULL AS ARRAY<BIGINT>), 4)") == null)
-    assert(one("graft_simhash(CAST(NULL AS STRING))") == null)
+    assert(one("graft_minhash(CAST(NULL AS ARRAY<STRING>), 4)") == null)
+    assert(one("graft_simhash(CAST(NULL AS ARRAY<STRING>))") == null)
     assert(one("graft_shingles(CAST(NULL AS STRING), 3)") == null)
     assert(one("graft_rollhash(CAST(NULL AS STRING))") == null)
     assert(one("graft_count_in(CAST(NULL AS ARRAY<STRING>), array('a'))") == null)
@@ -74,9 +74,30 @@ class ExpressionEdgeSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .withColumn("t", when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("text")))
-    val n = docs.selectExpr("graft_simhash(t)", "graft_rollhash(t)",
-        "size(graft_shingles(t, 3))")
-      .count()
-    assert(n === docs.count())
+    // aggregate over the expression OUTPUTS, not count(): a bare count lets
+    // Catalyst prune the projection and the expressions never run
+    // (bit_xor, not sum — hashes span the full 64-bit range and ANSI sum
+    // overflows)
+    val got = docs.selectExpr(
+        "bit_xor(graft_simhash(split(t, ' +')))",
+        "bit_xor(graft_rollhash(t))",
+        "sum(size(graft_shingles(t, 3)))")
+      .head()
+    assert(!got.isNullAt(0) && !got.isNullAt(1) && !got.isNullAt(2))
+  }
+
+  test("hash-family expressions reject wrong input types at analysis time") {
+    // pre-guard, graft_minhash over a non-string array read the Unsafe
+    // layout as offset+length — silently wrong signatures, no error
+    val mh = intercept[Exception](one("graft_minhash(array(1L, 2L), 4)"))
+    assert(mh.getMessage.contains("ARRAY<STRING>"))
+    val sh = intercept[Exception](one("graft_simhash('a b')"))
+    assert(sh.getMessage.contains("ARRAY<STRING>"))
+    val sg = intercept[Exception](one("graft_shingles(42, 3)"))
+    assert(sg.getMessage.contains("STRING"))
+    val rh = intercept[Exception](one("graft_rollhash(42)"))
+    assert(rh.getMessage.contains("STRING"))
+    val ci = intercept[Exception](one("graft_count_in(array(1L), array('a'))"))
+    assert(ci.getMessage.contains("ARRAY<STRING>"))
   }
 }

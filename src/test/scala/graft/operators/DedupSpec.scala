@@ -76,6 +76,18 @@ class DedupSpec extends AnyFunSuite {
     assert(between.forall { case (a, b) => a % 10 == 0 && b % 10 != 0 })
   }
 
+  test("HOF minhash at 64 hashes is bit-identical to the codegen expression") {
+    // only possible because Dedup.seeds delegates to HashSeeds.affineSeeds;
+    // a second seed=42 RNG with a different draw order passed every other
+    // test while silently disagreeing with the codegen family
+    val parity = Tables.documents(spark, dir)
+      .select(Dedup.shingles(col("text")).as("sh"))
+      .select(Dedup.minhashSignature(col("sh")).as("gen"),
+        Dedup.minhashSignatureHof(col("sh"), 64).as("hof"))
+      .filter(col("gen") =!= col("hof")).count()
+    assert(parity === 0L)
+  }
+
   test("SimHashOracle corpus contract: driver-testdata tokens are ASCII and at most 8 bytes") {
     // the q_simhash oracle replays only XXH64's short path (one 8-byte
     // round + 4-byte chunk + 3 tail bytes); this pins the corpus property

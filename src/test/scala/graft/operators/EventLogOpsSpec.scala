@@ -57,6 +57,19 @@ class EventLogOpsSpec extends AnyFunSuite {
   test("retained keeps at most 2×segmentSize latest offsets (O6; server_test.go:52-59)") {
     // 20 writes, segment 5: full log 0..19, retained view 10..19
     assert(offsets(EventLog.retained(log(0, 19), segmentSize = 5, offsetCol = "offset")) === (10L to 19L))
+    // NON-boundary latest: 21 writes → active=[20], history=15..19 — the
+    // old `> latest − 2S` bound would wrongly keep 12..20 here
+    assert(offsets(EventLog.retained(log(0, 20), segmentSize = 5, offsetCol = "offset")) === (15L to 20L))
+  }
+
+  test("retained batch view equals a real OffsetLog's snapshot at every fill level") {
+    for (n <- Seq(1, 5, 6, 10, 11, 14, 15, 16)) {
+      val ring = new graft.streaming.OffsetLog(0, 5)
+      (0 until n).foreach(i => ring.write(Array(i.toByte)))
+      val ringOffsets = ring.snapshot.map(_._1)
+      val viewOffsets = offsets(EventLog.retained(log(0, n - 1), segmentSize = 5, offsetCol = "offset"))
+      assert(viewOffsets === ringOffsets, s"divergence at n=$n")
+    }
   }
 
   test("envelope carries CloudEvent attributes; serialized bytes exclude bookkeeping") {

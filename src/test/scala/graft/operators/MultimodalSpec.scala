@@ -30,6 +30,11 @@ class MultimodalSpec extends AnyFunSuite {
     val (n, k) = (row.getLong(0), row.getInt(1))
     assert(k === ((n + 63) / 64).toInt)
     assert(row.getInt(2) === 64) // full first frame
+    // empty payload → ZERO frames, agreeing with StubDecoder's n_frames=0
+    // (not one zero-byte frame)
+    val empty = spark.sql("SELECT CAST('' AS BINARY) AS media")
+      .select(size(Multimodal.frameSample(col("media"), 64)).as("k")).head()
+    assert(empty.getInt(0) === 0)
   }
 
   test("decodeFeatures (mapPartitions stub codec) matches SQL-derived byte stats") {

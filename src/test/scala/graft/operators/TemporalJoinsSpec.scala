@@ -47,4 +47,19 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(naive.nonEmpty)
     assert(bucketed === naive)
   }
+
+  test("rangeJoinBucketed works when both sides name the time column identically") {
+    // the natural ts-vs-ts call — an unqualified col(\"ts\") in the
+    // refinement filter would throw AMBIGUOUS_REFERENCE here
+    val base = ts("2024-01-01 00:00:00").getTime
+    val l = Seq((1L, new java.sql.Timestamp(base)))
+      .toDF("lid", "ts")
+    val r = Seq(
+      (10L, new java.sql.Timestamp(base + 60 * 1000L)),   // inside [ts, ts+10m)
+      (11L, new java.sql.Timestamp(base + 3600 * 1000L))  // outside
+    ).toDF("rid", "ts")
+    val out = TemporalJoins.rangeJoinBucketed(l, r, "ts", "ts", 600L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(out === Set((1L, 10L)))
+  }
 }

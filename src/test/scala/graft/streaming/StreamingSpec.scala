@@ -61,6 +61,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(filled(20, 5).watch(Some(0)) === Left(OutOfRange))
     // 15 records segment 5 (log holds 5..14), offset 10 => 10..14
     assert(filled(15, 5).watch(Some(10)).map(_.map(_._1)) === Right(10L to 14L))
+    // negative start is OutOfRange on every log state — on an EMPTY log it
+    // used to skip the purged-start guard and crash the snapshot loop
+    assert(new OffsetLog(0, 10).watch(Some(-1)) === Left(OutOfRange))
+    assert(filled(3, 10).watch(Some(-1)) === Left(OutOfRange))
   }
 
   test("write: oversize record rejected (memlog max record size)") {
