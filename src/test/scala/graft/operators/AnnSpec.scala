@@ -152,6 +152,16 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH fails loud when dim doesn't cover the vectors (silent prefix bucketing)") {
+    val emb = Tables.embeddings(spark, dir) // 64-dim corpus
+    val e = intercept[IllegalArgumentException](Ann.lshTopK(emb, 0L, 5, dim = 32))
+    assert(e.getMessage.contains("64"))
+    val e2 = intercept[IllegalArgumentException](
+      Ann.lshKnnJoin(emb, emb.limit(1).selectExpr("vec_id AS probe_id", "embedding AS p"),
+        5, dim = 128))
+    assert(e2.getMessage.contains("128"))
+  }
+
   test("LSH on the weak-similarity corpus still finds the probe and prunes the scan") {
     val emb = Tables.embeddings(spark, dir)
     // the probe itself must always be found (it shares its own bucket)
