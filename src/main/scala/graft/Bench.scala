@@ -113,6 +113,7 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
     // samples(name) = one wall-clock per pass, pass-interleaved
     val loadStart = loadAvg
+    val failures  = scala.collection.mutable.Map.empty[String, Int]
     val samples: Map[String, Seq[Double]] = {
       val tStart = System.nanoTime()
       val runs   = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
@@ -125,7 +126,14 @@ object Bench {
         runs += names.map { name =>
           val fn = SparkEntry.queries(name)
           val t0 = System.nanoTime()
-          try exercise(fn, sfDir) catch { case _: Throwable => () }
+          // a failed query must not silently IMPROVE the total: its
+          // time-to-exception would read as a fast sample, so record the
+          // failure and surface it in the output line
+          try exercise(fn, sfDir)
+          catch { case e: Throwable =>
+            failures(name) = failures.getOrElse(name, 0) + 1
+            System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
           name -> (System.nanoTime() - t0) / 1e9
         }.toMap
         lastPassSec = (System.nanoTime() - tPass) / 1e9
@@ -143,8 +151,15 @@ object Bench {
     val samplesJson = names.map { n =>
       "\"" + n + "\":[" + samples(n).map(f3).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // present ONLY when something failed, so a clean line stays compact and
+    // a dirty total can never pass as a clean one
+    val failJson =
+      if (failures.isEmpty) ""
+      else failures.toSeq.sorted
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(",\"failures\":{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","median":true,"passes":$passesRun,"load":[${f3(loadStart)},${f3(loadEnd)}],"queries":$medJson,"samples":$samplesJson,"sf":"$sfDir","cpus":"$cpus"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","median":true,"passes":$passesRun,"load":[${f3(loadStart)},${f3(loadEnd)}]$failJson,"queries":$medJson,"samples":$samplesJson,"sf":"$sfDir","cpus":"$cpus"}"""
     // a filtered run must not clobber the committed full-registry record —
     // its total covers only the subset and carries no marker of the filter
     val fullName = if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json"
@@ -166,7 +181,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","median":true,"passes":$passesRun,"load":[${f3(loadStart)},${f3(loadEnd)}],"queries":$head,"groups":$byGroup,"n_queries":${medians.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","median":true,"passes":$passesRun,"load":[${f3(loadStart)},${f3(loadEnd)}]$failJson,"queries":$head,"groups":$byGroup,"n_queries":${medians.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

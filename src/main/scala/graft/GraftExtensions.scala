@@ -18,6 +18,18 @@ import org.apache.spark.unsafe.types.UTF8String
  * Activated via `GraftSession.configure` (`spark.sql.extensions=graft.GraftExtensions`).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Foldable-literal → Int with a usage error instead of the raw
+    * NPE (NULL literal) / ClassCastException (string literal) the bare
+    * `.eval().asInstanceOf[Number]` pattern produced. */
+  private def intLit(
+      e: org.apache.spark.sql.catalyst.expressions.Expression, usage: String): Int =
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$usage — got ${if (other == null) "NULL" else other}")
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
@@ -54,7 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash64(children.head)))
+        children match {
+          case Seq(tokens) => SimHash64(tokens)
+          case _ => throw new IllegalArgumentException("graft_simhash(tokens)")
+        }))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
@@ -62,7 +77,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children match {
           case Seq(text) => WordShingles(text)
           case Seq(text, n) if n.foldable =>
-            WordShingles(text, n.eval().asInstanceOf[Number].intValue())
+            WordShingles(text, intLit(n, "graft_shingles(text, n): n must be an integer literal"))
           case _ => throw new IllegalArgumentException(
             "graft_shingles(text[, n]) — n must be a literal")
         }))
@@ -73,7 +88,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children match {
           case Seq(col) => TopKSketch(col)
           case Seq(col, cap) if cap.foldable =>
-            TopKSketch(col, cap.eval().asInstanceOf[Number].intValue())
+            TopKSketch(col, intLit(cap, "graft_topk(col, capacity): capacity must be an integer literal"))
           case _ => throw new IllegalArgumentException(
             "graft_topk(col[, capacity]) — capacity must be a literal")
         }))
@@ -101,8 +116,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Seq(text) => graft.expressions.WinnowFingerprints(text)
           case Seq(text, k, w) if k.foldable && w.foldable =>
             graft.expressions.WinnowFingerprints(text,
-              k.eval().asInstanceOf[Number].intValue(),
-              w.eval().asInstanceOf[Number].intValue())
+              intLit(k, "graft_winnow(text, k, w): k must be an integer literal"),
+              intLit(w, "graft_winnow(text, k, w): w must be an integer literal"))
           case _ => throw new IllegalArgumentException(
             "graft_winnow(text[, k, w]) — k and w must be literals")
         }))

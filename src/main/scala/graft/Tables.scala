@@ -48,7 +48,13 @@ object Tables {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // FLOOR division, not `div` (truncate-toward-zero): a pre-1970
+        // negative ns value must round toward the past like DuckDB's
+        // ns→µs conversion does, or every ts projection hash-mismatches
+        // on such a corpus. pmod makes the remainder non-negative, so
+        // subtracting it floors for either sign.
+        raw.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case _ => raw
     }
   }

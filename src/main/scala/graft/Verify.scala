@@ -7,6 +7,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      s"usage: graft.Verify <sfDir> <outDir> [queryName...]  (got ${args.length} args)")
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: restrict to the named queries (local iteration;
     // the driver always calls with exactly two args → full dump)

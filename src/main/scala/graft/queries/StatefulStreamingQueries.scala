@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.util.concurrent.atomic.AtomicInteger
 
 import graft.streaming.Ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -24,13 +23,9 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateT
  */
 object StatefulStreamingQueries {
 
-  private val runId = new AtomicInteger(0)
-
-  private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  private val runId = StreamRun.runId
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A =
+    StreamRun.withStatePartitions(spark, n)(f)
 
   /** transformWithState requires the RocksDB state-store provider — set for
     * the body, restore (or unset) after. */

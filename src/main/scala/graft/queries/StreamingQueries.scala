@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.util.concurrent.atomic.AtomicInteger
 
 import graft.streaming.Ingest
 import org.apache.spark.sql.functions._
@@ -16,19 +15,9 @@ import org.apache.spark.sql.streaming.Trigger
  */
 object StreamingQueries {
 
-  private val runId = new AtomicInteger(0)
-
-  /** Stateful micro-batch queries pay per-partition state-store overhead on
-    * EVERY batch; for these bounded replays 8 state partitions are
-    * right-sized (32 default = 4× the files/commit churn for no
-    * parallelism win on ≤100k-event batches). The session's shuffle
-    * partitioning is restored afterwards — batch queries keep their own
-    * sizing. */
-  private def withStatePartitions[A](spark: org.apache.spark.sql.SparkSession, n: Int)(f: => A): A = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  private val runId = StreamRun.runId
+  private def withStatePartitions[A](spark: org.apache.spark.sql.SparkSession, n: Int)(f: => A): A =
+    StreamRun.withStatePartitions(spark, n)(f)
 
   val all: Seq[Declared] = Seq(
     // EP3 end-to-end: feed → envelope → serialize → offset-log sink; then
@@ -315,13 +304,16 @@ object StreamingQueries {
 
     // O6 streaming retention end-to-end: ingest with segmentSize=100 → the
     // live log retains only the last (100, 200] records; read the retained
-    // window back and parse. Oracle = the batch retention predicate.
+    // window back and parse. Oracle = the EXACT 2-segment ring predicate
+    // (active starts at the last 100-boundary ≤ latest, history is the
+    // segment before it) — the `> max - 200` upper bound only coincides
+    // when max ends in ...99, which every current SF happens to satisfy.
     Declared(
       "q_stream_retain",
       Some(
         """SELECT event_id AS log_offset, event_id, user_id, event_type
           |FROM events
-          |WHERE event_id > (SELECT max(event_id) FROM events) - 200
+          |WHERE event_id >= ((SELECT max(event_id) FROM events) // 100) * 100 - 100
           |ORDER BY log_offset""".stripMargin
       )
     ) { (spark, dir) =>
