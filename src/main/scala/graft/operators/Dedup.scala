@@ -386,23 +386,58 @@ object Dedup {
   def lineDedup(
       docs: DataFrame, idCol: String, textCol: String,
       segTokens: Int = 10): DataFrame = {
-    val wArr = split(col(textCol), " +")
-    val segs = docs
-      .select(col(idCol),
-        posexplode(transform(sequence(lit(0), size(wArr) - 1, lit(segTokens)),
-          s => array_join(slice(wArr, s + 1, lit(segTokens)), " "))).as(Seq("pos", "seg")))
+    val segs = lineSegments(docs, idCol, textCol, segTokens)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("seg").orderBy(idCol, "pos")
-    segs
-      .withColumn("rn", row_number().over(w))
+    reassemble(
+      segs.withColumn("__kept", row_number().over(w) === 1),
+      idCol)
+  }
+
+  /**
+   * Skew-robust variant of [[lineDedup]] — SAME output, same oracle. The
+   * window form must co-locate and SORT every copy of a line inside one
+   * partition, so a hot boilerplate line (billions of copies at corpus
+   * scale) serializes through a single task. This form decides
+   * first-occurrence with a partial-aggregatable `min(struct(id, pos))`
+   * — map-side combine collapses each partition's copies to ONE candidate
+   * row before the shuffle — then marks occurrences with an equi-join
+   * back (AQE skew handling splits the hot join key). The q_minhash_lsh /
+   * q_neardup pattern: both plans hash-check against one oracle, which is
+   * the statement that the scale path loses nothing.
+   */
+  def lineDedupAgg(
+      docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10): DataFrame = {
+    val segs = lineSegments(docs, idCol, textCol, segTokens)
+    val firsts = segs.groupBy("seg")
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+    reassemble(
+      segs.join(firsts, "seg")
+        .withColumn("__kept", struct(col(idCol), col("pos")) === col("__first")),
+      idCol)
+  }
+
+  /** (id, pos, seg) rows: one per `segTokens`-token segment of each doc. */
+  private def lineSegments(
+      docs: DataFrame, idCol: String, textCol: String, segTokens: Int): DataFrame = {
+    val wArr = split(col(textCol), " +")
+    docs.select(col(idCol),
+      posexplode(transform(sequence(lit(0), size(wArr) - 1, lit(segTokens)),
+        s => array_join(slice(wArr, s + 1, lit(segTokens)), " "))).as(Seq("pos", "seg")))
+  }
+
+  /** Per-doc kept/dropped counts + fingerprint of the text rebuilt from
+    * `__kept` segments in position order. */
+  private def reassemble(marked: DataFrame, idCol: String): DataFrame =
+    marked
       .groupBy(idCol)
       .agg(
-        sum(when(col("rn") === 1, 1).otherwise(0)).as("lines_kept"),
-        sum(when(col("rn") > 1, 1).otherwise(0)).as("lines_dropped"),
+        sum(when(col("__kept"), 1).otherwise(0)).as("lines_kept"),
+        sum(when(!col("__kept"), 1).otherwise(0)).as("lines_dropped"),
         md5(array_join(
           transform(
-            array_sort(collect_list(when(col("rn") === 1, struct(col("pos"), col("seg"))))),
+            array_sort(collect_list(when(col("__kept"), struct(col("pos"), col("seg"))))),
             x => x.getField("seg")),
           " ")).as("fp"))
-  }
 }

@@ -33,6 +33,22 @@ object DedupQueries {
       |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
       |ORDER BY da, db""".stripMargin
 
+  /** One oracle for BOTH line-dedup plans (window and agg+join). */
+  private val lineDedupOracleSql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents),
+      |s AS (SELECT doc_id, start // 10 AS pos,
+      |             array_to_string(w[start + 1 : start + 10], ' ') AS seg
+      |      FROM (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 10)) AS start
+      |            FROM t)),
+      |r AS (SELECT doc_id, pos, seg,
+      |             row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      |      FROM s)
+      |SELECT doc_id,
+      |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lines_kept,
+      |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS lines_dropped,
+      |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos), '')) AS fp
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Declared] = Seq(
     // exact n-gram Jaccard near-dup pairs (the small-corpus ground truth)
     Declared("q_neardup", Some(exactPairsSql)) { (spark, dir) =>
@@ -231,23 +247,25 @@ object DedupQueries {
     // so the oracle checks the reassembly byte-for-byte, not just counts.
     Declared(
       "q_linededup",
-      Some(
-        """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents),
-          |s AS (SELECT doc_id, start // 10 AS pos,
-          |             array_to_string(w[start + 1 : start + 10], ' ') AS seg
-          |      FROM (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 10)) AS start
-          |            FROM t)),
-          |r AS (SELECT doc_id, pos, seg,
-          |             row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
-          |      FROM s)
-          |SELECT doc_id,
-          |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lines_kept,
-          |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS lines_dropped,
-          |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos), '')) AS fp
-          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      )
+      Some(lineDedupOracleSql)
     ) { (spark, dir) =>
       Dedup.lineDedup(Tables.documents(spark, dir), "doc_id", "text", segTokens = 10)
+        .orderBy("doc_id")
+    },
+
+    // The SAME line-dedup semantics through the skew-robust plan: the
+    // window form sorts every copy of a hot line inside one partition;
+    // this one decides first-occurrence with a partial-aggregatable
+    // min(struct(doc, pos)) — map-side combine collapses per-partition
+    // copies to one candidate before the shuffle — and joins the winner
+    // back (AQE splits the hot key). Hash-checking BOTH plans against the
+    // ONE oracle is the q_minhash_lsh/q_neardup statement that the scale
+    // path loses nothing.
+    Declared(
+      "q_linededup_agg",
+      Some(lineDedupOracleSql)
+    ) { (spark, dir) =>
+      Dedup.lineDedupAgg(Tables.documents(spark, dir), "doc_id", "text", segTokens = 10)
         .orderBy("doc_id")
     },
 

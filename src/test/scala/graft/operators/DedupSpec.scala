@@ -117,20 +117,24 @@ class DedupSpec extends AnyFunSuite {
       (1L, "a b c d"),
       (2L, "a b e f"),
       (3L, "e f e f")).toDF("doc_id", "text")
-    val out = Dedup.lineDedup(docs, "doc_id", "text", segTokens = 2)
-      .orderBy("doc_id")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
-    assert(out.map(t => (t._1, t._2, t._3)) ===
-      Seq((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
-    // reassembly fingerprints the surviving text in segment order
     def md5hex(s: String) =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-    assert(out.map(_._4) === Seq(md5hex("a b c d"), md5hex("e f"), md5hex("")))
-    // invariants: kept = distinct segments corpus-wide; kept+dropped = all
-    assert(out.map(_._2).sum === 3L)
-    assert(out.map(t => t._2 + t._3).sum === 6L)
+    // BOTH plans — the window form and the skew-robust agg+join form —
+    // must produce the identical result
+    for (plan <- Seq(Dedup.lineDedup _, Dedup.lineDedupAgg _)) {
+      val out = plan(docs, "doc_id", "text", 2)
+        .orderBy("doc_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      assert(out.map(t => (t._1, t._2, t._3)) ===
+        Seq((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
+      // reassembly fingerprints the surviving text in segment order
+      assert(out.map(_._4) === Seq(md5hex("a b c d"), md5hex("e f"), md5hex("")))
+      // invariants: kept = distinct segments corpus-wide; kept+dropped = all
+      assert(out.map(_._2).sum === 3L)
+      assert(out.map(t => t._2 + t._3).sum === 6L)
+    }
   }
 
   test("simhash: equal text equal hash; near-dup pairs have small hamming distance") {
