@@ -21,6 +21,26 @@ object Probe {
         println(SparkEntry.queries(n)(spark, dir).queryExecution
           .explainString(org.apache.spark.sql.execution.FormattedMode))
       }
+    } else if (args.headOption.contains("--linedup-skew")) {
+      // hot-line skew experiment: every doc shares ONE 10-token segment
+      // (n copies of a boilerplate line) plus a unique 10-token tail —
+      // the window plan must sort all n copies in one partition, the agg
+      // plan collapses them map-side
+      import org.apache.spark.sql.functions._
+      val n = if (args.length > 1) args(1).toInt else 2000000
+      val docs = spark.range(n).select(
+        col("id").as("doc_id"),
+        concat(lit("the same boilerplate line on every single page here "),
+          lit("u"), col("id").cast("string"), lit(" b c d e f g h i")).as("text"))
+        .repartition(32).cache()
+      docs.count() // materialize so generation isn't timed
+      for (r <- 1 to 3; (nm, fn) <- Seq(
+          ("window", () => graft.operators.Dedup.lineDedup(docs, "doc_id", "text")),
+          ("agg   ", () => graft.operators.Dedup.lineDedupAgg(docs, "doc_id", "text")))) {
+        val t0 = System.nanoTime()
+        fn().write.format("noop").mode("overwrite").save()
+        println(f"[probe] r$r linedup-$nm n=$n ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
     } else {
       (1 to 2).foreach { round =>
         names.foreach { n =>
