@@ -42,16 +42,20 @@ object Ann {
       .reduce(_ + _)
 
   /** Fail loud when the configured plane dimensionality doesn't cover the
-    * corpus vectors: the dot product iterates min(length), so a too-small
-    * `dim` silently buckets on a PREFIX of every vector — recall sinks and
-    * nothing errors. One column-pruned single-row scan pays for the check. */
-  private def requireDim(emb: DataFrame, vecCol: String, dim: Int): Unit =
-    emb.select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
-      val actual = r.getInt(0)
-      require(actual == dim,
-        s"LSH dim=$dim but '$vecCol' vectors have $actual dimensions — " +
-          "the hyperplanes must cover the full vector")
-    }
+    * vectors: the dot product iterates min(length), so a too-small `dim`
+    * silently buckets on a PREFIX of every vector — recall sinks and
+    * nothing errors. One column-pruned single-row scan (of a NON-NULL
+    * vector, so a null first row can't NPE the check) pays for it; a
+    * ragged corpus can still slip past a single sample, which the doc of
+    * every caller states as the contract (fixed-width embedding column). */
+  private def requireDim(df: DataFrame, vecCol: String, dim: Int): Unit =
+    df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
+        val actual = r.getInt(0)
+        require(actual == dim,
+          s"LSH dim=$dim but '$vecCol' vectors have $actual dimensions — " +
+            "the hyperplanes must cover the full vector")
+      }
 
   private def missingProbe(probeId: Long, idCol: String): Nothing =
     throw new IllegalArgumentException(
@@ -234,6 +238,7 @@ object Ann {
       probeIdCol: String = "probe_id", probeVecCol: String = "p"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     requireDim(emb, vecCol, dim)
+    requireDim(probes, probeVecCol, dim) // probe-side prefix-bucketing is the same silent recall loss
     val ps     = planes(dim, numPlanes)
     val corpus = emb.withColumn("bucket", lshBucket(col(vecCol), ps))
     val probeB = probes.withColumn("pb", lshBucket(col(probeVecCol), ps))

@@ -22,10 +22,12 @@ object Probe {
           .explainString(org.apache.spark.sql.execution.FormattedMode))
       }
     } else if (args.headOption.contains("--linedup-skew")) {
-      // hot-line skew experiment: every doc shares ONE 10-token segment
-      // (n copies of a boilerplate line) plus a unique 10-token tail —
-      // the window plan must sort all n copies in one partition, the agg
-      // plan collapses them map-side
+      // hot-line skew experiment. Each doc is 18 tokens: the 9-token
+      // boilerplate prefix + "u<id>" fill segment 0 (unique per doc via
+      // the id token), and the 8-token tail "b c d e f g h i" is segment
+      // 1 — IDENTICAL in every doc, so that tail segment is the one
+      // n-copy hot key. The window plan must sort all n copies of it in
+      // one partition; the agg plan collapses them map-side.
       import org.apache.spark.sql.functions._
       val n = if (args.length > 1) args(1).toInt else 2000000
       val docs = spark.range(n).select(

@@ -160,6 +160,12 @@ class AnnSpec extends AnyFunSuite {
       Ann.lshKnnJoin(emb, emb.limit(1).selectExpr("vec_id AS probe_id", "embedding AS p"),
         5, dim = 128))
     assert(e2.getMessage.contains("128"))
+    // probe-side mismatch with a PASSING corpus side — probes sliced to 32
+    // dims would silently bucket on a 32-plane prefix without the guard
+    val probes32 = emb.limit(1)
+      .selectExpr("vec_id AS probe_id", "slice(embedding, 1, 32) AS p")
+    val e3 = intercept[IllegalArgumentException](Ann.lshKnnJoin(emb, probes32, 5))
+    assert(e3.getMessage.contains("32"))
   }
 
   test("LSH on the weak-similarity corpus still finds the probe and prunes the scan") {
