@@ -23,11 +23,17 @@ object Engine {
 
   /** Register every testdata table under its bare name (memoized per
     * session+dir; `force` re-reads the footers, e.g. after overwriting
-    * files in place). */
+    * files in place). The check-register-put runs under one lock so two
+    * threads can't interleave half-registered view sets. The memo trusts
+    * the views it registered: external `dropTempView`/`createOrReplaceTempView`
+    * on a table name makes it stale — callers doing that must pass
+    * `force = true` (EngineSpec pins both behaviors). */
   def registerViews(spark: SparkSession, dir: String, force: Boolean = false): Unit =
-    if (force || registeredDir.get(spark) != dir) {
-      Tables.all.foreach(n => Tables.table(spark, dir, n).createOrReplaceTempView(n))
-      registeredDir.put(spark, dir)
+    registeredDir.synchronized {
+      if (force || registeredDir.get(spark) != dir) {
+        Tables.all.foreach(n => Tables.table(spark, dir, n).createOrReplaceTempView(n))
+        registeredDir.put(spark, dir)
+      }
     }
 
   /** Run SQL text against the registered views. */

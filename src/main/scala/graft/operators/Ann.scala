@@ -122,9 +122,14 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       fitSample: Int = 4096): Array[Array[Double]] = {
     val n = emb.count()
+    // stride 1 (fitSample ≤ n < 2·fitSample) would "sample" every row
+    // through a useless predicate — treat it like the under-cap case. The
+    // strided sample size is approximate (~binomial around fitSample), not
+    // an exact cut; quantizer fit only needs the order of magnitude.
+    val stride = if (fitSample > 0) n / fitSample else 0L
     val train =
-      (if (n <= fitSample) emb
-       else emb.filter(pmod(xxhash64(col(idCol)), lit(n / fitSample)) === 0))
+      (if (stride < 2) emb
+       else emb.filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0))
         .persist()
     try {
       var centroids: Array[Array[Double]] =
@@ -255,12 +260,6 @@ object Ann {
       .where(col("rn") <= k)
   }
 
-  /**
-   * LSH-bucketed approximate top-k: probe bucket + all buckets within
-   * hamming distance `maxHamming` (multiprobe), bucket equi-join, exact
-   * cosine rerank. Same output schema as [[bruteForceTopK]]. With H=8 and
-   * radius 2 the probe scans 37/256 ≈ 14% of a uniformly-bucketed corpus.
-   */
   // ----- shard-local navigable-small-world graph ANN ------------------------
 
   /**
@@ -326,6 +325,12 @@ object Ann {
       .select(col(idCol), round(col("sim"), 4).as("sim"))
   }
 
+  /**
+   * LSH-bucketed approximate top-k: probe bucket + all buckets within
+   * hamming distance `maxHamming` (multiprobe), bucket equi-join, exact
+   * cosine rerank. Same output schema as [[bruteForceTopK]]. With H=8 and
+   * radius 2 the probe scans 37/256 ≈ 14% of a uniformly-bucketed corpus.
+   */
   def lshTopK(
       emb: DataFrame, probeId: Long, k: Int,
       numPlanes: Int = 8, maxHamming: Int = 2, dim: Int = 64,
