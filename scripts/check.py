@@ -60,61 +60,107 @@ def frame_rows(df):
 
 
 def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    import json
+    import os
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    out_dir, sf_dir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    import json
+        # driver-generated SFs are single files; graft.tools.ScaleUp slices
+        # are Spark directory layouts — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if t == "events":
+            # driver SFs carry parquet TIMESTAMP(NANOS) (DuckDB reads µs
+            # TIMESTAMP); ScaleUp slices carry the raw ns BIGINT — normalize
+            # to the same µs TIMESTAMP the Spark side (Tables.ts) produces
+            ty = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()[0]
+            if ty == "BIGINT":
+                con.execute("DROP VIEW events")
+                con.execute(
+                    f"CREATE VIEW events AS SELECT * REPLACE"
+                    f" (make_timestamp(ts // 1000) AS ts)"
+                    f" FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    only = set(sys.argv[3:])
+    only = set(args[2:])
     # a typo'd or rows-only name must not silently produce "0 ok, 0 bad"
     unknown = only - set(oracle)
     if unknown:
         print(f"UNKNOWN filter names (not in oracle_sql.json): {sorted(unknown)}")
         sys.exit(2)
     n_ok = n_bad = 0
+    results = {}
+
+    def rec(name, rows_m, schema_m, hash_m, s_rows, o_rows, err):
+        results[name] = {"rows_match": rows_m, "schema_match": schema_m,
+                         "hash_match": hash_m, "spark_rows": s_rows,
+                         "oracle_rows": o_rows, "err": err}
+
+    import time
     for name in sorted(oracle):
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             s_df = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             print(f"MISSING {name}: {e}")
+            rec(name, False, False, False, None, None, f"spark output missing: {e}")
             n_bad += 1
             continue
         try:
             o_df = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"ORAERR  {name}: {e}")
+            rec(name, False, False, False, len(s_df), None, f"oracle error: {e}")
             n_bad += 1
             continue
         try:
             sc, sr = frame_rows(s_df)
         except TypeError as e:
             print(f"ARRAY   {name} (spark side): {e}")
+            rec(name, False, False, False, len(s_df), len(o_df), f"array cell spark side: {e}")
             n_bad += 1
             continue
         try:
             oc, orows = frame_rows(o_df)
         except TypeError as e:
             print(f"ARRAY   {name} (oracle side): {e}")
+            rec(name, False, False, False, len(s_df), len(o_df), f"array cell oracle side: {e}")
             n_bad += 1
             continue
         if sc != oc:
             print(f"SCHEMA  {name}: spark={sc} oracle={oc}")
+            rec(name, len(sr) == len(orows), False, False, len(sr), len(orows), None)
             n_bad += 1
         elif len(sr) != len(orows):
             print(f"ROWS    {name}: spark={len(sr)} oracle={len(orows)}")
+            rec(name, False, True, False, len(sr), len(orows), None)
             n_bad += 1
         elif sr != orows:
             diff = next(i for i in range(len(sr)) if sr[i] != orows[i])
             print(f"HASH    {name}: first diff row {diff}:")
             print(f"        spark : {sr[diff]}")
             print(f"        oracle: {orows[diff]}")
+            rec(name, True, True, False, len(sr), len(orows), None)
             n_bad += 1
         else:
+            rec(name, True, True, True, len(sr), len(orows), None)
             n_ok += 1
+        dt = time.time() - t0
+        if dt > 30:
+            print(f"SLOW    {name}: oracle+compare took {dt:.0f}s")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2, sort_keys=True)
+        print(f"wrote {json_out} ({len(results)} queries)")
     checked = len(only) if only else len(oracle)
     print(f"\n{n_ok} ok, {n_bad} bad ({checked} compared; "
           f"{len(oracle)} oracle-checked queries total)")

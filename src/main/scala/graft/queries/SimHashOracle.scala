@@ -22,8 +22,9 @@ package graft.queries
  * 8-byte round, one optional 4-byte chunk, and up to three tail bytes.
  * The generic ≥32-byte stripe loop is NOT replayed; a corpus with longer
  * tokens would need it. The [[graft.tools.ScaleUp]] rehearsal dirs
- * VIOLATE the contract (per-copy token tags lengthen tokens past 8
- * bytes) — they are bench-only and never oracle-compared.
+ * PRESERVE the contract (per-copy token tags are applied tag-then-
+ * truncate back to 8 ASCII bytes), so the full oracle sweep — this
+ * replay included — runs against the sf1 slice too.
  */
 object SimHashOracle {
 

@@ -13,24 +13,30 @@ import org.apache.spark.sql.types.LongType
  *
  * Key design points, chosen so a copy-union actually measures SCALING and
  * not an artifact:
- *  - every table's keys are offset per copy (doc_id/vec_id/event_id/
- *    orderkey by 10M, custkey/user_id by 1M) so key cardinality grows 10×
- *    like a real SF bump — state and shuffle keys widen, they don't deepen;
+ *  - every table's keys are offset per copy (doc_id/vec_id/orderkey by
+ *    10M, custkey/user_id by 1M, event_id by the exact source count so the
+ *    dense 0..N-1 id space — which the log-bootstrap offset==event_id
+ *    oracle alignment relies on — is preserved) so key cardinality grows
+ *    10× like a real SF bump — state and shuffle keys widen, not deepen;
  *  - `documents.text` is perturbed per copy by prefixing every token with
- *    a copy tag ("c3the quick …"): within a copy the near-dup/winnowing
- *    structure is preserved verbatim, across copies Jaccard collapses to
- *    ~0 — so MinHash-LSH/winnowing workloads scale like 10 independent
- *    corpora instead of exploding quadratically on 10 exact clones of
- *    every document (which would measure the clone blowup, not the plan).
- *    The tag pushes tokens past the 8-byte bound [[graft.queries.SimHashOracle]]
- *    relies on, so scaled dirs are BENCH-ONLY — never point the DuckDB
- *    oracle compare at them (the driver never does; it compares only the
- *    driver-generated testdata SFs, where DedupSpec pins the bound);
+ *    a copy tag and re-truncating to 8 bytes ("c3the qu c3ick …" from
+ *    "the quick"): within a copy the near-dup/winnowing structure is
+ *    preserved (distinct tokens can only collapse when they share their
+ *    first 6 chars — rare in the ≤8-byte driver corpus), across copies
+ *    Jaccard collapses to ~0 — so MinHash-LSH/winnowing workloads scale
+ *    like 10 independent corpora instead of exploding quadratically on 10
+ *    exact clones of every document (which would measure the clone blowup,
+ *    not the plan). The truncation keeps every token ASCII and ≤8 bytes,
+ *    the corpus contract [[graft.queries.SimHashOracle]] replays — so
+ *    scaled dirs are ORACLE-ELIGIBLE: the full DuckDB compare can run
+ *    against them (the sf1 sweep artifact), not just the bench;
  *  - dimension tables (region/nation/supplier/part) stay fixed, like the
  *    broadcast side of a real warehouse at any SF; lineitem keeps its
  *    part/supp keys so dim joins stay valid;
  *  - `events.ts` is kept as the RAW nanosecond long ([[graft.Tables]] is
- *    schema-adaptive), other columns ride along unchanged.
+ *    schema-adaptive) and shifted per copy by the source span, so the
+ *    scaled log covers a 10× timeline and global (ts, event_id) order is
+ *    preserved — the invariant the offset==event_id stream oracles replay.
  *
  * Usage: runMain graft.tools.ScaleUp <srcDir> <destDir> [factor=10]
  */
@@ -41,6 +47,17 @@ object ScaleUp {
 
   private def copies(factor: Int)(one: Int => DataFrame): DataFrame =
     (0 until factor).map(one).reduce(_ unionAll _)
+
+  /** Copies collide (aliased keyspace, not 10× cardinality) if the source
+    * keyspace is wider than the per-copy stride — refuse loudly. */
+  private def requireBelow(df: DataFrame, keyCol: String, step: Long): Unit = {
+    val mx = df.agg(max(col(keyCol))).first()
+    if (!mx.isNullAt(0)) {
+      val m = mx.get(0).asInstanceOf[Number].longValue()
+      require(m < step,
+        s"$keyCol max $m >= copy stride $step: shifted copies would collide")
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val src    = args(0)
@@ -63,11 +80,14 @@ object ScaleUp {
       write(spark.read.parquet(s"$src/$t.parquet"), t, 1)
 
     val customer = spark.read.parquet(s"$src/customer.parquet")
+    requireBelow(customer, "c_custkey", UserStep)
     write(copies(factor) { i =>
       customer.withColumn("c_custkey", col("c_custkey") + lit(i * UserStep))
     }, "customer", 4)
 
     val orders = spark.read.parquet(s"$src/orders.parquet")
+    requireBelow(orders, "o_orderkey", BigStep)
+    requireBelow(orders, "o_custkey", UserStep)
     write(copies(factor) { i =>
       orders
         .withColumn("o_orderkey", col("o_orderkey") + lit(i * BigStep))
@@ -75,6 +95,7 @@ object ScaleUp {
     }, "orders", 8)
 
     val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+    requireBelow(lineitem, "l_orderkey", BigStep)
     write(copies(factor) { i =>
       lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(i * BigStep))
     }, "lineitem", 16)
@@ -84,18 +105,44 @@ object ScaleUp {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(s"$src/events.parquet")
     require(events.schema("ts").dataType == LongType, "expected ns-long ts")
+    requireBelow(events, "user_id", UserStep)
+    // events shift by the EXACT source count, not BigStep: driver event_ids
+    // are dense 0..N-1 and the log-bootstrap oracle alignment
+    // (log_offset == event_id, SURVEY §2.1 O2) only holds if the scaled
+    // slice stays dense — a 10M stride would leave gaps and break every
+    // offset-aligned stream oracle at sf1
+    val evStats = events.agg(count(lit(1)), min(col("event_id")), max(col("event_id")),
+      min(col("ts")), max(col("ts"))).first()
+    val evCount = evStats.getLong(0)
+    require(evStats.getLong(1) == 0L && evStats.getLong(2) == evCount - 1,
+      s"expected dense 0..N-1 event_ids, got min=${evStats.getLong(1)} max=${evStats.getLong(2)} n=$evCount")
+    // ts shifts per copy by the source span + 1h: a 10× event log covers a
+    // 10× TIMELINE (copy i strictly after copy i-1), not 10 interleaved
+    // replays of the same interval. Load-bearing for the stream oracles:
+    // EventFeed replays in (ts, event_id) order and the log bootstrap
+    // assigns dense arrival offsets, so offset == event_id only holds when
+    // ts order and event_id order agree GLOBALLY — true per copy by driver
+    // construction, true across copies only if later copies' timestamps
+    // strictly follow earlier ones. (Found at sf1: interleaved-ts copies
+    // hash-matched on rows but scrambled every offset-aligned column.)
+    val tsSpanNs = evStats.getLong(4) - evStats.getLong(3) + 3600L * 1000000000L
     write(copies(factor) { i =>
       events
-        .withColumn("event_id", col("event_id") + lit(i * BigStep))
+        .withColumn("event_id", col("event_id") + lit(i * evCount))
+        .withColumn("ts", col("ts") + lit(i * tsSpanNs))
         .withColumn("user_id", col("user_id") + lit(i * UserStep))
     }, "events", 16)
 
     val documents = spark.read.parquet(s"$src/documents.parquet")
+    requireBelow(documents, "doc_id", BigStep)
     write(copies(factor) { i =>
+      // tag + truncate keeps every token ASCII ≤8 bytes — the SimHashOracle
+      // corpus contract — while still zeroing cross-copy Jaccard
       val text =
         if (i == 0) col("text")
         else array_join(
-          transform(split(col("text"), " +"), t => concat(lit(s"c$i"), t)), " ")
+          transform(split(col("text"), " +"),
+            t => substring(concat(lit(s"c$i"), t), 1, 8)), " ")
       documents
         .withColumn("doc_id", col("doc_id") + lit(i * BigStep))
         .withColumn("text", text)
@@ -103,6 +150,7 @@ object ScaleUp {
     }, "documents", 16)
 
     val embeddings = spark.read.parquet(s"$src/embeddings.parquet")
+    requireBelow(embeddings, "vec_id", BigStep)
     write(copies(factor) { i =>
       embeddings.withColumn("vec_id", col("vec_id") + lit(i * BigStep))
     }, "embeddings", 8)

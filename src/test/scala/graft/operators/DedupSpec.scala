@@ -92,8 +92,10 @@ class DedupSpec extends AnyFunSuite {
     // the q_simhash oracle replays only XXH64's short path (one 8-byte
     // round + 4-byte chunk + 3 tail bytes); this pins the corpus property
     // that makes that sufficient, at every SF the correctness gate runs on.
-    // Scale-rehearsal dirs from graft.tools.ScaleUp deliberately violate it
-    // (the per-copy token tag lengthens tokens) and are bench-only.
+    // Scale-rehearsal dirs from graft.tools.ScaleUp preserve it too (tags
+    // are applied tag-then-truncate to 8 bytes), making them eligible for
+    // the full oracle sweep; scripts/sf1_sweep.sh re-asserts the bound on
+    // the generated slice before comparing.
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val d = s"/root/testdata/$sf"
       if (new java.io.File(d).isDirectory) {
