@@ -534,7 +534,8 @@ object CoverageQueries {
     Declared(
       "q_bloomjoin",
       Some(
-        """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 4) AS revenue
+        """SELECT l_returnflag, count(*) AS n,
+          |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |WHERE o_totalprice > 400000
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
@@ -547,7 +548,9 @@ object CoverageQueries {
         .prune(Tables.lineitem(spark, dir), "l_orderkey", dim, "o_orderkey")
         .join(dim, col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 4).as("revenue"))
+        // decimal money sum (rationale at q_bucket): 3 wide groups at sf1
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4).as("revenue"))
         .orderBy("l_returnflag")
     },
 
@@ -805,7 +808,8 @@ object CoverageQueries {
     Declared(
       "q_skewjoin",
       Some(
-        """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
       )
@@ -816,7 +820,9 @@ object CoverageQueries {
           "o_custkey", "c_custkey",
           salts = 8, saltSource = Seq(col("o_orderkey")))
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("total"))
+        // decimal sum: order-independent at any scale (rationale at q_bucket)
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4).as("total"))
         .orderBy("c_mktsegment")
     },
 

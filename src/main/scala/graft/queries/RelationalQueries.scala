@@ -29,10 +29,20 @@ object RelationalQueries {
     // local merge. The merge hint pins SMJ (else AQE broadcasts the small
     // side at this SF and the bucketing never engages); LayoutSpec covers
     // the plan-level no-Exchange assertion.
+    // Money sums go through DECIMAL(18,2), not double: five c_mktsegment
+    // groups concentrate ~n/5 prices per sum, and a double sum's
+    // partition-order error grows past the 1e-4 oracle rounding grid right
+    // around sf1 (~300k rows/group summing to ~3e10 — caught by the sf1
+    // sweep; the sf0.01/0.1 match was magnitude luck, not determinism).
+    // Decimal partial aggregation is exact integer arithmetic, so the sum
+    // is order-independent at ANY scale; one final cast to double keeps
+    // the output schema. Same treatment in q_joinfact/q_skewjoin (shared
+    // logical query) and the wide-sum q1 family.
     Declared(
       "q_bucket",
       Some(
-        """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
       )
@@ -53,7 +63,8 @@ object RelationalQueries {
         .hint("merge")
         .join(spark.table("graft_bkt_customer"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("revenue"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4).as("revenue"))
         .orderBy("c_mktsegment")
     },
     // filter with compound predicate → pushed to parquet scan
@@ -116,8 +127,9 @@ object RelationalQueries {
       Some(
         """SELECT l_returnflag, l_linestatus,
           |       round(sum(l_quantity), 4) AS sum_qty,
-          |       round(sum(l_extendedprice), 4) AS sum_base_price,
-          |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+          |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
+          |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          |                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_disc_price,
           |       round(avg(l_quantity), 4) AS avg_qty,
           |       count(*) AS n
           |FROM lineitem
@@ -126,13 +138,19 @@ object RelationalQueries {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin
       )
     ) { (spark, dir) =>
+      // money sums in DECIMAL (order-independent — rationale at q_bucket);
+      // the disc-price product is decimal×decimal so it is EXACT per row,
+      // not a double multiply rounded after the fact. quantity sums stay
+      // double: integer-valued doubles sum exactly below 2^53 in any order.
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc  = col("l_discount").cast("decimal(18,2)")
       Tables.lineitem(spark, dir)
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(price).cast("double"), 4).as("sum_base_price"),
+          round(sum(price * (lit(1) - disc)).cast("double"), 4).as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -161,7 +179,8 @@ object RelationalQueries {
     Declared(
       "q_joinfact",
       Some(
-        """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
       )
@@ -169,7 +188,8 @@ object RelationalQueries {
       Tables.orders(spark, dir)
         .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("total"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4).as("total"))
         .orderBy("c_mktsegment")
     },
 

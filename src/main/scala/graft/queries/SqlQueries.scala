@@ -18,8 +18,9 @@ object SqlQueries {
       Some(
         """SELECT l_returnflag, l_linestatus,
           |       round(sum(l_quantity), 4) AS sum_qty,
-          |       round(sum(l_extendedprice), 4) AS sum_base_price,
-          |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+          |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
+          |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          |                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_disc_price,
           |       round(avg(l_quantity), 4) AS avg_qty,
           |       count(*) AS n
           |FROM lineitem
@@ -31,8 +32,9 @@ object SqlQueries {
       Engine.sql(spark, dir,
         """SELECT l_returnflag, l_linestatus,
           |       round(sum(l_quantity), 4) AS sum_qty,
-          |       round(sum(l_extendedprice), 4) AS sum_base_price,
-          |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+          |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
+          |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          |                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_disc_price,
           |       round(avg(l_quantity), 4) AS avg_qty,
           |       count(*) AS n
           |FROM lineitem
