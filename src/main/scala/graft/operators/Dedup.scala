@@ -390,7 +390,8 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("seg").orderBy(idCol, "pos")
     reassemble(
-      segs.withColumn("__kept", row_number().over(w) === 1),
+      segs.withColumn("__kept", row_number().over(w) === 1)
+        .withColumn("__valid", lit(true)),
       idCol)
   }
 
@@ -410,11 +411,32 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       segTokens: Int = 10): DataFrame = {
     val segs = lineSegments(docs, idCol, textCol, segTokens)
+      .withColumn("__h", xxhash64(col("seg")))
+    // The join-back runs on the 64-bit line hash, NOT the line text, for
+    // two scale reasons:
+    //  1. fixed-width join keys: the shuffle sorts/compares 8-byte longs
+    //     instead of arbitrary-length line strings;
+    //  2. AQE skew-splittability — the load-bearing one. Joining on `seg`
+    //     lets the join REUSE the firsts aggregation's hash(seg) output
+    //     partitioning (no exchange on that side), and OptimizeSkewedJoin
+    //     only matches ENSURE_REQUIREMENTS shuffle stages on BOTH sides —
+    //     so the hot-line partition could never be split (found by the
+    //     AqeSpec pin, round 8; PLANS.md had claimed otherwise). Keying on
+    //     a fresh expression forces a real exchange of the (distinct-line-
+    //     sized) firsts side, which is exactly the partition AQE then
+    //     splits under a hot line.
+    // Hash equality is not line equality, so exact `seg` equality is
+    // verified INSIDE the aggregate (`__valid`) rather than as a filter —
+    // a filter would be pushed into the join condition, re-extracted as an
+    // equi-join key, and the partitioning reuse would resurface.
     val firsts = segs.groupBy("seg")
       .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+      .select(xxhash64(col("seg")).as("__fh"), col("seg").as("__fseg"), col("__first"))
     reassemble(
-      segs.join(firsts, "seg")
-        .withColumn("__kept", struct(col(idCol), col("pos")) === col("__first")),
+      segs.join(firsts, col("__h") === col("__fh"))
+        .withColumn("__valid", col("seg") === col("__fseg"))
+        .withColumn("__kept",
+          col("__valid") && struct(col(idCol), col("pos")) === col("__first")),
       idCol)
   }
 
@@ -428,13 +450,17 @@ object Dedup {
   }
 
   /** Per-doc kept/dropped counts + fingerprint of the text rebuilt from
-    * `__kept` segments in position order. */
+    * `__kept` segments in position order. `__valid` gates the dropped
+    * count: a hash-keyed join-back ([[lineDedupAgg]]) can emit spurious
+    * rows on a 64-bit collision, and those must count as NOTHING — they
+    * are excluded arithmetically here because excluding them with a
+    * `filter` would be pushed into the join and change its keys. */
   private def reassemble(marked: DataFrame, idCol: String): DataFrame =
     marked
       .groupBy(idCol)
       .agg(
         sum(when(col("__kept"), 1).otherwise(0)).as("lines_kept"),
-        sum(when(!col("__kept"), 1).otherwise(0)).as("lines_dropped"),
+        sum(when(col("__valid") && !col("__kept"), 1).otherwise(0)).as("lines_dropped"),
         md5(array_join(
           transform(
             array_sort(collect_list(when(col("__kept"), struct(col("pos"), col("seg"))))),

@@ -49,6 +49,39 @@ class AqeSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE skew-splits the first-occurrence join-back in lineDedupAgg") {
+    // PLANS.md's scale argument for the skew-robust line-dedup plan rests
+    // on the join back (segments ⋈ first-occurrence winners on `seg`)
+    // being AQE-skew-splittable when a hot boilerplate line concentrates
+    // one join key — this pins that the executed plan actually splits.
+    // Synthetic hot-line frame (the Probe --linedup-skew shape): segment 0
+    // is unique per doc, segment 1 is IDENTICAL in every doc, so one `seg`
+    // key holds half of all rows. Broadcast is disabled on both planners
+    // (a broadcast join would sidestep skew rather than split it), and the
+    // skew thresholds are lowered to test scale.
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536") {
+      val n = 60000
+      val docs = spark.range(n).select(
+        col("id").as("doc_id"),
+        concat(lit("the same boilerplate line on every single page here "),
+          lit("u"), col("id").cast("string"),
+          lit(" b c d e f g h i")).as("text"))
+      val out = graft.operators.Dedup.lineDedupAgg(docs, "doc_id", "text")
+      // execute THIS frame (count() would plan a separate QueryExecution,
+      // leaving out's own adaptive plan unexecuted → isFinalPlan=false)
+      assert(out.collect().length === n)
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"expected the seg join-back to be skew-split in the final plan:\n$p")
+    }
+  }
+
   test("AQE coalesces near-empty post-shuffle partitions") {
     // 32 configured shuffle partitions for a few hundred rows: the final
     // adaptive plan must read a coalesced shuffle, not schedule 32 tasks
