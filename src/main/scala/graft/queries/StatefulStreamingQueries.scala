@@ -82,7 +82,7 @@ object StatefulStreamingQueries {
           .start()
         q.awaitTermination()
       }
-      spark.table(table)
+      StreamRun.detached(spark.table(table))
         .select(col("user_id"), col("session_window.start").as("session_start"), col("n"))
         .orderBy("user_id", "session_start")
     },
@@ -133,7 +133,7 @@ object StatefulStreamingQueries {
           .start()
         q.awaitTermination()
       }
-      spark.table(table)
+      StreamRun.detached(spark.table(table))
         .select(col("user_id"), col("session_window.start").as("session_start"), col("n"))
         .orderBy("user_id", "session_start")
     },
@@ -188,7 +188,7 @@ object StatefulStreamingQueries {
           .start()
         q.awaitTermination()
       }
-      spark.table(table)
+      StreamRun.detached(spark.table(table))
         .select(col("user_id"), col("session_window.start").as("session_start"), col("n"))
         .orderBy("user_id", "session_start")
     },
@@ -591,7 +591,7 @@ object StatefulStreamingQueries {
         }
       }
       val w = Window.partitionBy("user_id", "event_type").orderBy(col("version").desc)
-      spark.table(table)
+      StreamRun.detached(spark.table(table))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select("user_id", "event_type", "n")
@@ -656,7 +656,7 @@ object StatefulStreamingQueries {
           q.awaitTermination()
         }
       }
-      spark.table(table)
+      StreamRun.detached(spark.table(table))
         .select(col("user_id"),
           timestamp_micros(col("start_micros")).as("session_start"), col("n"))
         .orderBy("user_id", "session_start")
