@@ -43,6 +43,35 @@ object Probe {
         fn().write.format("noop").mode("overwrite").save()
         println(f"[probe] r$r linedup-$nm n=$n ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
+    } else if (args.headOption.contains("--stream-floor")) {
+      // Where does the fixed per-replay streaming cost go? Runs the
+      // q_stream_window shape 3×, printing Spark's own per-micro-batch
+      // durationMs breakdown (triggerExecution = whole batch; queryPlanning,
+      // walCommit, getBatch, addBatch = its phases) plus the wall-clock
+      // around the query lifecycle — the evidence base for any floor work.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.Ingest
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      for (r <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val q = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
+          .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+          .writeStream.trigger(Trigger.AvailableNow()).outputMode("complete")
+          .format("memory").queryName(s"probe_floor_$r")
+          .option("checkpointLocation", Ingest.ephemeralCheckpoint("probe-floor"))
+          .start()
+        val tStart = System.nanoTime()
+        q.awaitTermination()
+        val tDrain = System.nanoTime()
+        spark.table(s"probe_floor_$r").collect()
+        val tRead = System.nanoTime()
+        println(f"[floor] r$r start=${(tStart - t0) / 1e6}%6.0f ms drain=${(tDrain - tStart) / 1e6}%6.0f ms read=${(tRead - tDrain) / 1e6}%6.0f ms batches=${q.recentProgress.length}")
+        q.recentProgress.foreach { p =>
+          println(s"[floor]   batch=${p.batchId} rows=${p.numInputRows} " +
+            p.durationMs.entrySet().toArray.mkString(" "))
+        }
+      }
     } else {
       (1 to 2).foreach { round =>
         names.foreach { n =>
