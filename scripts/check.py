@@ -66,8 +66,14 @@ def main():
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: check.py <outDir> <sfDir> [--json FILE] [name...]")
+            sys.exit(2)
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
+    if len(args) < 2 or args[0].startswith("-") or args[1].startswith("-"):
+        print("usage: check.py <outDir> <sfDir> [--json FILE] [name...]")
+        sys.exit(2)
     out_dir, sf_dir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
@@ -81,8 +87,10 @@ def main():
             # driver SFs carry parquet TIMESTAMP(NANOS) (DuckDB reads µs
             # TIMESTAMP); ScaleUp slices carry the raw ns BIGINT — normalize
             # to the same µs TIMESTAMP the Spark side (Tables.ts) produces
-            ty = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()[0]
-            if ty == "BIGINT":
+            row = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+            if row is None:
+                sys.exit(f"events table at {p} is EMPTY — broken/partial slice?")
+            if row[0] == "BIGINT":
                 con.execute("DROP VIEW events")
                 con.execute(
                     f"CREATE VIEW events AS SELECT * REPLACE"

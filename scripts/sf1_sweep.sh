@@ -18,8 +18,16 @@ FACTOR="${2:-10}"
 SLICE=/tmp/graft-sf1
 OUT=/tmp/v_sf1
 
-if [ ! -d "$SLICE/documents.parquet" ]; then
+# regenerate unless a COMPLETE slice for exactly this (src, factor) exists:
+# the marker is written only after ScaleUp finishes, so a crashed partial
+# generation (or a previous run at a different scale) can never be silently
+# reused as "the" slice
+MARKER="$SLICE/.scaleup-complete"
+WANT="src=$SRC factor=$FACTOR"
+if [ ! -f "$MARKER" ] || [ "$(cat "$MARKER")" != "$WANT" ]; then
+  rm -rf "$SLICE"
   sbt -batch "runMain graft.tools.ScaleUp $SRC $SLICE $FACTOR"
+  echo "$WANT" > "$MARKER"
 fi
 
 # Re-assert the corpus contracts the oracles rely on, ON THE SLICE ITSELF

@@ -235,7 +235,7 @@ object StatefulStreamingQueries {
       }
       // final state per key = the highest-version update row
       val w = Window.partitionBy("user_id").orderBy(col("version").desc)
-      spark.table(table)
+      StreamRun.detached(spark.table(table))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(

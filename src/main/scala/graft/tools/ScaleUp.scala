@@ -114,6 +114,7 @@ object ScaleUp {
     val evStats = events.agg(count(lit(1)), min(col("event_id")), max(col("event_id")),
       min(col("ts")), max(col("ts"))).first()
     val evCount = evStats.getLong(0)
+    require(evCount > 0, "events table is empty — nothing to scale")
     require(evStats.getLong(1) == 0L && evStats.getLong(2) == evCount - 1,
       s"expected dense 0..N-1 event_ids, got min=${evStats.getLong(1)} max=${evStats.getLong(2)} n=$evCount")
     // ts shifts per copy by the source span + 1h: a 10× event log covers a
@@ -135,6 +136,15 @@ object ScaleUp {
 
     val documents = spark.read.parquet(s"$src/documents.parquet")
     requireBelow(documents, "doc_id", BigStep)
+    // the tag-then-truncate below cuts at 8 CHARS; that equals the 8-BYTE
+    // SimHashOracle contract only for ASCII text, so enforce the
+    // precondition here instead of comment-asserting it (a non-ASCII source
+    // corpus would otherwise emit >8-byte tokens the sweep catches only
+    // after the full slice is generated)
+    val nonAscii = documents
+      .where(octet_length(col("text")) =!= length(col("text"))).count()
+    require(nonAscii == 0,
+      s"$nonAscii documents contain non-ASCII text: 8-char truncation would not bound tokens at 8 bytes")
     write(copies(factor) { i =>
       // tag + truncate keeps every token ASCII ≤8 bytes — the SimHashOracle
       // corpus contract — while still zeroing cross-copy Jaccard
