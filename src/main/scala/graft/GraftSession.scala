@@ -10,10 +10,12 @@ import org.apache.spark.sql.SparkSession
  *
  *  - `spark.sql.session.timeZone=UTC` — oracle parity (DuckDB renders naive
  *    UTC timestamps).
- *  - `spark.sql.legacy.parquet.nanosAsLong=true` — the `events` table ships
- *    INT64 TIMESTAMP(NANOS) which Spark otherwise refuses to read
- *    ([PARQUET_TYPE_ILLEGAL]); we read ns-as-long and floor-divide to µs,
- *    which matches DuckDB's own ns→µs truncation on read.
+ *  - `spark.sql.legacy.parquet.nanosAsLong=true` — an escape hatch for the
+ *    INT64 TIMESTAMP(NANOS) events encoding (driver testdata through round
+ *    7), which Spark otherwise refuses to read ([PARQUET_TYPE_ILLEGAL]); a
+ *    no-op for the current `timestamp[us]` TIMESTAMP_NTZ encoding. Either
+ *    way [[Tables.normalizeTs]] maps the column to the canonical µs
+ *    TimestampType, matching DuckDB's own read of the same file.
  *  - AQE on — runtime re-planning (broadcast conversion, skew-join
  *    splitting, partition coalescing) is the scale story for the join/agg
  *    surface; at 100 TB these decisions must be made from runtime stats,

@@ -17,13 +17,64 @@ final case class EventRow(
  *
  * All loads are plain `spark.read.parquet` — schema comes from the files,
  * filters/projections push down to the scan. The one normalization is the
- * `events` table: its `ts` column is INT64 TIMESTAMP(NANOS), which Spark
- * reads only with `spark.sql.legacy.parquet.nanosAsLong=true` (as a raw
- * LongType of nanoseconds). We floor-divide to microseconds and rebuild a
- * TimestampType column — the exact truncation DuckDB applies when it reads
- * the same file, so oracle comparisons see identical instants.
+ * `events` table's `ts` column, whose ON-DISK encoding is owned by the
+ * driver and has drifted across rounds (INT64 TIMESTAMP(NANOS) through
+ * round 7, plain `timestamp[us]` TIMESTAMP_NTZ since round 8's
+ * regeneration). [[normalizeTs]] is the ONE place that maps any plausible
+ * encoding to the engine's canonical type, and every events ingress —
+ * [[events]], [[graft.sources.EventFeed]], [[graft.tools.ScaleUp]] — routes
+ * through it, so a future regeneration changes behavior in exactly one
+ * function (round 8 had three hard-coded copies of the ns-long assumption
+ * and lost the whole streaming surface to a schema drift; the reference
+ * survives payload drift because it never inspects `data` —
+ * `server.go:294-300` — and this is the typed-ingress equivalent).
  */
 object Tables {
+
+  /**
+   * Schema-adaptive `ts` normalizer: whatever encoding the parquet file
+   * carries → µs-precision `TimestampType` (the engine's canonical ts).
+   *
+   *  - `LongType` — INT64 nanoseconds (TIMESTAMP(NANOS) read as a raw long
+   *    under `spark.sql.legacy.parquet.nanosAsLong`, or a plain INT64 from
+   *    a derived slice). FLOOR-divided to µs, not truncated-toward-zero: a
+   *    pre-1970 negative ns value must round toward the past like DuckDB's
+   *    ns→µs conversion does, or every ts projection hash-mismatches on
+   *    such a corpus. `pmod` makes the remainder non-negative, so
+   *    subtracting it floors for either sign.
+   *  - `TimestampNTZType` — `timestamp[us]` with `isAdjustedToUTC=false`
+   *    (the driver's current encoding; DuckDB reads it as naive TIMESTAMP).
+   *    Under the engine's pinned UTC session timezone
+   *    ([[GraftSession.configure]]) the cast to `TimestampType` is a
+   *    wall-clock identity, so oracle comparisons see identical instants.
+   *  - `TimestampType` — `timestamp[us]` UTC-adjusted: already canonical.
+   *
+   * Any other type fails loudly here, at the ingress, instead of as an
+   * AnalysisException at stream start 140 queries later.
+   */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(tsCol,
+          timestamp_micros(expr(s"($tsCol - pmod($tsCol, 1000)) div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        throw new IllegalArgumentException(
+          s"events '$tsCol' has unsupported encoding $other — expected INT64 " +
+            "nanos (LongType under nanosAsLong), TIMESTAMP_NTZ (timestamp[us]), " +
+            "or TIMESTAMP (UTC-adjusted micros)")
+    }
+
+  /** The shared events-file ingress: read `path` with the nanos-as-long
+    * escape hatch enabled (a no-op for non-NANOS encodings) and normalize
+    * `ts`. Both the batch table view ([[events]]) and the streaming feed
+    * ([[graft.sources.EventFeed.load]]) land here. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(spark.read.parquet(path))
+  }
 
   val tpch: Seq[String] =
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
@@ -38,26 +89,10 @@ object Tables {
       case _        => spark.read.parquet(s"$dir/$name.parquet")
     }
 
-  /** `events` with `ts` normalized from ns-long to a µs TimestampType.
-    * Schema-adaptive: the driver-generated files carry INT64
-    * TIMESTAMP(NANOS) (read as a raw long under `nanosAsLong`), while
-    * derived directories (the ScaleUp sf1 rehearsal slice) carry a plain
-    * INT64 — both arrive as LongType and get the same µs rebuild. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        // FLOOR division, not `div` (truncate-toward-zero): a pre-1970
-        // negative ns value must round toward the past like DuckDB's
-        // ns→µs conversion does, or every ts projection hash-mismatches
-        // on such a corpus. pmod makes the remainder non-negative, so
-        // subtracting it floors for either sign.
-        raw.withColumn("ts",
-          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
-      case _ => raw
-    }
-  }
+  /** `events` with `ts` normalized to the canonical µs TimestampType
+    * regardless of the directory's on-disk encoding ([[normalizeTs]]). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, s"$dir/events.parquet")
 
   /** Typed events Dataset (case-class Encoder; compile-time field safety). */
   def eventsDs(spark: SparkSession, dir: String): Dataset[EventRow] = {

@@ -73,12 +73,25 @@ object TemporalJoins {
       deltaSeconds: Long,
       extraKeys: Seq[(String, String)] = Seq.empty
   ): DataFrame = {
+    // `unix_micros` accepts TIMESTAMP only; a TIMESTAMP_NTZ time column
+    // (the testdata's current on-disk encoding, if a caller bypasses
+    // Tables.normalizeTs) is cast up front — a wall-clock identity under
+    // the engine's UTC session timezone. The output then carries
+    // TimestampType for that column, same as every Tables-loaded frame.
+    def tsCompat(df: DataFrame, c: String): DataFrame =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
+    val left0   = tsCompat(left, leftTimeCol)
+    val right0  = tsCompat(right, rightTimeCol)
     val deltaUs = deltaSeconds * 1000000L
     val lb      = floor(unix_micros(col(leftTimeCol)) / deltaUs)
     val rb      = floor(unix_micros(col(rightTimeCol)) / deltaUs)
-    val l = left
+    val l = left0
       .withColumn("__bucket", explode(array(lb, lb + 1)))
-    val r = right.withColumn("__bucket", rb)
+    val r = right0.withColumn("__bucket", rb)
     val cond = extraKeys
       .map { case (lk, rk) => l(lk) === r(rk) }
       .foldLeft(l("__bucket") === r("__bucket"))(_ && _)

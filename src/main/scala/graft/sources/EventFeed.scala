@@ -59,12 +59,16 @@ object EventFeed {
   /** One materialized feed row: (event_id, ts_micros, user_id, event_type, value, props). */
   type FeedRow = (Long, java.lang.Long, java.lang.Long, String, java.lang.Double, String)
 
-  /** Load + order the feed driver-side (the poll-loop emulation). */
+  /** Load + order the feed driver-side (the poll-loop emulation).
+    * Ingress goes through [[graft.Tables.readEvents]] — the ONE
+    * schema-adaptive ts normalizer — so this source can never disagree with
+    * the batch table view about what an event's timestamp is (round 8: a
+    * hard-coded `ts div 1000` copy of an older normalization here took down
+    * all 21 streaming queries when the testdata encoding drifted). */
   def load(path: String, startingTimestamp: Option[String]): Array[FeedRow] = {
     val spark = SparkSession.active
     import org.apache.spark.sql.functions._
-    var df = spark.read.parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    var df = graft.Tables.readEvents(spark, path)
     startingTimestamp.foreach(t => df = df.filter(col("ts") >= to_timestamp(lit(t))))
     df.orderBy("ts", "event_id")
       .select("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -3,7 +3,7 @@ package graft.tools
 import graft.GraftSession
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.TimestampNTZType
 
 /**
  * Derives a larger scale factor from an existing testdata directory by
@@ -33,10 +33,15 @@ import org.apache.spark.sql.types.LongType
  *  - dimension tables (region/nation/supplier/part) stay fixed, like the
  *    broadcast side of a real warehouse at any SF; lineitem keeps its
  *    part/supp keys so dim joins stay valid;
- *  - `events.ts` is kept as the RAW nanosecond long ([[graft.Tables]] is
- *    schema-adaptive) and shifted per copy by the source span, so the
- *    scaled log covers a 10× timeline and global (ts, event_id) order is
- *    preserved — the invariant the offset==event_id stream oracles replay.
+ *  - `events.ts` ingresses through [[graft.Tables.readEvents]] (the one
+ *    schema-adaptive normalizer — any of the plausible on-disk encodings
+ *    works as a source), is shifted per copy by the source span in µs, and
+ *    is written back as TIMESTAMP_NTZ — the driver's current on-disk
+ *    encoding — so the scaled slice exercises the exact ingress path the
+ *    driver-generated SFs do, on both the Spark side (Tables.events) and
+ *    the DuckDB side of the oracle sweep. The shift preserves global
+ *    (ts, event_id) order — the invariant the offset==event_id stream
+ *    oracles replay.
  *
  * Usage: runMain graft.tools.ScaleUp <srcDir> <destDir> [factor=10]
  */
@@ -100,11 +105,9 @@ object ScaleUp {
       lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(i * BigStep))
     }, "lineitem", 16)
 
-    // events: ts stays the raw ns long so the destination reads through the
-    // same Tables.events normalization path as the driver-generated files
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$src/events.parquet")
-    require(events.schema("ts").dataType == LongType, "expected ns-long ts")
+    // events: any source encoding is accepted (Tables.readEvents normalizes
+    // to the canonical µs TimestampType); all ts arithmetic below is in µs
+    val events = graft.Tables.readEvents(spark, s"$src/events.parquet")
     requireBelow(events, "user_id", UserStep)
     // events shift by the EXACT source count, not BigStep: driver event_ids
     // are dense 0..N-1 and the log-bootstrap oracle alignment
@@ -112,7 +115,7 @@ object ScaleUp {
     // slice stays dense — a 10M stride would leave gaps and break every
     // offset-aligned stream oracle at sf1
     val evStats = events.agg(count(lit(1)), min(col("event_id")), max(col("event_id")),
-      min(col("ts")), max(col("ts"))).first()
+      min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).first()
     val evCount = evStats.getLong(0)
     require(evCount > 0, "events table is empty — nothing to scale")
     require(evStats.getLong(1) == 0L && evStats.getLong(2) == evCount - 1,
@@ -126,11 +129,16 @@ object ScaleUp {
     // construction, true across copies only if later copies' timestamps
     // strictly follow earlier ones. (Found at sf1: interleaved-ts copies
     // hash-matched on rows but scrambled every offset-aligned column.)
-    val tsSpanNs = evStats.getLong(4) - evStats.getLong(3) + 3600L * 1000000000L
+    val tsSpanUs = evStats.getLong(4) - evStats.getLong(3) + 3600L * 1000000L
     write(copies(factor) { i =>
       events
         .withColumn("event_id", col("event_id") + lit(i * evCount))
-        .withColumn("ts", col("ts") + lit(i * tsSpanNs))
+        // shift in µs space, then store as TIMESTAMP_NTZ (the driver's
+        // current on-disk encoding; under the pinned UTC session TZ the
+        // cast is a wall-clock identity)
+        .withColumn("ts",
+          timestamp_micros(unix_micros(col("ts")) + lit(i * tsSpanUs))
+            .cast(TimestampNTZType))
         .withColumn("user_id", col("user_id") + lit(i * UserStep))
     }, "events", 16)
 

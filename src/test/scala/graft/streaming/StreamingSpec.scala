@@ -121,9 +121,10 @@ class StreamingSpec extends AnyFunSuite {
 
   test("ingest honors startingTimestamp (the reference's replay-begin window)") {
     val spark = TestSpark.spark
-    // midpoint of the sf0.001 time range
-    val mid = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(expr("timestamp_micros(cast(percentile(ts div 1000, 0.5) as long))").cast("string"))
+    // midpoint of the sf0.001 time range — via the schema-adaptive ingress,
+    // not a raw read (the on-disk ts encoding is the driver's to change)
+    val mid = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as long))").cast("string"))
       .head().getString(0)
     val result = Ingest.run(spark, "/root/testdata/sf0.001", maxBatchSize = 500,
       startingTimestamp = Some(mid))
