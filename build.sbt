@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout, NOT through sbt's logger:
+// the logger prefixes every line with "[info] ", which breaks any consumer
+// that parses a program's one-line JSON output (the per-round bench record
+// has carried "parsed": null since round 1 — its summary line was always
+// "[info] {...}" in the captured tail, unparseable as JSON).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -179,8 +179,12 @@ object Bench {
       else failures.toSeq.sorted
         .map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(",\"failures\":{", ",", "}")
+    // ALWAYS emitted, contended or not: a gate-passing artifact must be
+    // distinguishable from a pre-gate one by its own content ("contended":
+    // false + the measured ambient load), not by the absence of a field
+    // (ADVICE r08: the committed floor couldn't self-certify)
     val contendedJson =
-      if (contended) s""","contended":true,"load_ambient":${f3(loadAmbient)}""" else ""
+      s""","contended":$contended,"load_ambient":${f3(loadAmbient)}"""
     val fullLine =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","median":true,"passes":$passesRun,"load":[${f3(loadStart)},${f3(loadEnd)}]$contendedJson$failJson,"queries":$medJson,"samples":$samplesJson,"sf":"$sfDir","cpus":"$cpus"}"""
     // a filtered run must not clobber the committed full-registry record —
