@@ -55,8 +55,11 @@ object Tables {
   def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
     df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // backquoted: tsCol is caller-supplied and must parse as a column
+        // REFERENCE, not as SQL (an unquoted "ts-ns" would parse as ts
+        // minus ns)
         df.withColumn(tsCol,
-          timestamp_micros(expr(s"($tsCol - pmod($tsCol, 1000)) div 1000")))
+          timestamp_micros(expr(s"(`$tsCol` - pmod(`$tsCol`, 1000)) div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn(tsCol, col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
       case org.apache.spark.sql.types.TimestampType => df

@@ -73,19 +73,15 @@ object TemporalJoins {
       deltaSeconds: Long,
       extraKeys: Seq[(String, String)] = Seq.empty
   ): DataFrame = {
-    // `unix_micros` accepts TIMESTAMP only; a TIMESTAMP_NTZ time column
-    // (the testdata's current on-disk encoding, if a caller bypasses
-    // Tables.normalizeTs) is cast up front — a wall-clock identity under
-    // the engine's UTC session timezone. The output then carries
+    // `unix_micros` accepts TIMESTAMP only; a caller that bypassed
+    // Tables.readEvents may hand us a TIMESTAMP_NTZ (the testdata's current
+    // on-disk encoding) or raw ns-long time column — route through the SAME
+    // normalizer as every ingress, so all encodings behave identically here
+    // and an unsupported one fails with the loud named error, not a
+    // DATATYPE_MISMATCH from deep inside the join. The output then carries
     // TimestampType for that column, same as every Tables-loaded frame.
-    def tsCompat(df: DataFrame, c: String): DataFrame =
-      df.schema(c).dataType match {
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
-        case _ => df
-      }
-    val left0   = tsCompat(left, leftTimeCol)
-    val right0  = tsCompat(right, rightTimeCol)
+    val left0   = graft.Tables.normalizeTs(left, leftTimeCol)
+    val right0  = graft.Tables.normalizeTs(right, rightTimeCol)
     val deltaUs = deltaSeconds * 1000000L
     val lb      = floor(unix_micros(col(leftTimeCol)) / deltaUs)
     val rb      = floor(unix_micros(col(rightTimeCol)) / deltaUs)

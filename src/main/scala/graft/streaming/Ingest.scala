@@ -100,7 +100,11 @@ object Ingest {
    * Kafka's maxOffsetsPerTrigger.
    */
   def pacedBatchSize(spark: SparkSession, dir: String, targetBatches: Int = 2): Int = {
-    val n = spark.read.parquet(s"$dir/events.parquet").count()
+    // readEvents, not a raw read: count() itself is encoding-agnostic, but
+    // a NANOS-encoded file fails schema inference without the nanosAsLong
+    // hatch the shared ingress sets — and "every events ingress routes
+    // through the one normalizer" should have no asterisks
+    val n = graft.Tables.readEvents(spark, s"$dir/events.parquet").count()
     math.max(1000, math.ceil(n.toDouble / targetBatches).toInt)
   }
 

@@ -175,7 +175,9 @@ class PlanSpec extends AnyFunSuite {
           SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString)
       }
     val broken = planned.collect { case (n, scala.util.Failure(e)) =>
-      s"ANALYSIS $n: ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.nextOption().getOrElse("")}"
+      val msg = Option(e.getMessage).iterator
+        .flatMap(_.linesIterator).nextOption().getOrElse("")
+      s"ANALYSIS $n: ${e.getClass.getSimpleName}: $msg"
     }
     val offenders = planned.collect {
       case (n, scala.util.Success(p)) if p.contains("CartesianProduct") =>
