@@ -110,6 +110,35 @@ class TestdataContractSpec extends AnyFunSuite {
       ("r_name", string, "string"))
   )
 
+  // --- semantic invariants the stream oracles replay -----------------------
+  // Every offset-aligned oracle (log bootstrap offset==event_id, SURVEY §2.1
+  // O2; q_stream*/q_tail/q_dense) assumes the driver generates events with
+  // DENSE 0..N-1 ids whose global (ts, event_id) order agrees with id order
+  // (EventFeed replays by ts; the bootstrap assigns dense arrival offsets).
+  // sf1_sweep.sh asserts this on ScaleUp slices; pin it on the driver SFs
+  // too — a regeneration that breaks it would otherwise resurface as a wall
+  // of unexplained stream-oracle hash mismatches, not a named failure.
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"$sf: events keep the dense ts-co-ordered id space the offset oracles replay") {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(spark, s"/root/testdata/$sf")
+      val stats = ev.agg(
+        count(lit(1)), min(col("event_id")), max(col("event_id"))).first()
+      val n = stats.getLong(0)
+      assert(n > 0, "events table is empty")
+      assert(stats.getLong(1) == 0L && stats.getLong(2) == n - 1,
+        s"event_ids not dense 0..N-1: min=${stats.getLong(1)} max=${stats.getLong(2)} n=$n")
+      val disordered = ev
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+        .where(col("rn") =!= col("event_id")).count()
+      assert(disordered == 0L,
+        s"$disordered rows where (ts, event_id) order diverges from event_id order — " +
+          "every offset-aligned stream oracle would scramble")
+    }
+  }
+
   for ((table, cols) <- contract.toSeq.sortBy(_._1)) {
     test(s"$table: driver columns stay within the engine's tolerated type families") {
       // schema-only (parquet footer) — Tables.table so events takes the
