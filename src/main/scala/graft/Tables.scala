@@ -73,10 +73,30 @@ object Tables {
   /** The shared events-file ingress: read `path` with the nanos-as-long
     * escape hatch enabled (a no-op for non-NANOS encodings) and normalize
     * `ts`. Both the batch table view ([[events]]) and the streaming feed
-    * ([[graft.sources.EventFeed.load]]) land here. */
+    * ([[graft.sources.EventFeed.load]]) land here.
+    *
+    * Graft sessions already pin the flag in [[GraftSession.configure]]; the
+    * set here only covers a foreign session pointed at a NANOS-encoded
+    * directory. When the directory is NOT nanos-encoded (ts infers as
+    * anything but LongType — every driver encoding since round 8), the
+    * previous value is restored so an events read never leaks the legacy
+    * flag into the session: a later non-events read of a TIMESTAMP(NANOS)
+    * column must still fail loudly (PARQUET_TYPE_ILLEGAL) rather than
+    * silently arrive as LongType. When ts DOES infer as LongType the flag
+    * stays set — the lazy parquet scan re-reads it at execution time, so
+    * restoring it would break the read the hatch exists for (this matches
+    * the session-wide pin a graft session has anyway). */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(spark.read.parquet(path))
+    val key  = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val raw = spark.read.parquet(path)
+    if (raw.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    normalizeTs(raw)
   }
 
   val tpch: Seq[String] =

@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /**
@@ -25,9 +26,22 @@ import org.scalatest.funsuite.AnyFunSuite
  * `server.go:294-300` — so payload drift cannot break it; this is the typed
  * ingress's equivalent robustness statement for `ts`.)
  */
-class TsEncodingSpec extends AnyFunSuite {
+class TsEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = TestSpark.spark
+
+  private lazy val fixtureBase = Files.createTempDirectory("graft-ts-canary")
+
+  override def afterAll(): Unit = {
+    // the fixtures are per-run scratch; delete them instead of leaking
+    // three parquet directories per test run (ADVICE r09)
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(fixtureBase)) {
+      Files.walk(fixtureBase).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    super.afterAll()
+  }
 
   /** (event_id, µs instant) fixture rows. Includes a pre-1970 instant and,
     * in the ns encoding, remainders not divisible by 1000 — pinning the
@@ -62,7 +76,7 @@ class TsEncodingSpec extends AnyFunSuite {
 
   /** Write one fixture per encoding; returns name -> path. */
   private lazy val fixtures: Map[String, String] = {
-    val base = Files.createTempDirectory("graft-ts-canary").toString
+    val base = fixtureBase.toString
     // 1) INT64 nanos: the pre-round-8 encoding. Spark can't WRITE
     //    TIMESTAMP(NANOS), but under nanosAsLong it READS it as a raw
     //    LongType — the identical ingress path a plain INT64 column takes,
@@ -131,5 +145,17 @@ class TsEncodingSpec extends AnyFunSuite {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
     assert(df.schema("ts").dataType === TimestampType)
     assert(df.where(col("ts").isNotNull).count() > 0)
+    // Magnitude canary (ADVICE r09): type checks alone cannot catch a unit
+    // drift — if a regeneration ships plain INT64 *micro*seconds, the Long
+    // branch's ns→µs division would land every instant ~1970-01 (1000×
+    // early) with the type still TimestampType. Decoded instants from the
+    // driver corpus must fall in a plausible wall-clock window; a unit
+    // error of 1000× in either direction lands centuries away from it.
+    val span = df.agg(min(year(col("ts"))), max(year(col("ts")))).collect().head
+    val (minY, maxY) = (span.getInt(0), span.getInt(1))
+    assert(minY >= 1990 && maxY <= 2100,
+      s"decoded events ts spans years [$minY, $maxY] — outside the plausible " +
+        "driver-corpus window [1990, 2100]; suspect a ts UNIT drift (e.g. " +
+        "plain INT64 µs mis-decoded as ns) in the latest testdata regeneration")
   }
 }
