@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /**
  * Distributed dense-offset assignment — SURVEY §7 "hard part #1" at scale.
@@ -18,12 +17,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
  * driver) prefix-summed into partition bases, then a second local pass
  * adding base + local index.
  *
- * Implemented on `RDD.zipWithIndex`, which IS that scheme — and because
- * both of its internal jobs run over the same RDD object, the range
- * shuffle is computed once and its map outputs reused, so the counting
- * pass and the indexing pass see identical partitioning (re-executing
- * `repartitionByRange` twice would re-sample boundaries and could
- * disagree).
+ * Delegates to [[Pack.assignOffsets]] with unit weights — a dense row
+ * index IS the exclusive running sum of 1s — so the repo has exactly ONE
+ * implementation of the two-pass prefix sum (previously this was a
+ * parallel `RDD.zipWithIndex` copy of the same pattern; VERDICT r09
+ * item 6).
  *
  * `monotonically_increasing_id` cannot do this (sparse by design); a
  * global `row_number()` window would serialize through one partition. Two
@@ -37,15 +35,9 @@ object DenseOffsets {
    * the order, and thus the assignment, nondeterministic).
    */
   def assign(df: DataFrame, orderCol: String, base: Long, partitions: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    val n = if (partitions > 0) partitions
-            else spark.sessionState.conf.numShufflePartitions
-    val ordered = df.repartitionByRange(n, col(orderCol)).sortWithinPartitions(orderCol)
-
-    val schema = StructType(ordered.schema.fields :+ StructField("offset", LongType, nullable = false))
-    val rows = ordered.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ (base + idx))
-    }
-    spark.createDataFrame(rows, schema)
+    val w = "__graft_unit_weight"
+    Pack.assignOffsets(df.withColumn(w, lit(1L)), orderCol, w, partitions)
+      .withColumn("offset", col("start_off") + lit(base))
+      .drop(w, "start_off")
   }
 }

@@ -13,8 +13,8 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
  * The hard part at 100 TB is the global running sum: a window
  * `sum() OVER (ORDER BY id)` serializes through ONE partition. This
  * operator computes it with the classic two-pass distributed prefix sum
- * (same scheme as [[DenseOffsets]], generalized from row counts to
- * arbitrary weights):
+ * (the repo's ONE implementation of the scheme — [[DenseOffsets]] is the
+ * unit-weight specialization delegating here):
  *
  *  1. range-repartition on the order column + in-partition sort, so each
  *     partition holds a contiguous globally-ordered slice;
