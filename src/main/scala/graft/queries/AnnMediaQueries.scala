@@ -10,12 +10,66 @@ import org.apache.spark.sql.functions._
  * data-independent (deterministic seed), so [[bucketSql]] inlines them as
  * literal arrays and the DuckDB oracle replays bucket assignment +
  * multiprobe + rerank bit-for-bit (recall vs brute force is additionally
- * asserted in AnnSpec). Only the data-dependent IVF quantizer stays
- * rows-only. The media queries oracle-check the binary-column plumbing
- * INCLUDING the partition-wise stub decoder (its deterministic outputs
- * are re-derivable in SQL).
+ * asserted in AnnSpec). The IVF path is oracle-checked the same way, one
+ * step later: the coarse quantizer is data-DEPENDENT but deterministic
+ * (sample-bounded seedless Lloyd — [[graft.operators.Ann.ivfFit]]), so the
+ * q_ivf run records its fitted centroids and the oracle SQL — assembled by
+ * Verify AFTER the queries ran — inlines them as literals and replays
+ * nearest-centroid assignment, nprobe list selection, and the exact rerank
+ * bit-for-bit (the fit itself is pinned by AnnSpec: recall + determinism).
+ * The graph path (q_hnsw) emits a self-certifying row instead — beam
+ * search over a shard-local graph is not SQL-replayable, so the query
+ * CHECKS its answer against the in-plan exact scan (recall floor + exact
+ * per-id cosine agreement) and the oracle pins the certificate. The media
+ * queries oracle-check the binary-column plumbing INCLUDING the
+ * partition-wise stub decoder (its deterministic outputs are re-derivable
+ * in SQL).
  */
 object AnnMediaQueries {
+
+  /** The q_ivf run's fitted coarse quantizer, recorded for the oracle
+    * builder. Safe as a plain volatile: Verify runs queries sequentially
+    * and dumps `SparkEntry.oracleSql` afterwards, always against ONE sf
+    * dir, so the last recorded fit is the one the oracle must replay. */
+  @volatile private var ivfCentroids: Option[Array[Array[Double]]] = None
+
+  /** DuckDB replay of [[graft.operators.Ann.ivfTopK]] from literal
+    * centroids — mirrors each engine-side computation at matching
+    * float-op order so the hash check is bit-for-bit:
+    *  - assignment `d_j = −2⟨v,c_j⟩ + ‖c_j‖²` with ‖c_j‖² inlined as the
+    *    same Scala-computed literal Spark uses (`Ann.assignCentroid`),
+    *    ties to the lowest cid (Spark: first index of the array min);
+    *  - nprobe ranking by the DRIVER-side formula `Σ(c_ji−p_i)²`
+    *    accumulated left-to-right (`Ann.ivfTopK`'s Scala fold);
+    *  - exact cosine rerank, identical to the q_ann oracle.
+    */
+  private def ivfOracleSql: Option[String] = ivfCentroids.map { cs =>
+    val values = cs.zipWithIndex.map { case (cv, cid) =>
+      val cc = cv.map(x => x * x).sum
+      s"($cid, CAST(${planeLit(cv.toSeq)} AS DOUBLE[]), ${cc.toString})"
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c(cid, cv, cc) AS (VALUES
+       |  $values),
+       |asg AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cc, c.cid) AS rn
+       |    FROM e CROSS JOIN c)
+       |  WHERE rn = 1),
+       |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+       |np AS (SELECT c.cid FROM c, p
+       |       ORDER BY list_aggregate(list_transform(range(1, 1 + len(c.cv)),
+       |                  i -> (c.cv[i] - p.pv[i]) * (c.cv[i] - p.pv[i])), 'sum'), c.cid
+       |       LIMIT 4),
+       |cand AS (SELECT a.vec_id,
+       |                round(list_dot_product(a.v, p.pv)
+       |                  / nullif(sqrt(list_dot_product(a.v, a.v))
+       |                           * sqrt(list_dot_product(p.pv, p.pv)), 0), 4) AS sim
+       |         FROM asg a, p WHERE a.cid IN (SELECT cid FROM np))
+       |SELECT vec_id, sim FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  }
 
   /** Full-precision double literal (Double.toString round-trips exactly, so
     * DuckDB parses back the bit-identical plane coefficient). */
@@ -33,7 +87,11 @@ object AnnMediaQueries {
       s"(CASE WHEN list_dot_product($vecExpr, ${planeLit(p)}) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
-  val all: Seq[Declared] = Seq(
+  /** `def`, not `val`: q_ivf's oracle is assembled from the model the run
+    * records, so the registry must be re-materialized when Verify asks for
+    * `SparkEntry.oracleSql` AFTER the query loop (the only evaluation-order
+    * dependence; every other entry is a constant). */
+  def all: Seq[Declared] = Seq(
     // int8 symmetric quantization prep (the serving/PQ compression step:
     // 4× smaller vectors, SIMD int8 dot products downstream): per-vector
     // max-abs scale, floor-quantize to [-127,127], report saturation +
@@ -93,22 +151,51 @@ object AnnMediaQueries {
     },
 
     // IVF approximate top-10: k-means coarse quantizer (deterministic
-    // Lloyd fit), nprobe nearest inverted lists, exact rerank. Approximate
-    // + plane-free but the quantizer isn't SQL-portable → rows-only here;
-    // recall vs brute force asserted in AnnSpec.
-    Declared("q_ivf", None) { (spark, dir) =>
+    // Lloyd fit), nprobe nearest inverted lists, exact rerank. The run
+    // records the fitted model; [[ivfOracleSql]] replays everything
+    // downstream of the fit from the centroid literals → full hash check
+    // (the fit itself: AnnSpec recall + determinism).
+    Declared("q_ivf", ivfOracleSql) { (spark, dir) =>
       val emb       = Tables.embeddings(spark, dir)
       val centroids = Ann.ivfFit(emb, c = 16, iters = 3)
+      ivfCentroids = Some(centroids)
       Ann.ivfTopK(emb, probeId = 0L, k = 10, centroids, nprobe = 4)
     },
 
     // Graph-ANN top-10: shard-local navigable-small-world graphs (the
     // HNSW family) built per partition inside mapPartitions, probe
     // beam-searched per shard, global merge of shards·k candidates.
-    // Graph construction is data-order-dependent → not SQL-portable;
-    // rows-only here, recall vs brute force asserted in AnnSpec.
-    Declared("q_hnsw", None) { (spark, dir) =>
-      Ann.nswTopK(Tables.embeddings(spark, dir), probeId = 0L, k = 10)
+    // Graph construction is data-order-dependent → the ANSWER isn't
+    // SQL-portable; instead the query emits a self-certifying row the
+    // oracle CAN pin: recall@10 vs the in-plan exact scan meets the 0.8
+    // floor, and every reported sim equals the exact cosine for that id
+    // (catches rerank/merge bugs, not just ranking luck). AnnSpec
+    // additionally pins mean recall >= 0.9 across probes.
+    Declared(
+      "q_hnsw",
+      Some(
+        """SELECT CAST(10 AS BIGINT) AS k,
+          |       (SELECT count(*) FROM embeddings) AS n,
+          |       CAST(0.8 AS DOUBLE) AS recall_floor,
+          |       true AS recall_met, true AS sims_exact""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val emb     = Tables.embeddings(spark, dir)
+      val nswRows = Ann.nswTopK(emb, probeId = 0L, k = 10).collect() // k rows
+      val nswIds  = nswRows.map(_.getLong(0))
+      val exactIds = Ann.bruteForceTopK(emb, probeId = 0L, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      val probe = emb.filter(col("vec_id") === 0L).select(col("embedding").as("p"))
+      val exactSim = emb.where(col("vec_id").isin(nswIds.toIndexedSeq: _*))
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          round(graft.functions.Similarity.cosineSimilarity(col("embedding"), col("p")), 4))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val hits      = nswIds.count(exactIds)
+      val simsExact = nswRows.forall(r => exactSim(r.getLong(0)) == r.getDouble(1))
+      import spark.implicits._
+      Seq((10L, emb.count(), 0.8, hits >= 8, simsExact))
+        .toDF("k", "n", "recall_floor", "recall_met", "sims_exact")
     },
 
     // batch k-NN join: exact top-5 neighbors for every probe vec_id < 10 —
