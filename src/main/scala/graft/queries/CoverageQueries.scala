@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.Money
 import org.apache.spark.sql.functions._
 
 /**
@@ -548,9 +549,9 @@ object CoverageQueries {
         .prune(Tables.lineitem(spark, dir), "l_orderkey", dim, "o_orderkey")
         .join(dim, col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_returnflag")
-        // decimal money sum (rationale at q_bucket): 3 wide groups at sf1
+        // exact-cents money sum (rationale at q_bucket): 3 wide groups at sf1
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4).as("revenue"))
+          round(Money.sumMoney(col("l_extendedprice")), 4).as("revenue"))
         .orderBy("l_returnflag")
     },
 
@@ -820,9 +821,9 @@ object CoverageQueries {
           "o_custkey", "c_custkey",
           salts = 8, saltSource = Seq(col("o_orderkey")))
         .groupBy("c_mktsegment")
-        // decimal sum: order-independent at any scale (rationale at q_bucket)
+        // exact-cents sum: order-independent at any scale (rationale at q_bucket)
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4).as("total"))
+          round(Money.sumMoney(col("o_totalprice")), 4).as("total"))
         .orderBy("c_mktsegment")
     },
 

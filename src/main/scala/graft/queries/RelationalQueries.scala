@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.Money
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,15 +30,21 @@ object RelationalQueries {
     // local merge. The merge hint pins SMJ (else AQE broadcasts the small
     // side at this SF and the bucketing never engages); LayoutSpec covers
     // the plan-level no-Exchange assertion.
-    // Money sums go through DECIMAL(18,2), not double: five c_mktsegment
-    // groups concentrate ~n/5 prices per sum, and a double sum's
-    // partition-order error grows past the 1e-4 oracle rounding grid right
-    // around sf1 (~300k rows/group summing to ~3e10 — caught by the sf1
-    // sweep; the sf0.01/0.1 match was magnitude luck, not determinism).
-    // Decimal partial aggregation is exact integer arithmetic, so the sum
-    // is order-independent at ANY scale; one final cast to double keeps
-    // the output schema. Same treatment in q_joinfact/q_skewjoin (shared
-    // logical query) and the wide-sum q1 family.
+    // Money sums go through exact integer cents (Money.sumMoney), not
+    // double: five c_mktsegment groups concentrate ~n/5 prices per sum,
+    // and a double sum's partition-order error grows past the 1e-4 oracle
+    // rounding grid right around sf1 (~300k rows/group summing to ~3e10 —
+    // caught by the sf1 sweep; the sf0.01/0.1 match was magnitude luck,
+    // not determinism). Long-cents partial aggregation is exact integer
+    // arithmetic, so the sum is order-independent at any realistic scale
+    // (envelope documented in graft.functions.Money) and ~30%-2.4×
+    // cheaper than the DECIMAL(18,2) formulation it replaced (Probe
+    // --money-sums; VERDICT r09 item 4). The DuckDB oracles keep the
+    // DECIMAL formulation — both convert the same exact rational to its
+    // nearest double, so hashes are unchanged. Same treatment in
+    // q_joinfact/q_skewjoin (shared logical query) and the wide-sum q1
+    // family; q_sql deliberately KEEPS DECIMAL aggregation so the SQL-text
+    // surface still exercises Spark's decimal partial aggregates.
     Declared(
       "q_bucket",
       Some(
@@ -64,7 +71,7 @@ object RelationalQueries {
         .join(spark.table("graft_bkt_customer"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4).as("revenue"))
+          round(Money.sumMoney(col("o_totalprice")), 4).as("revenue"))
         .orderBy("c_mktsegment")
     },
     // filter with compound predicate → pushed to parquet scan
@@ -138,19 +145,19 @@ object RelationalQueries {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin
       )
     ) { (spark, dir) =>
-      // money sums in DECIMAL (order-independent — rationale at q_bucket);
-      // the disc-price product is decimal×decimal so it is EXACT per row,
-      // not a double multiply rounded after the fact. quantity sums stay
-      // double: integer-valued doubles sum exactly below 2^53 in any order.
-      val price = col("l_extendedprice").cast("decimal(18,2)")
-      val disc  = col("l_discount").cast("decimal(18,2)")
+      // money sums as exact integer cents (order-independent — rationale
+      // at q_bucket; envelope in graft.functions.Money); the disc-price
+      // product is cents×hundredths so it is EXACT per row, not a double
+      // multiply rounded after the fact. quantity sums stay double:
+      // integer-valued doubles sum exactly below 2^53 in any order.
       Tables.lineitem(spark, dir)
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum(price).cast("double"), 4).as("sum_base_price"),
-          round(sum(price * (lit(1) - disc)).cast("double"), 4).as("sum_disc_price"),
+          round(Money.sumMoney(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(Money.sumDiscounted(col("l_extendedprice"), col("l_discount")), 4)
+            .as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -189,7 +196,7 @@ object RelationalQueries {
         .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4).as("total"))
+          round(Money.sumMoney(col("o_totalprice")), 4).as("total"))
         .orderBy("c_mktsegment")
     },
 

@@ -12,7 +12,11 @@ import graft.Engine
 object SqlQueries {
 
   val all: Seq[Declared] = Seq(
-    // TPC-H Q1 as SQL text through Engine.sql (same oracle as q_tpch1)
+    // TPC-H Q1 as SQL text through Engine.sql (same oracle as q_tpch1).
+    // Deliberately KEEPS the DECIMAL(18,2) money sums after q_tpch1 moved
+    // to integer cents (graft.functions.Money): this entry is what still
+    // exercises Spark's decimal partial aggregates — the registry covers
+    // both exact-money formulations, and the two hash-match each other.
     Declared(
       "q_sql",
       Some(

@@ -43,6 +43,43 @@ object Probe {
         fn().write.format("noop").mode("overwrite").save()
         println(f"[probe] r$r linedup-$nm n=$n ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
+    } else if (args.headOption.contains("--money-sums")) {
+      // DECIMAL(18,2) vs integer-cents LongType partial aggregates for the
+      // TPC-H Q1 money sums (VERDICT r09 item 4): same filter/group shape,
+      // three timed passes each, plus a value compare of the final rounded
+      // doubles. The cents variant must reproduce the DECIMAL hash exactly
+      // (conversion per row is exact: *100 on a 2-decimal double is within
+      // ~1e-10 of an integer, bround lands it).
+      import org.apache.spark.sql.functions._
+      def base = graft.Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      def decimalQ = {
+        val price = col("l_extendedprice").cast("decimal(18,2)")
+        val disc  = col("l_discount").cast("decimal(18,2)")
+        base.groupBy("l_returnflag", "l_linestatus").agg(
+          round(sum(price).cast("double"), 4).as("sum_base_price"),
+          round(sum(price * (lit(1) - disc)).cast("double"), 4).as("sum_disc_price"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }
+      def centsQ = {
+        val priceC = bround(col("l_extendedprice") * 100).cast("long")  // cents
+        val discC  = bround(col("l_discount") * 100).cast("long")       // hundredths
+        base.groupBy("l_returnflag", "l_linestatus").agg(
+          round((sum(priceC) / 100.0), 4).as("sum_base_price"),
+          // price_cents * (100 - disc_hundredths) is exact in 1e-4 dollars
+          round((sum(priceC * (lit(100L) - discC)) / 10000.0), 4).as("sum_disc_price"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }
+      for (r <- 1 to 3; (nm, fn) <- Seq(
+          ("decimal", () => decimalQ), ("cents  ", () => centsQ))) {
+        val t0 = System.nanoTime()
+        fn().write.format("noop").mode("overwrite").save()
+        println(f"[probe] r$r money-$nm ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      val d = decimalQ.collect().map(_.toSeq).toSeq
+      val c = centsQ.collect().map(_.toSeq).toSeq
+      println(s"[probe] values identical: ${d == c}")
+      if (d != c) { println(s"[probe] decimal: $d"); println(s"[probe] cents:   $c") }
     } else if (args.headOption.contains("--stream-floor")) {
       // Where does the fixed per-replay streaming cost go? Runs the
       // q_stream_window shape 3×, printing Spark's own per-micro-batch
