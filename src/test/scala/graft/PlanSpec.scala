@@ -158,6 +158,56 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"expected map-side partial sketches:\n$p")
   }
 
+  // --- flagship bench-query shape pins (VERDICT r09 item 7): a Spark
+  // upgrade or AQE change that silently degrades one of the most
+  // expensive queries' plans must fail a NAMED test, not surface as an
+  // unexplained bench regression. Counts are over the INITIAL adaptive
+  // plan (what the static planner committed to; AQE can only improve it).
+
+  test("q_minhash_lsh keeps the banded-bucket shape: 3 broadcast joins, one agg shuffle") {
+    val p = plan("q_minhash_lsh")
+    // band-pair self-join + the two size lookups all broadcast (the band
+    // buckets are the small side by construction); the only hash shuffle
+    // is the minhash-signature aggregate; final orderBy is the one range
+    // exchange. An all-pairs regression would show as SMJ/cartesian or
+    // extra hash exchanges.
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3, s"expected 3 broadcast joins:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly the signature-agg hash shuffle:\n$p")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly the final orderBy range shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"banded join degraded to SMJ/cartesian:\n$p")
+  }
+
+  test("q_ivf keeps the shuffle-free probe shape: broadcast rerank + top-k heaps") {
+    val p = plan("q_ivf")
+    // nprobe filter is a narrow map, the 1-row probe broadcasts (BNLJ over
+    // IdentityBroadcastMode), the top-10 is per-partition heaps — the
+    // whole probe path plans ZERO hash shuffles.
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected broadcast probe join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k heaps, not a global sort:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"probe path should plan no hash shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ on the probe path:\n$p")
+  }
+
+  test("q_curate tail: 3-split union into two agg shuffles + final range sort") {
+    // the dedup/LSH/decontam stages are materialized by Pack's prefix sum
+    // before this plan exists — their shapes are pinned via the operators
+    // the chain composes (q_minhash_lsh above, q_contamination's broadcast
+    // shingle join). The visible tail must stay: union of the 3 per-split
+    // packed RDDs → partial agg → countDistinct re-agg → ordered result,
+    // with no join and exactly 2 hash + 1 range exchanges.
+    val p = plan("q_curate")
+    assert(p.contains("Union"), s"expected the 3-split union:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"expected the split-agg + countDistinct shuffles only:\n$p")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly the final orderBy range shuffle:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in the packed tail:\n$p")
+  }
+
   test("no declared batch query plans a CartesianProduct") {
     // the one plan shape that is ALWAYS wrong at 100 TB: every declared
     // subquery/probe/cross pattern must come out as a broadcast (1-row
