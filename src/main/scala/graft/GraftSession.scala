@@ -46,6 +46,15 @@ object GraftSession {
       // no-data batch to emit windows past the watermark (WatermarkSpec
       // fails without it; disabling bought <10% anyway)
       .config("spark.sql.streaming.minBatchesToRetain", "2")
+      // Replay-harness envelope: the verify/bench streaming replays drain
+      // tail batches into a MEMORY sink (driver-resident by construction),
+      // and at the factor-100 rehearsal one replay totals ~2 GiB of
+      // serialized results — over the 1g core default even when the source
+      // slices the batch into bounded tasks. Production sinks (parquet,
+      // the offset log) never route rows through the driver, so this only
+      // widens the harness path; it is NOT a license for collect() in
+      // operators (PlanSpec pins the plans that must stay distributed).
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.ui.enabled", "false")
   }
 

@@ -57,6 +57,12 @@ object LogTail {
     StructField("offset", LongType, nullable = false),
     StructField("value", StringType, nullable = false)
   ))
+
+  /** Rows per input partition within one micro-batch. At the 512 KiB/record
+    * ceiling a slice is bounded; at the typical ~1 KiB CloudEvent it is
+    * ~64 MiB — one healthy task, so a factor-100 replay batch (2.5M rows)
+    * fans out to ~39 tasks instead of one 1.8 GiB task. */
+  val SliceRows: Int = 65536
 }
 
 class LogTailTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
@@ -156,16 +162,27 @@ class LogTailMicroBatchStream(
       val rows = (s until e).flatMap(o => log.read(o).toOption.map(b => (o, new String(b, "UTF-8"))))
       val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(rows.toArray)
       synchronized { shipped.addLast(bc) }
-      Array(LogTailPartition(bc))
+      // split the batch into bounded index slices over the ONE broadcast:
+      // a single partition serializes the whole admitted batch through one
+      // task (1.8 GiB task results at the factor-100 rehearsal, tripping
+      // spark.driver.maxResultSize) and starves every downstream operator
+      // of parallelism. Slice count scales with the batch, not with
+      // cluster size — small live batches stay one task, big replay
+      // batches fan out.
+      val n = rows.length
+      (0 until n by LogTail.SliceRows)
+        .map(from => LogTailPartition(bc, from, math.min(n, from + LogTail.SliceRows)): InputPartition)
+        .toArray
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-      val slice = partition.asInstanceOf[LogTailPartition].rows.value
+      val p     = partition.asInstanceOf[LogTailPartition]
+      val slice = p.rows.value
       new PartitionReader[InternalRow] {
-        private var i = -1
-        override def next(): Boolean = { i += 1; i < slice.length }
+        private var i = p.from - 1
+        override def next(): Boolean = { i += 1; i < p.until }
         override def get(): InternalRow = {
           val (o, v) = slice(i)
           new GenericInternalRow(Array[Any](o, UTF8String.fromString(v)))
@@ -176,6 +193,9 @@ class LogTailMicroBatchStream(
   }
 }
 
+/** An index slice `[from, until)` into the batch's shared broadcast. */
 case class LogTailPartition(
-    rows: org.apache.spark.broadcast.Broadcast[Array[(Long, String)]]
+    rows: org.apache.spark.broadcast.Broadcast[Array[(Long, String)]],
+    from: Int,
+    until: Int
 ) extends InputPartition

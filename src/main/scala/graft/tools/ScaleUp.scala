@@ -50,8 +50,23 @@ object ScaleUp {
   private val BigStep  = 10000000L // doc/vec/event/order keyspace stride
   private val UserStep = 1000000L  // user/cust keyspace stride
 
-  private def copies(factor: Int)(one: Int => DataFrame): DataFrame =
-    (0 until factor).map(one).reduce(_ unionAll _)
+  /** Order-preserving balanced union: a left-deep `reduce(_ unionAll _)`
+    * builds a plan tree `factor` deep, which at factor 1000 (the sf100
+    * rehearsal) risks analyzer stack overflow and quadratic tree walks;
+    * pairwise reduction keeps depth at ~log2(factor) with the same copy
+    * order (CombineUnions flattens either shape to one Union node, but it
+    * must survive analysis of the raw tree first). */
+  private def copies(factor: Int)(one: Int => DataFrame): DataFrame = {
+    @annotation.tailrec
+    def reduce(dfs: Seq[DataFrame]): DataFrame = dfs match {
+      case Seq(only) => only
+      case many      => reduce(many.grouped(2).map {
+        case Seq(a, b) => a unionAll b
+        case Seq(a)    => a
+      }.toSeq)
+    }
+    reduce((0 until factor).map(one))
+  }
 
   /** Copies collide (aliased keyspace, not 10× cardinality) if the source
     * keyspace is wider than the per-copy stride — refuse loudly. */
@@ -77,12 +92,20 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // File counts were sized for the factor-10/100 rehearsals; beyond that
+    // they scale with the data (factor 1000 would otherwise pack ~1.5 GiB
+    // per lineitem file — far past maxPartitionBytes-friendly sizing — and
+    // serialize the write through 16 tasks). Factors <= 100 keep the exact
+    // historical layout, so the committed sf1/sf10 artifacts reproduce.
+    val fileScale = math.max(1, factor / 100)
     def write(df: DataFrame, name: String, files: Int): Unit =
-      df.repartition(files).write.mode("overwrite").parquet(s"$dest/$name.parquet")
+      df.repartition(files * fileScale).write.mode("overwrite").parquet(s"$dest/$name.parquet")
 
-    // dims: fixed at any SF (the broadcast side)
+    // dims: fixed at any SF (the broadcast side) — always one file, the
+    // fileScale applies only to the factor-scaled fact tables
     for (t <- Seq("region", "nation", "supplier", "part"))
-      write(spark.read.parquet(s"$src/$t.parquet"), t, 1)
+      spark.read.parquet(s"$src/$t.parquet").repartition(1)
+        .write.mode("overwrite").parquet(s"$dest/$t.parquet")
 
     val customer = spark.read.parquet(s"$src/customer.parquet")
     requireBelow(customer, "c_custkey", UserStep)

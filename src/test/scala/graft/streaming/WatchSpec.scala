@@ -143,6 +143,42 @@ class WatchSpec extends AnyFunSuite {
     assert(s2.nextOffset === 8L)
   }
 
+  test("a replay batch fans out into bounded input partitions") {
+    import graft.sources.{LogCursor, LogTail, LogTailMicroBatchStream, LogTailPartition, OffsetLogRegistry}
+    // the factor-100 failure mode: one admitted batch (paced to N/2 rows)
+    // planned as ONE partition serialized ~1.8 GiB through a single task.
+    // Pin the fix: slices of <= SliceRows rows over the shared broadcast,
+    // covering the batch exactly, in offset order.
+    val n   = 150000
+    val log = new OffsetLog(0, 200000)
+    val rec = "x".getBytes("UTF-8")
+    (0 until n).foreach(_ => log.write(rec))
+    OffsetLogRegistry.register("w_slices", log)
+    try {
+      val stream = new LogTailMicroBatchStream("w_slices", Some(0L), maxBatchSize = n)
+      spark.sparkContext // force session init so the broadcast has a context
+      val parts = stream.planInputPartitions(LogCursor(0), LogCursor(n.toLong))
+      try {
+        val slices = parts.map(_.asInstanceOf[LogTailPartition])
+        assert(parts.length === math.ceil(n.toDouble / LogTail.SliceRows).toInt)
+        assert(slices.forall(p => p.until - p.from <= LogTail.SliceRows))
+        assert(slices.map(p => p.until - p.from).sum === n)
+        // reader fidelity across slice boundaries: offsets dense, in order
+        val factory = stream.createReaderFactory()
+        val offsets = slices.flatMap { p =>
+          val r   = factory.createReader(p)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          while (r.next()) buf += r.get().getLong(0)
+          r.close()
+          buf
+        }
+        assert(offsets.toSeq === (0L until n.toLong))
+        // a small live batch stays one task
+        assert(stream.planInputPartitions(LogCursor(0), LogCursor(50)).length === 1)
+      } finally stream.stop()
+    } finally OffsetLogRegistry.remove("w_slices")
+  }
+
   test("watch from a purged offset errors (server_test.go:350-359)") {
     val log = new OffsetLog(0, 5)
     (0 until 20).foreach(i => log.write(bytes(i))) // log retains 10..19
