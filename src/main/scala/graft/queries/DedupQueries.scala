@@ -108,19 +108,27 @@ object DedupQueries {
     },
 
     // banded edit-distance near-dup: candidates blocked on (lang, length
-    // band) — the blocking that makes Levenshtein (quadratic per pair)
-    // affordable at corpus scale: band sizes bound the per-bucket pair
-    // count, and the 40-char prefix bounds per-pair cost. Same banding in
-    // the oracle, so the check is exact. Two per-pair cuts on top of the
-    // blocking (the oracle is unchanged — both cuts are lossless):
-    //  1. pigeonhole pre-filter: split pa into 6 contiguous chunks; ≤5
-    //     edits touch ≤5 chunks, so one chunk survives untouched and must
-    //     appear verbatim in pb — `instr` rejects ~all non-dup pairs
-    //     before any DP runs (short prefixes bypass the filter rather
-    //     than reason about empty-chunk semantics);
-    //  2. thresholded levenshtein(pa, pb, 5): banded O(len·k) DP that
-    //     gives up past distance 5 (returns -1) instead of filling the
-    //     full O(len²) matrix.
+    // band), verified with thresholded levenshtein(pa, pb, 5) — banded
+    // O(len·k) DP that gives up past distance 5 instead of filling the
+    // full O(len²) matrix. The oracle is the plain block join; everything
+    // below it is a LOSSLESS candidate cut, so the check is exact.
+    //
+    // Candidate generation is an equi-join, not a block cross-join (the
+    // cross-join is quadratic in block size: 2.1B pairs / 20 min at the
+    // factor-100 rehearsal; the equi-join measured 198M rows there):
+    // split pa into 6 contiguous chunks (7,7,7,7,6,6 chars). ≤5 edits
+    // touch ≤5 chunks, so one chunk survives untouched in pb as a
+    // contiguous run, and ≤5 insert/deletes shift its start by ≤5. So a
+    // true pair must share (chunk text, position bucket): A emits each
+    // chunk keyed by its 6-char position bucket ±1; B emits every 7- and
+    // 6-gram of pb keyed by its bucket. Grams are xxhash64'd (8-byte join
+    // key; a collision only adds a candidate, which the exact per-pair
+    // filters below reject or — if the pair genuinely is within distance
+    // 5 in the same block — correctly keep). Prefixes shorter than 40
+    // have no chunk decomposition and fall back to the in-block cross
+    // join; they live only in band 0 (n_chars < 50), so that side stays
+    // bounded. Join rows carry only (ids, pa); pb re-attaches after the
+    // pair dedup so the wide column never rides the big shuffle.
     Declared(
       "q_editdist",
       Some(
@@ -134,17 +142,52 @@ object DedupQueries {
       )
     ) { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), col("text"),
+        .select(col("doc_id"), col("lang"),
           floor(col("n_chars") / lit(50)).as("band"),
           substring(col("text"), 1, 40).as("prefix"))
-      val a = docs.select(col("doc_id").as("da"), col("lang"), col("band"), col("prefix").as("pa"))
-      val b = docs.select(col("doc_id").as("db"), col("lang"), col("band"), col("prefix").as("pb"))
       val chunks = Seq((1, 7), (8, 7), (15, 7), (22, 7), (29, 6), (35, 6))
+
+      // exact pigeonhole pre-filter (position-agnostic), applied per
+      // candidate pair before the DP — implied by lev ≤ 5, so lossless
       val anyChunkSurvives = chunks
         .map { case (pos, len) => instr(col("pb"), substring(col("pa"), pos, len)) > 0 }
         .reduce(_ || _) || length(col("pa")) < 40
-      a.join(b, Seq("lang", "band"))
-        .where(col("da") < col("db") && anyChunkSurvives)
+
+      val aRows = docs.where(length(col("prefix")) === 40)
+        .select(col("doc_id").as("da"), col("lang"), col("band"), col("prefix").as("pa"))
+        .withColumn("gk", explode(array_distinct(array(chunks.flatMap { case (cs, cl) =>
+          val base = (cs - 1) / 6
+          ((base - 1) to (base + 1)).filter(bk => bk >= 0 && bk <= 5).map(bk =>
+            struct(xxhash64(substring(col("pa"), cs, cl)).as("g"), lit(bk).as("bk")))
+        }: _*))))
+        .select(col("da"), col("lang"), col("band"), col("pa"),
+          col("gk.g").as("g"), col("gk.bk").as("bk"))
+
+      val bRows = Seq(7, 6).map { len =>
+        docs.where(length(col("prefix")) >= len)
+          .select(col("doc_id").as("db"), col("lang"), col("band"), col("prefix").as("pb"))
+          .withColumn("gk", explode(array_distinct(transform(
+            sequence(lit(1), length(col("pb")) - lit(len - 1)),
+            i => struct(xxhash64(col("pb").substr(i, lit(len))).as("g"),
+              ((i - lit(1)) / lit(6)).cast("int").as("bk"))))))
+          .select(col("db"), col("lang"), col("band"),
+            col("gk.g").as("g"), col("gk.bk").as("bk"))
+      }.reduce(_ unionByName _)
+
+      val gramCands = aRows.join(bRows, Seq("lang", "band", "g", "bk"))
+        .where(col("da") < col("db"))
+        .select("da", "db", "pa")
+        .dropDuplicates("da", "db")
+
+      val shortCands = docs.where(length(col("prefix")) < 40)
+        .select(col("doc_id").as("da"), col("lang"), col("band"), col("prefix").as("pa"))
+        .join(docs.select(col("doc_id").as("db"), col("lang"), col("band")), Seq("lang", "band"))
+        .where(col("da") < col("db"))
+        .select("da", "db", "pa")
+
+      gramCands.unionByName(shortCands)
+        .join(docs.select(col("doc_id").as("db"), col("prefix").as("pb")), Seq("db"))
+        .where(anyChunkSurvives)
         .withColumn("dist", levenshtein(col("pa"), col("pb"), 5))
         .where(col("dist") >= 0)
         .select("da", "db", "dist")
