@@ -288,13 +288,19 @@ object Ann {
    * BOUNDED as data scales; the merge cost grows only as shards·k rows.
    * With a fixed shard count the 100× rehearsal measured a 32× build
    * blow-up; bounded shards is exactly how a cluster deployment holds
-   * per-executor graph size flat while executors scale with data. Recall
-   * does not degrade with more shards: each shard's local search covers a
-   * smaller graph (at the limit shards·k ≥ n it is exhaustive).
+   * per-executor graph size flat while executors scale with data.
+   *
+   * Recall improves as shards shrink (each local search covers a smaller
+   * graph; at the limit shards·k ≥ n it is exhaustive), so `maxShardRows`
+   * is ALSO the recall dial. The defaults are set from the factor-100
+   * rehearsal (200k vectors, Probe --nsw-recall): (m=8, ef=48, 8192-row
+   * shards) decayed to mean recall@10 = 0.61; (m=12, ef=96, 4096-row
+   * shards) measured 80/80 hits across 8 probes — and builds faster,
+   * because construction beams converge on the smaller graphs.
    */
   def nswTopK(
       emb: DataFrame, probeId: Long, k: Int,
-      m: Int = 8, ef: Int = 48, shards: Int = 4, maxShardRows: Long = 8192,
+      m: Int = 12, ef: Int = 96, shards: Int = 4, maxShardRows: Long = 4096,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._

@@ -108,29 +108,46 @@ object TextQueries {
         .orderBy("lang")
     },
 
-    // bounded-memory heavy hitters (Misra-Gries TypedImperativeAggregate):
-    // top-10 corpus tokens through the sketch. capacity=1024 >> the 31
-    // distinct tokens here, so counts are exact and the oracle checks them;
-    // at adversarial vocabulary the same plan keeps <=1024 counters per
-    // partition (guarantees stress-tested in TopKSketchSpec)
+    // bounded-memory heavy hitters: the Misra-Gries sketch (capacity
+    // 16384, TypedImperativeAggregate) finds CANDIDATES, then an exact
+    // recount of only those candidates applies the φ = 1/10000 frequency
+    // threshold — the textbook exact φ-heavy-hitters pipeline. The MG
+    // survival theorem makes the answer EXACT at every corpus size: any
+    // token with count ≥ total/10000 > total/16385 must survive the
+    // sketch and its merges, so the recount sees every qualifying token,
+    // and the exact threshold discards any under-φ candidate the sketch
+    // retained. Neither pass shuffles the vocabulary: the sketch is one
+    // mergeable partial aggregate (and the same pass counts `total`),
+    // the recount semi-joins the broadcast candidate set so its shuffle
+    // carries ≤ 16384 groups. (The previous top-10-by-sketch-estimate
+    // form was only exact while capacity ≥ distinct tokens; the
+    // factor-100 rehearsal's 1000-way token perturbation broke that
+    // regime and the sf10 sweep caught the estimates drifting.)
     Declared(
       "q_heavy",
       Some(
-        """SELECT tok, n FROM (
-          |  SELECT tok, count(*) AS n
-          |  FROM (SELECT unnest(regexp_split_to_array(text, ' +')) AS tok FROM documents)
-          |  GROUP BY tok)
-          |ORDER BY n DESC, tok LIMIT 10""".stripMargin
+        """WITH t AS (SELECT unnest(regexp_split_to_array(text, ' +')) AS tok FROM documents),
+          |c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+          |tot AS (SELECT count(*) AS total FROM t)
+          |SELECT tok, CAST(n AS BIGINT) AS n FROM c, tot
+          |WHERE n * 10000 >= total
+          |ORDER BY n DESC, tok""".stripMargin
       )
     ) { (spark, dir) =>
       import graft.expressions.TopKSketch
-      Tables.documents(spark, dir)
+      val toks = Tables.documents(spark, dir)
         .select(explode(split(col("text"), " +")).as("tok"))
-        .agg(TopKSketch.heavyHitters(col("tok"), 1024).as("sketch"))
-        .select(explode(col("sketch")).as("hh"))
-        .select(col("hh.tok").as("tok"), col("hh.n").as("n"))
+      val cands = toks
+        .agg(TopKSketch.heavyHitters(col("tok"), 16384).as("sketch"),
+          count(lit(1)).as("total"))
+        .select(explode(col("sketch")).as("hh"), col("total"))
+        .select(col("hh.tok").as("tok"), col("total"))
+      toks.join(broadcast(cands), Seq("tok"))
+        .groupBy(col("tok"), col("total"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") * lit(10000L) >= col("total"))
+        .select(col("tok"), col("n"))
         .orderBy(col("n").desc, col("tok"))
-        .limit(10)
     },
 
     // Rabin-Karp rolling-hash fingerprint (native codegen expression);

@@ -109,6 +109,30 @@ object Probe {
             p.durationMs.entrySet().toArray.mkString(" "))
         }
       }
+    } else if (args.headOption.contains("--nsw-recall")) {
+      // Per-probe NSW recall@10 vs the exact scan across (m, ef) combos —
+      // the evidence base for the q_hnsw parameter choice at rehearsal
+      // scales (the sharded graph's recall floor must hold with margin at
+      // EVERY ScaleUp factor, not just the driver SFs).
+      import org.apache.spark.sql.functions._
+      import graft.operators.Ann
+      import graft.Tables
+      val emb = Tables.embeddings(spark, dir).cache()
+      val n   = emb.count()
+      val probeIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)
+      for ((m, ef, maxRows) <- Seq(
+          (12, 128, 8192L), (12, 96, 4096L), (16, 128, 4096L),
+          (12, 128, 2048L), (16, 160, 8192L))) {
+        val t0 = System.nanoTime()
+        val hits = probeIds.map { p =>
+          val exact = Ann.bruteForceTopK(emb, p, 10).collect().map(_.getLong(0)).toSet
+          Ann.nswTopK(emb, p, 10, m = m, ef = ef, maxShardRows = maxRows)
+            .collect().map(_.getLong(0)).count(exact)
+        }
+        println(f"[nsw] n=$n m=$m ef=$ef maxRows=$maxRows hits=${hits.mkString(",")} " +
+          f"mean=${hits.sum / (10.0 * hits.length)}%.2f min=${hits.min} " +
+          f"${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      }
     } else {
       (1 to 2).foreach { round =>
         names.foreach { n =>
