@@ -77,8 +77,16 @@ object Multimodal {
   final class StubDecoder(frameBytes: Int = 64) {
     def decode(assetId: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
       val nFrames  = if (payload.isEmpty) 0 else (payload.length + frameBytes - 1) / frameBytes
+      // exact integer byte sum, ONE double division: the emitted mean is
+      // then bit-identical to any engine computing sum(int)/len, so the
+      // compare layer's own float rounding can never split at a decimal
+      // half boundary (a double-accumulated mean did, at factor 100)
       val meanByte = if (payload.isEmpty) 0.0
-                     else payload.map(b => (b & 0xFF).toDouble).sum / payload.length
+                     else {
+                       var s = 0L
+                       payload.foreach(b => s += (b & 0xFF))
+                       s.toDouble / payload.length
+                     }
       var h = 1125899906842597L // deterministic rolling hash of the bytes
       payload.foreach(b => h = h * 31 + (b & 0xFF))
       MediaFeatures(assetId, kind, payload.length.toLong, nFrames, meanByte, h)
@@ -127,8 +135,11 @@ object Multimodal {
           val id  = r.getLong(0)
           val out = strideSample(r.getAs[Array[Byte]](1), targetBytes)
           if (out.isEmpty) ResizedAsset(id, 0, 0.0)
-          else ResizedAsset(id, out.length,
-            out.map(b => (b & 0xFF).toDouble).sum / out.length)
+          else {
+            var s = 0L
+            out.foreach(b => s += (b & 0xFF))
+            ResizedAsset(id, out.length, s.toDouble / out.length)
+          }
         }
       }
   }

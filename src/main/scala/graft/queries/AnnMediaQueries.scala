@@ -305,19 +305,24 @@ object AnnMediaQueries {
     },
 
     // partition-wise batched decode (mapPartitions stub codec) — outputs
-    // re-derived in SQL byte arithmetic by the oracle
+    // re-derived in SQL byte arithmetic by the oracle. mean_byte is
+    // emitted UNROUNDED on both sides: each engine computes the identical
+    // exact-integer-sum / length double, and the driver's compare rounds
+    // floats itself — an in-query round(,4) split the two engines at a
+    // decimal half boundary (84.05375) at factor 100.
     Declared(
       "q_media_decode",
       Some(
         """SELECT doc_id AS asset_id,
           |       cast(ceil(octet_length(encode(text)) / 64.0) as int) AS n_frames,
-          |       round(list_aggregate(list_transform(string_split(text, ''), c -> ascii(c)), 'avg'), 4) AS mean_byte
+          |       coalesce(CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS DOUBLE)
+          |                / nullif(octet_length(encode(text)), 0), 0.0) AS mean_byte
           |FROM documents ORDER BY asset_id""".stripMargin
       )
     ) { (spark, dir) =>
       val media = Multimodal.mediaFrame(Tables.documents(spark, dir))
       Multimodal.decodeFeatures(spark, media)
-        .select(col("asset_id"), col("n_frames"), round(col("mean_byte"), 4).as("mean_byte"))
+        .select(col("asset_id"), col("n_frames"), col("mean_byte"))
         .orderBy("asset_id")
     },
 
@@ -327,21 +332,22 @@ object AnnMediaQueries {
     Declared(
       "q_media_resize",
       Some(
-        // coalesce: an empty document yields avg-of-[] = NULL in SQL where
+        // coalesce: an empty document yields sum-of-[] = NULL in SQL where
         // the stub emits 0.0 (text is ASCII by generation — byte==char; a
-        // non-ASCII corpus would need a byte-level oracle)
+        // non-ASCII corpus would need a byte-level oracle). Unrounded
+        // exact-sum/len mean for the same reason as q_media_decode.
         """SELECT doc_id AS asset_id,
           |       CAST(least(len(text), 256) AS INT) AS out_bytes,
-          |       coalesce(round(list_aggregate(
+          |       coalesce(CAST(list_sum(
           |         list_transform(range(least(len(text), 256)),
-          |           i -> ascii(text[CAST(i * len(text) // least(len(text), 256) AS INT) + 1])),
-          |         'avg'), 4), 0.0) AS mean_byte
+          |           i -> ascii(text[CAST(i * len(text) // least(len(text), 256) AS INT) + 1]))) AS DOUBLE)
+          |         / nullif(least(len(text), 256), 0), 0.0) AS mean_byte
           |FROM documents ORDER BY asset_id""".stripMargin
       )
     ) { (spark, dir) =>
       val media = Multimodal.mediaFrame(Tables.documents(spark, dir))
       Multimodal.resizeAssets(spark, media, targetBytes = 256)
-        .select(col("asset_id"), col("out_bytes"), round(col("mean_byte"), 4).as("mean_byte"))
+        .select(col("asset_id"), col("out_bytes"), col("mean_byte"))
         .orderBy("asset_id")
     },
 

@@ -357,11 +357,14 @@ object SqlQueries {
           |  WHERE d < DATE '1995-01-31'
           |)
           |SELECT d, count(o_orderkey) AS n_orders,
-          |       round(coalesce(sum(o_totalprice), 0), 4) AS revenue
+          |       round(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE), 4) AS revenue
           |FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
           |GROUP BY d ORDER BY d""".stripMargin
       )
     ) { (spark, dir) =>
+      // revenue through exact integer cents (the Money convention): a
+      // double-accumulated sum drifted 1e-4 at the factor-100 scale where
+      // per-day groups reach 8000 orders
       Engine.sql(spark, dir,
         """WITH RECURSIVE days(d) AS (
           |  SELECT DATE '1995-01-01'
@@ -370,7 +373,7 @@ object SqlQueries {
           |  WHERE d < DATE '1995-01-31'
           |)
           |SELECT d, count(o_orderkey) AS n_orders,
-          |       round(coalesce(sum(o_totalprice), 0), 4) AS revenue
+          |       round(coalesce(sum(cast(bround(o_totalprice * 100) as bigint)), 0) / cast(100 as double), 4) AS revenue
           |FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
           |GROUP BY d ORDER BY d""".stripMargin)
     }
