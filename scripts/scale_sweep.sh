@@ -19,13 +19,8 @@ OUTJSON="${3:?outJson}"
 SRC="${4:-/root/testdata/sf0.1}"
 OUT="${SLICE}-verify"
 
-MARKER="$SLICE/.scaleup-complete"
-WANT="src=$SRC factor=$FACTOR"
-if [ ! -f "$MARKER" ] || [ "$(cat "$MARKER")" != "$WANT" ]; then
-  rm -rf "$SLICE"
-  sbt -batch "runMain graft.tools.ScaleUp $SRC $SLICE $FACTOR"
-  echo "$WANT" > "$MARKER"
-fi
+. "$(dirname "$0")/lib_slice.sh"
+ensure_slice "$SRC" "$SLICE" "$FACTOR"
 
 # Corpus contracts (DedupSpec pins them on driver SFs; a ScaleUp regression
 # must fail here, not as an inscrutable hash-mismatch 150 queries later):

@@ -18,14 +18,8 @@ cd "$(dirname "$0")/.."
 SLICE="${SLICE:-/tmp/graft-sf100}"
 SRC="${SRC:-/root/testdata/sf0.1}"
 
-MARKER="$SLICE/.scaleup-complete"
-WANT="src=$SRC factor=1000"
-if [ ! -f "$MARKER" ] || [ "$(cat "$MARKER")" != "$WANT" ]; then
-  rm -rf "$SLICE"
-  SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" SPARK_GRAFT_CPUS=32 \
-    sbt -batch "runMain graft.tools.ScaleUp $SRC $SLICE 1000"
-  echo "$WANT" > "$MARKER"
-fi
+. "$(dirname "$0")/lib_slice.sh"
+ensure_slice "$SRC" "$SLICE" 1000
 
 # The sf10 watch-list (BASELINE.md round-9): every shuffle/scale-critical
 # family — agg, dim join, winnowing, prefix-sum pack, term-keyed retrieval

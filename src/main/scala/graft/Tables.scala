@@ -89,14 +89,22 @@ object Tables {
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     val key  = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
+    def restore(): Unit = prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
     spark.conf.set(key, "true")
-    val raw = spark.read.parquet(path)
-    if (raw.schema("ts").dataType != org.apache.spark.sql.types.LongType)
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
-    normalizeTs(raw)
+    try {
+      val raw = spark.read.parquet(path)
+      if (raw.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+        restore()
+      normalizeTs(raw)
+    } catch {
+      // a missing path / absent ts column / unsupported encoding must not
+      // leave the legacy flag leaked into the session the docstring above
+      // promises it never leaks into
+      case e: Throwable => restore(); throw e
+    }
   }
 
   val tpch: Seq[String] =

@@ -8,7 +8,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *
  * Contract notes that every query here obeys:
  *  - total `ORDER BY` on both sides (deterministic row order),
- *  - floating-point outputs wrapped in `round(x, 4)` on both sides,
+ *  - floating-point outputs either wrapped in `round(x, 4)` on both sides
+ *    (safe when the pre-round value cannot land on a decimal half
+ *    boundary) or — the robust form the sf10 sweep forced on
+ *    q_media_decode/q_media_resize — emitted as the bit-identical
+ *    unrounded double on both sides (same exact-rational formulation,
+ *    e.g. integer sum ÷ count) and left to the compare layer's own
+ *    rounding: `round` at a x.xxxx5 boundary is where HALF_UP (Spark)
+ *    and round-half-even (DuckDB) split,
  *  - identical column names on both sides (the driver's compare sorts
  *    columns by name before hashing),
  *  - identical column types where the engines' defaults diverge (e.g.

@@ -62,12 +62,14 @@ object Probe {
           .orderBy("l_returnflag", "l_linestatus")
       }
       def centsQ = {
-        val priceC = bround(col("l_extendedprice") * 100).cast("long")  // cents
-        val discC  = bround(col("l_discount") * 100).cast("long")       // hundredths
+        // the SHIPPED formulation (graft.functions.Money) — the probe must
+        // measure the expressions the queries actually run, not a copy
+        // that can drift from them
+        import graft.functions.Money
         base.groupBy("l_returnflag", "l_linestatus").agg(
-          round((sum(priceC) / 100.0), 4).as("sum_base_price"),
-          // price_cents * (100 - disc_hundredths) is exact in 1e-4 dollars
-          round((sum(priceC * (lit(100L) - discC)) / 10000.0), 4).as("sum_disc_price"))
+          round(Money.sumMoney(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(Money.sumDiscounted(col("l_extendedprice"), col("l_discount")), 4)
+            .as("sum_disc_price"))
           .orderBy("l_returnflag", "l_linestatus")
       }
       for (r <- 1 to 3; (nm, fn) <- Seq(

@@ -57,6 +57,9 @@ object ScaleUp {
     * order (CombineUnions flattens either shape to one Union node, but it
     * must survive analysis of the raw tree first). */
   private def copies(factor: Int)(one: Int => DataFrame): DataFrame = {
+    // factor <= 0 would hand reduce an empty Seq, which `case many` matches
+    // forever (grouped(2) of Nil is Nil) — refuse up front instead of hanging
+    require(factor >= 1, s"factor must be >= 1, got $factor")
     @annotation.tailrec
     def reduce(dfs: Seq[DataFrame]): DataFrame = dfs match {
       case Seq(only) => only

@@ -37,8 +37,9 @@ class TsEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // three parquet directories per test run (ADVICE r09)
     import scala.jdk.CollectionConverters._
     if (Files.exists(fixtureBase)) {
-      Files.walk(fixtureBase).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
+      val walk = Files.walk(fixtureBase) // stream holds directory handles
+      try walk.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
     }
     super.afterAll()
   }
