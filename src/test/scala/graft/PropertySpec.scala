@@ -171,6 +171,27 @@ class PropertySpec extends AnyFunSuite {
     check("pigeonhole", Prop.forAll(gen) { case (pa, pb) =>
       lev(pa, pb) > 5 || filterPasses(pa, pb)
     })
+
+    // The round-10 CANDIDATE GENERATION is stricter than the instr filter:
+    // an equi-join on (gram, ±1 position bucket), not position-agnostic
+    // contains. Mirror the exact key sets DedupQueries emits (grams kept
+    // literal — xxhash64 collisions only ADD candidates) and pin the
+    // losslessness claim the plan rests on: every 40-char pair within
+    // levenshtein 5 shares at least one join key.
+    def aKeys(pa: String): Set[(String, Int)] =
+      chunks.flatMap { case (cs, cl) =>
+        val base = (cs - 1) / 6
+        ((base - 1) to (base + 1)).filter(bk => bk >= 0 && bk <= 5)
+          .map(bk => (pa.slice(cs - 1, cs - 1 + cl), bk))
+      }.toSet
+    def bKeys(pb: String): Set[(String, Int)] =
+      (for {
+        len <- Seq(7, 6) if pb.length >= len
+        i   <- 1 to (pb.length - len + 1)
+      } yield (pb.slice(i - 1, i - 1 + len), (i - 1) / 6)).toSet
+    check("gramJoinLossless", Prop.forAll(gen) { case (pa, pb) =>
+      pa.length < 40 || lev(pa, pb) > 5 || (aKeys(pa) intersect bKeys(pb)).nonEmpty
+    })
   }
 
   test("winnowing guarantee: shared substring >= k+w-1 chars ⇒ shared fingerprint") {
