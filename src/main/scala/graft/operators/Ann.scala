@@ -304,11 +304,7 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val probeVec = emb.filter(col(idCol) === probeId)
-      .select(col(vecCol).cast("array<double>")).take(1).headOption
-      .getOrElse(missingProbe(probeId, idCol))
-      .getSeq[Double](0).toArray
-    val bcProbe = spark.sparkContext.broadcast(probeVec)
+    val bcProbe = spark.sparkContext.broadcast(probeVector(emb, probeId, idCol, vecCol))
 
     // zero-column scan (row-group counts only) — cheap relative to the build
     val nShards = math.max(shards,
@@ -330,6 +326,92 @@ object Ann {
       .limit(k)
       .select(col(idCol), round(col("sim"), 4).as("sim"))
   }
+
+  /**
+   * Build the NSW shard graphs ONCE as a self-contained, persistable
+   * index: one row per vector, `(shard_id, idCol, vecCol, neighbors)`,
+   * where `neighbors` holds the node's adjacency as GLOBAL ids in
+   * construction order (order is part of the beam's reproducibility
+   * contract — see [[NswShard]]). Plain parquet-writable; carrying the
+   * vectors in the index (the FAISS convention) makes the query side a
+   * single self-contained scan — no join back to the corpus.
+   *
+   * This is the amortization half of the q_hnsw cost story: the bench's
+   * per-query number deliberately pays the O(n·m·ef·d) build every time,
+   * while a serving deployment calls this once and answers every
+   * subsequent probe through [[nswQueryIndex]] at O(index scan + beam).
+   * Same sharding/params as [[nswTopK]], so (build → persist → reload →
+   * query) reproduces nswTopK's rows exactly — the equality
+   * q_hnsw_idx certifies.
+   */
+  def nswBuildIndex(
+      emb: DataFrame,
+      m: Int = 12, ef: Int = 96, shards: Int = 4, maxShardRows: Long = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nShards = math.max(shards,
+      ((emb.count() + maxShardRows - 1) / maxShardRows).toInt)
+    emb
+      .repartition(nShards, col(idCol))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val items = it.toArray.sortBy(_._1) // deterministic insertion order
+        if (items.isEmpty) Iterator.empty
+        else {
+          val shardId = org.apache.spark.TaskContext.getPartitionId()
+          val vecs    = items.map(_._2)
+          val norms   = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+          val adj     = NswShard.buildAdj(vecs, norms, m, ef)
+          items.iterator.zipWithIndex.map { case ((id, vec), i) =>
+            (shardId, id, vec, adj(i).map(j => items(j)._1).toArray)
+          }
+        }
+      }
+      .toDF("shard_id", idCol, vecCol, "neighbors")
+  }
+
+  /**
+   * Probe a prebuilt [[nswBuildIndex]] index (fresh or reloaded from
+   * parquet) WITHOUT rebuilding any graph: regroup rows by the stored
+   * `shard_id`, beam-search each shard graph, merge shards·k candidates.
+   * Output schema and semantics match [[nswTopK]] row-for-row when the
+   * index was built with the same parameters over the same corpus.
+   * The probe vector is passed by value (it need not be in the corpus).
+   */
+  def nswQueryIndex(
+      index: DataFrame, probeVec: Array[Double], k: Int, ef: Int = 96,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val bcProbe = spark.sparkContext.broadcast(probeVec)
+    index
+      .select(col("shard_id").cast("int"), col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"), col("neighbors").cast("array<long>"))
+      .as[(Int, Long, Array[Double], Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        val arr = rows.toArray.sortBy(_._2) // the build's insertion order
+        val items = arr.map(r => (r._2, r._3))
+        val local = items.iterator.map(_._1).zipWithIndex.toMap
+        val adj   = arr.map(_._4.map(local))
+        NswShard.searchPrebuilt(items, adj, bcProbe.value, k, ef).iterator
+      }
+      .toDF(idCol, "sim")
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("sim"), 4).as("sim"))
+  }
+
+  /** The probe's vector fetched from the corpus by id — the common case
+    * for [[nswQueryIndex]] callers probing with a corpus member. */
+  def probeVector(emb: DataFrame, probeId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Double] =
+    emb.filter(col(idCol) === probeId)
+      .select(col(vecCol).cast("array<double>")).take(1).headOption
+      .getOrElse(missingProbe(probeId, idCol))
+      .getSeq[Double](0).toArray
 
   /**
    * LSH-bucketed approximate top-k: probe bucket + all buckets within

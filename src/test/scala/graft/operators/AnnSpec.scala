@@ -94,6 +94,43 @@ class AnnSpec extends AnyFunSuite {
     assert(a.head._1 === 0L && a.head._2 === 1.0)
   }
 
+  test("NSW index: persist/reload reproduces the fresh build's answers exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      c <- 0 until 20
+      center = Array.fill(64)(rnd.nextGaussian().toFloat)
+      m <- 0 until 10
+    } yield ((c * 10 + m).toLong, center.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq)
+    val emb = rows.toDF("vec_id", "embedding")
+
+    val out = graft.ScratchDirs.dir("nsw-idx")
+    Ann.nswBuildIndex(emb).write.mode("overwrite").parquet(out)
+    val index = spark.read.parquet(out)
+
+    // index carries every vector exactly once, with its graph edges
+    assert(index.count() === emb.count())
+    assert(index.columns.sorted === Array("embedding", "neighbors", "shard_id", "vec_id"))
+
+    // build-once/query-many: each reloaded-index probe must equal the
+    // fresh build-and-search result row-for-row (same sharding, same
+    // insertion order, same edge order — the determinism contract)
+    for (p <- Seq(0L, 55L, 111L, 190L)) {
+      val fresh = Ann.nswTopK(emb, p, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaIdx = Ann.nswQueryIndex(index, Ann.probeVector(emb, p), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaIdx === fresh, s"probe $p: reloaded index diverged from fresh build")
+    }
+
+    // a probe OUTSIDE the corpus (the serving case) still recovers its
+    // planted cluster: perturb member 55's vector and expect its cluster
+    val near55 = Ann.probeVector(emb, 55L).map(_ + 1e-4)
+    val ids = Ann.nswQueryIndex(index, near55, 10).collect().map(_.getLong(0)).toSet
+    val cluster5 = (50L until 60L).toSet
+    assert(ids.intersect(cluster5).size >= 9, s"external probe recall: $ids")
+  }
+
   test("knnJoin returns exactly k ranked neighbors per probe, no self-matches") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, dir)
