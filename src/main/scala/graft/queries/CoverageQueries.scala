@@ -471,7 +471,13 @@ object CoverageQueries {
           |ORDER BY lang, doc_id""".stripMargin
       )
     ) { (spark, dir) =>
-      val u = (col("doc_id") * 2654435761L % 1000003L + 1L) / lit(1000004.0)
+      // (a*b) % p as ((a%p)*(b%p)) % p — identical for non-negative ids,
+      // and the partial products stay < 1e12, so the multiply can never
+      // overflow Long (the raw a*b form broke at the factor-1000 slice:
+      // doc_id reaches 1e10, and 1e10 * 2654435761 > 2^63; DuckDB's
+      // HUGEINT hides the same hazard on the oracle side)
+      val u = ((col("doc_id") % 1000003L) * lit(2654435761L % 1000003L)
+        % 1000003L + 1L) / lit(1000004.0)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("k").desc, col("doc_id"))
       Tables.documents(spark, dir)
