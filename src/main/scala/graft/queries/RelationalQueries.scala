@@ -163,11 +163,17 @@ object RelationalQueries {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
-    // 3-way dimension join; dims broadcast (≤ a few MB even at 100 TB fact scale)
+    // 3-way dimension join; dims broadcast (≤ a few MB even at 100 TB fact
+    // scale). Per-nation acctbal goes through the Money cents convention:
+    // group sums GROW with the customer table (unlike per-key sums), and
+    // at the factor-1000 slice a double accumulation drifted 1e-4 at
+    // magnitude 2.5e9 — the q_recursive failure class, caught by the
+    // sf100 sweep.
     Declared(
       "q_join3",
       Some(
-        """SELECT r_name, n_name, count(*) AS customers, round(sum(c_acctbal), 4) AS acctbal
+        """SELECT r_name, n_name, count(*) AS customers,
+          |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4) AS acctbal
           |FROM customer
           |JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
@@ -178,7 +184,8 @@ object RelationalQueries {
         .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(count(lit(1)).as("customers"), round(sum("c_acctbal"), 4).as("acctbal"))
+        .agg(count(lit(1)).as("customers"),
+          round(Money.sumMoney(col("c_acctbal")), 4).as("acctbal"))
         .orderBy("r_name", "n_name")
     },
 
