@@ -852,20 +852,26 @@ object CoverageQueries {
 
     // salted two-phase aggregation — the hot-key mitigation: partial agg on
     // (key, salt) spreads a skewed key over 16 reducers, final agg merges.
-    // Hash-identical to the plain single-phase oracle by construction.
+    // Hash-identical to the plain single-phase oracle by construction —
+    // which REQUIRES order-independent partials: the factor-1000 sweep
+    // caught the double psum drifting 1e-4 at magnitude 1e9 (the salt
+    // phases re-order accumulation vs the oracle's single pass), so the
+    // partials carry exact integer cents (events.value is 2-decimal by
+    // corpus contract) and one final division restores dollars.
     Declared(
       "q_salted",
       Some(
-        """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+        """SELECT event_type, count(*) AS n,
+          |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
       )
     ) { (spark, dir) =>
       Tables.events(spark, dir)
         .withColumn("salt", pmod(col("event_id"), lit(16)))
         .groupBy("event_type", "salt")
-        .agg(count(lit(1)).as("pn"), sum("value").as("psum"))
+        .agg(count(lit(1)).as("pn"), sum(Money.cents(col("value"))).as("psum"))
         .groupBy("event_type")
-        .agg(sum("pn").as("n"), round(sum("psum"), 4).as("total"))
+        .agg(sum("pn").as("n"), round(sum("psum") / 100.0, 4).as("total"))
         .orderBy("event_type")
     }
   )

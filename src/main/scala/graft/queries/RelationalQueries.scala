@@ -88,12 +88,18 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
-    // hash aggregation, partial+final
+    // hash aggregation, partial+final. events.value is 2-decimal by corpus
+    // contract, so the sums ride the exact-cents Money convention: the
+    // per-type groups GROW with the table, and the factor-1000 sweep
+    // showed ~1e9-magnitude double accumulations drifting past the 1e-4
+    // grid in this exact shape (caught on q_salted; q_agg only passed by
+    // accumulation-order luck).
     Declared(
       "q_agg",
       Some(
-        """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
-          |       round(avg(value), 4) AS avg_value
+        """SELECT event_type, count(*) AS n,
+          |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value,
+          |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
       )
     ) { (spark, dir) =>
@@ -101,8 +107,8 @@ object RelationalQueries {
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n"),
-          round(sum("value"), 4).as("sum_value"),
-          round(avg("value"), 4).as("avg_value"))
+          round(Money.sumMoney(col("value")), 4).as("sum_value"),
+          round(Money.sumMoney(col("value")) / count(lit(1)), 4).as("avg_value"))
         .orderBy("event_type")
     },
 
