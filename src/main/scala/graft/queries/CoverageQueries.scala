@@ -462,7 +462,7 @@ object CoverageQueries {
       Some(
         """WITH s AS (
           |  SELECT doc_id, lang, n_chars,
-          |         ln(((doc_id * 2654435761) % 1000003 + 1) / 1000004.0) / n_chars AS k
+          |         ln(((doc_id % 1000003) * (2654435761 % 1000003) % 1000003 + 1) / 1000004.0) / n_chars AS k
           |  FROM documents),
           |r AS (SELECT doc_id, lang, n_chars,
           |             row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rn
