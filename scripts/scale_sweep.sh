@@ -52,8 +52,15 @@ EOF
 # Driver heap sized for the largest slice: the factor-100 streaming replays
 # materialize the 10M-row feed driver-side (inside the documented replay
 # envelope), and Verify coalesces each result to one file.
+# SWEEP_SUBSET (comma-separated query names, optional): restrict the dump
+# and the compare to a subset. Used by sf100_sweep.sh, where the excluded
+# families (streaming replays, quadratic DuckDB oracles, >~20M-row
+# row-preserving outputs) are out of the one-box compare envelope; the
+# full-registry sweeps (sf1/sf10) leave it unset.
+NAMES="${SWEEP_SUBSET:+$(echo "$SWEEP_SUBSET" | tr ',' ' ')}"
+
 SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}" \
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-  sbt -batch "runMain graft.Verify $SLICE $OUT"
+  sbt -batch "runMain graft.Verify $SLICE $OUT $NAMES"
 
-python3 scripts/check.py "$OUT" "$SLICE" --json "$OUTJSON"
+python3 scripts/check.py "$OUT" "$SLICE" --json "$OUTJSON" $NAMES

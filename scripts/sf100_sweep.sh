@@ -1,0 +1,57 @@
+#!/bin/bash
+# First HASH-CHECKED correctness evidence at factor 1000 (sf100) — one
+# decade beyond the full sf10 sweep, two beyond the driver's largest SF.
+# Round-10's sf100 rehearsal was bench-only; this upgrades it to a
+# DuckDB-compared subset sweep over every family the one-box compare
+# envelope can hold at ~16 GB:
+#   lineitem 600M / orders 150M / events 100M / documents 5M /
+#   embeddings 2M rows.
+#
+# Included: all relational agg/join/window shapes, the exact-money and
+# exact-φ heavy-hitter paths the sf10 sweep fixed, the document pipeline
+# (tfidf/bm25/pack/redact/line-dedup/contamination/fingerprints), the
+# events log API (range/point/page/retain), and the full ANN family
+# (ivf/hnsw-certificate/knn/ann/centroids/knn_lsh).
+#
+# Excluded — each class with the reason it is OUT of the one-box compare
+# envelope, not silently dropped:
+#  - streaming replays (q_stream*): the replay harness materializes the
+#    feed driver-side inside the documented envelope (EventFeed guard);
+#    100M events is far past it. Streaming correctness at scale is carried
+#    by the batch analogs included here plus the sf10 full sweep.
+#  - quadratic DuckDB oracles (q_minhash_lsh, q_neardup, q_dupgroups,
+#    q_dedup_incr, q_dedup_keep, q_embdup, q_editdist, q_curate, q_winnow,
+#    q_windup, q_simhash-family pair queries): the ORACLE side is an exact
+#    all-pairs / in-block join — the very plan the Spark side exists to
+#    avoid; at 5M docs it does not complete on one box. Their scale
+#    correctness is carried by the full sf10 sweep (160/160) over the
+#    same generator.
+#  - row-preserving outputs >= ~20M rows (q_tail, q_dense, q_envelope,
+#    q_scalar-family, format sidecars, ...): check.py materializes both
+#    sides in pandas and row-sorts them; 100M-row frames exceed the
+#    compare harness, not the engine.
+#  - declared rows-only sketches (q_approxd/q_approxq/q_hll): no oracle
+#    at any scale by design (SketchSpec bounds them).
+#
+# Output: CORRECTNESS_SF100.json. Usage: sf100_sweep.sh [srcSfDir]
+set -euo pipefail
+
+if [ $# -gt 1 ] || { [ $# -eq 1 ] && [ ! -d "$1" ]; }; then
+  echo "usage: sf100_sweep.sh [srcSfDir]  (factor is fixed at 1000)" >&2
+  exit 2
+fi
+
+SUBSET=q_agg,q_tpch1,q_join3,q_joinfact,q_rollup,q_cube,q_groupsets,q_groupall
+SUBSET=$SUBSET,q_mode,q_quantile,q_withingroup,q_stats,q_argmax,q_condagg
+SUBSET=$SUBSET,q_topk,q_topkgroup,q_window,q_salted,q_skewjoin,q_hint
+SUBSET=$SUBSET,q_bloomjoin,q_weighted,q_pivot,q_recursive
+SUBSET=$SUBSET,q_heavy,q_tfidf,q_bm25,q_contamination,q_pack,q_redact
+SUBSET=$SUBSET,q_linededup,q_linededup_agg,q_tokens,q_lang,q_fingerprint
+SUBSET=$SUBSET,q_dedup,q_dedup_rows,q_distinct
+SUBSET=$SUBSET,q_range,q_point,q_page,q_retain
+SUBSET=$SUBSET,q_ivf,q_hnsw,q_knn,q_ann,q_centroids,q_knn_lsh
+SUBSET=$SUBSET,q_sql,q_sql_sim
+
+SWEEP_SUBSET="$SUBSET" \
+SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" \
+exec "$(dirname "$0")/scale_sweep.sh" 1000 /tmp/graft-sf100 CORRECTNESS_SF100.json "$@"
