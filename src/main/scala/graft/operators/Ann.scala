@@ -199,6 +199,67 @@ object Ann {
   }
 
   /**
+   * Persist half of the IVF serving pair: assign every vector to its
+   * coarse cell once and emit `(cid, idCol, vecCol)`. Write with
+   * `.partitionBy("cid")` so [[ivfQueryIndex]]'s nprobe cell filter is
+   * partition PRUNING at the source (I/O ∝ nprobe/C — the layout
+   * [[ivfTopK]]'s scaladoc promises, materialized). The C×dim model
+   * itself travels via [[centroidsToDF]]/[[centroidsFromDF]]; together
+   * the two frames are the whole index — rebuildable, diffable, and
+   * readable by any parquet consumer.
+   */
+  def ivfBuildIndex(
+      emb: DataFrame, centroids: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignCentroid(emb, centroids, vecCol)
+      .select(col("cid"), col(idCol), col(vecCol))
+
+  /** The fitted quantizer as a 2-column frame `(cid, centroid)`. */
+  def centroidsToDF(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (cv, cid) => (cid, cv.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+  }
+
+  /** Inverse of [[centroidsToDF]]: the model back as an ordered array. */
+  def centroidsFromDF(df: DataFrame): Array[Array[Double]] =
+    df.select(col("cid").cast("int"), col("centroid").cast("array<double>"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+
+  /**
+   * Probe a prebuilt [[ivfBuildIndex]] index without re-assigning
+   * anything: rank the centroids driver-side (same fold order as
+   * [[ivfTopK]]), prune to the `nprobe` nearest cells — partition
+   * pruning when the index was written `partitionBy("cid")` — and
+   * exact-cosine rerank inside them against the literal probe vector.
+   * With the same model and corpus this reproduces [[ivfTopK]]'s rows;
+   * the probe need not be a corpus member (the serving case).
+   */
+  def ivfQueryIndex(
+      index: DataFrame, centroids: Array[Array[Double]],
+      probeVec: Array[Double], k: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nearCids = centroids.zipWithIndex
+      .map { case (cj, j) =>
+        val d = cj.zip(probeVec).map { case (a, b) => val t = a - b; t * t }.sum
+        (j, d)
+      }
+      .sortBy { case (j, d) => (d, j) }
+      .take(nprobe).map(_._1)
+    val p = array(probeVec.toIndexedSeq.map(lit): _*)
+    index
+      .where(col("cid").isin(nearCids.toIndexedSeq: _*))
+      .select(col(idCol),
+        round(Similarity.cosineSimilarity(col(vecCol).cast("array<double>"), p), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
    * Batch k-NN join: exact top-k cosine neighbors for EVERY probe in
    * `probes` (self-matches excluded) — broadcast the probe set, one fused
    * cosine per (row, probe) pair, per-probe ranking window. The shuffle is

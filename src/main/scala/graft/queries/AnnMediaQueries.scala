@@ -33,6 +33,10 @@ object AnnMediaQueries {
     * dir, so the last recorded fit is the one the oracle must replay. */
   @volatile private var ivfCentroids: Option[Array[Array[Double]]] = None
 
+  /** q_ivf_idx's recorded fit (same mechanism; separate slot so a subset
+    * Verify run of either query materializes its own oracle). */
+  @volatile private var ivfIdxCentroids: Option[Array[Array[Double]]] = None
+
   /** DuckDB replay of [[graft.operators.Ann.ivfTopK]] from literal
     * centroids — mirrors each engine-side computation at matching
     * float-op order so the hash check is bit-for-bit:
@@ -43,7 +47,11 @@ object AnnMediaQueries {
     *    accumulated left-to-right (`Ann.ivfTopK`'s Scala fold);
     *  - exact cosine rerank, identical to the q_ann oracle.
     */
-  private def ivfOracleSql: Option[String] = ivfCentroids.map { cs =>
+  private def ivfOracleSql: Option[String] = ivfCentroids.map(ivfReplaySql)
+
+  private def ivfIdxOracleSql: Option[String] = ivfIdxCentroids.map(ivfReplaySql)
+
+  private def ivfReplaySql(cs: Array[Array[Double]]): String = {
     val values = cs.zipWithIndex.map { case (cv, cid) =>
       val cc = cv.map(x => x * x).sum
       s"($cid, CAST(${planeLit(cv.toSeq)} AS DOUBLE[]), ${cc.toString})"
@@ -160,6 +168,28 @@ object AnnMediaQueries {
       val centroids = Ann.ivfFit(emb, c = 16, iters = 3)
       ivfCentroids = Some(centroids)
       Ann.ivfTopK(emb, probeId = 0L, k = 10, centroids, nprobe = 4)
+    },
+
+    // Persisted-IVF serving pair: fit the deterministic quantizer, write
+    // the assignments partitioned BY CELL plus the small model frame,
+    // reload both, and answer the probe from the reloaded index — the
+    // nprobe filter is parquet partition pruning, so query I/O ∝
+    // nprobe/C of the corpus. Same literal-centroid DuckDB replay as
+    // q_ivf (recorded from THIS query's fit), so the whole persisted
+    // path — assignment, layout round-trip, cell pruning, rerank — is
+    // hash-checked bit-for-bit.
+    Declared("q_ivf_idx", ivfIdxOracleSql) { (spark, dir) =>
+      val emb       = Tables.embeddings(spark, dir)
+      val centroids = Ann.ivfFit(emb, c = 16, iters = 3)
+      ivfIdxCentroids = Some(centroids)
+      val out = graft.ScratchDirs.dir("ivf-idx")
+      Ann.ivfBuildIndex(emb, centroids)
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$out/cells")
+      Ann.centroidsToDF(spark, centroids)
+        .write.mode("overwrite").parquet(s"$out/model")
+      val model = Ann.centroidsFromDF(spark.read.parquet(s"$out/model"))
+      Ann.ivfQueryIndex(spark.read.parquet(s"$out/cells"), model,
+        Ann.probeVector(emb, 0L), k = 10, nprobe = 4)
     },
 
     // Graph-ANN top-10: shard-local navigable-small-world graphs (the

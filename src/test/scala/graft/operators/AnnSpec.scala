@@ -131,6 +131,46 @@ class AnnSpec extends AnyFunSuite {
     assert(ids.intersect(cluster5).size >= 9, s"external probe recall: $ids")
   }
 
+  test("IVF index: cell-partitioned persist/reload reproduces ivfTopK with pruning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      c <- 0 until 20
+      center = Array.fill(64)(rnd.nextGaussian().toFloat)
+      m <- 0 until 10
+    } yield ((c * 10 + m).toLong, center.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq)
+    val emb = rows.toDF("vec_id", "embedding")
+
+    val centroids = Ann.ivfFit(emb, c = 16, iters = 3)
+    val out = graft.ScratchDirs.dir("ivf-idx-spec")
+    Ann.ivfBuildIndex(emb, centroids)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$out/cells")
+    Ann.centroidsToDF(spark, centroids).write.mode("overwrite").parquet(s"$out/model")
+
+    // the model survives the frame round-trip exactly
+    val model = Ann.centroidsFromDF(spark.read.parquet(s"$out/model"))
+    assert(model.length === centroids.length)
+    assert(model.zip(centroids).forall { case (a, b) => a.sameElements(b) })
+
+    // each reloaded-index probe equals the assign-on-the-fly ivfTopK rows
+    val index = spark.read.parquet(s"$out/cells")
+    for (p <- Seq(0L, 55L, 111L, 190L)) {
+      val fresh = Ann.ivfTopK(emb, p, 10, centroids, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaIdx = Ann.ivfQueryIndex(index, model, Ann.probeVector(emb, p), 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaIdx === fresh, s"probe $p: reloaded IVF index diverged from ivfTopK")
+    }
+
+    // the nprobe cell filter reaches the scan as PARTITION pruning (the
+    // layout contract: query I/O ∝ nprobe/C, not a scan-and-filter)
+    val q = Ann.ivfQueryIndex(index, model, Ann.probeVector(emb, 0L), 10, nprobe = 4)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).nonEmpty,
+      s"cid filter did not become a partition filter:\n$plan")
+  }
+
   test("knnJoin returns exactly k ranked neighbors per probe, no self-matches") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, dir)
