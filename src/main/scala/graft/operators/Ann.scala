@@ -465,6 +465,67 @@ object Ann {
       .select(col(idCol), round(col("sim"), 4).as("sim"))
   }
 
+  /**
+   * INCREMENTAL index maintenance — the recurring-crawl shape: append a
+   * batch of new vectors to a persisted [[nswBuildIndex]] index without
+   * rebuilding the existing graphs. Old rows keep their shard (hash
+   * partitioning on the id is deterministic, so a whole shard's rows
+   * land back together); new rows hash into the SAME shard layout, and
+   * each shard graph continues construction from its stored adjacency
+   * (NswShard.insertRange from oldCount) — the same code path a fresh
+   * build runs, just starting later.
+   *
+   * Determinism: when every new id exceeds every old id (the append-only
+   * crawl case) the per-shard insertion order old-sorted ++ new-sorted
+   * IS globally sorted, so the updated index is bit-identical to a full
+   * rebuild over old ∪ new at the same shard count — the equality
+   * q_hnsw_incr certifies. Interleaved ids still yield a valid graph,
+   * just not the rebuild's edge set.
+   *
+   * `nShards` 0 infers the build's shard count as max(shard_id)+1 —
+   * exact unless the index's top shard is empty (pass it explicitly
+   * then). The shard count deliberately stays FIXED across increments
+   * (graphs grow denser until the operator rebuilds); a fresh build
+   * sized by row count may choose more shards once the corpus grows.
+   */
+  def nswInsertIndex(
+      index: DataFrame, newEmb: DataFrame,
+      m: Int = 12, ef: Int = 96, nShards: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val shards =
+      if (nShards > 0) nShards
+      else index.agg(max(col("shard_id"))).first().getInt(0) + 1
+    val oldRows = index.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<double>"), col("neighbors").cast("array<long>"))
+    val addRows = newEmb.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<double>"), lit(null).cast("array<long>").as("neighbors"))
+    oldRows.unionByName(addRows)
+      .repartition(shards, col(idCol))
+      .as[(Long, Array[Double], Array[Long])]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val shardId = org.apache.spark.TaskContext.getPartitionId()
+          val old     = rows.filter(_._3 != null).sortBy(_._1)
+          val fresh   = rows.filter(_._3 == null).sortBy(_._1)
+          val items   = old.map(r => (r._1, r._2)) ++ fresh.map(r => (r._1, r._2))
+          val local   = items.iterator.map(_._1).zipWithIndex.toMap
+          val vecs    = items.map(_._2)
+          val norms   = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+          val adj     = Array.fill(items.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+          old.iterator.zipWithIndex.foreach { case (r, i) => adj(i) ++= r._3.map(local) }
+          NswShard.insertRange(vecs, norms, adj, from = old.length, m, ef)
+          items.iterator.zipWithIndex.map { case ((id, vec), i) =>
+            (shardId, id, vec, adj(i).map(j => items(j)._1).toArray)
+          }
+        }
+      }
+      .toDF("shard_id", idCol, vecCol, "neighbors")
+  }
+
   /** The probe's vector fetched from the corpus by id — the common case
     * for [[nswQueryIndex]] callers probing with a corpus member. */
   def probeVector(emb: DataFrame, probeId: Long,

@@ -71,9 +71,21 @@ private[operators] object NswShard {
     * the adjacency in LOCAL node indices, construction order preserved. */
   def buildAdj(vecs: Array[Array[Double]], norms: Array[Double],
                m: Int, ef: Int): Array[mutable.ArrayBuffer[Int]] = {
-    val n   = vecs.length
-    val adj = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
-    var i = 1
+    val adj = Array.fill(vecs.length)(mutable.ArrayBuffer.empty[Int])
+    insertRange(vecs, norms, adj, from = 1, m, ef)
+    adj
+  }
+
+  /** The NSW insertion loop from node `from` onward, mutating `adj` in
+    * place. `adj` must already hold a valid graph over nodes [0, from)
+    * (empty for a fresh build) — this is what makes INCREMENTAL index
+    * maintenance the same code path as a fresh build: appending a batch
+    * to a persisted shard graph is insertRange(from = oldCount). */
+  def insertRange(vecs: Array[Array[Double]], norms: Array[Double],
+                  adj: Array[mutable.ArrayBuffer[Int]],
+                  from: Int, m: Int, ef: Int): Unit = {
+    val n = vecs.length
+    var i = math.max(from, 1) // node 0 is the entry point; nothing to wire
     while (i < n) {
       val qn = norms(i)
       val near = beam(adj, vecs, norms, vecs(i), qn, bound = i,
@@ -98,7 +110,6 @@ private[operators] object NswShard {
       }
       i += 1
     }
-    adj
   }
 
   private def probeSearch(items: Array[(Long, Array[Double])],

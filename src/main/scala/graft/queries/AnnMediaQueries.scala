@@ -269,6 +269,47 @@ object AnnMediaQueries {
         .toDF("k", "n", "recall_met", "idx_matches_fresh")
     },
 
+    // INCREMENTAL index maintenance — the recurring-crawl shape (the
+    // vector-side analog of q_dedup_incr): persist an index over the
+    // first 90% of the corpus by id, append the top-10% increment with
+    // NO rebuild of the existing shard graphs (each shard continues
+    // construction from its stored adjacency), and certify that the
+    // updated index is BIT-IDENTICAL to a full rebuild at the same shard
+    // count (append-only ids ⇒ per-shard insertion order is globally
+    // sorted ⇒ same graphs — the determinism contract), and that a probe
+    // answered from it matches the fresh build-and-search rows.
+    Declared(
+      "q_hnsw_incr",
+      Some(
+        """WITH c AS (SELECT count(*) AS cnt FROM embeddings)
+          |SELECT cnt AS n, CAST(cnt - (cnt * 9) // 10 AS BIGINT) AS incr_rows,
+          |       true AS incr_equals_rebuild, true AS query_match
+          |FROM c""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val n   = emb.count()
+      val cut = n * 9 / 10
+      // pin the FULL corpus's shard count on both paths so the equality
+      // is well-defined at every scale (a fresh build sized by the grown
+      // corpus must not out-shard the increment path)
+      val s = math.max(4, ((n + 4095) / 4096).toInt)
+      val out = graft.ScratchDirs.dir("nsw-incr")
+      Ann.nswBuildIndex(emb.where(col("vec_id") < cut), shards = s)
+        .write.mode("overwrite").parquet(out)
+      val updated = Ann.nswInsertIndex(
+        spark.read.parquet(out), emb.where(col("vec_id") >= cut), nShards = s)
+      val full = Ann.nswBuildIndex(emb, shards = s)
+      val eq = updated.except(full).isEmpty && full.except(updated).isEmpty
+      val viaIdx = Ann.nswQueryIndex(updated, Ann.probeVector(emb, 0L), k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fresh = Ann.nswTopK(emb, probeId = 0L, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      import spark.implicits._
+      Seq((n, n - cut, eq, viaIdx == fresh))
+        .toDF("n", "incr_rows", "incr_equals_rebuild", "query_match")
+    },
+
     // batch k-NN join: exact top-5 neighbors for every probe vec_id < 10 —
     // the training-data "find similar examples per sample" shape
     Declared(

@@ -131,6 +131,37 @@ class AnnSpec extends AnyFunSuite {
     assert(ids.intersect(cluster5).size >= 9, s"external probe recall: $ids")
   }
 
+  test("NSW incremental insert: append batch equals full rebuild; inference path works") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      c <- 0 until 20
+      center = Array.fill(64)(rnd.nextGaussian().toFloat)
+      m <- 0 until 10
+    } yield ((c * 10 + m).toLong, center.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq)
+    val emb = rows.toDF("vec_id", "embedding")
+
+    val out = graft.ScratchDirs.dir("nsw-incr-spec")
+    Ann.nswBuildIndex(emb.where($"vec_id" < 160)).write.mode("overwrite").parquet(out)
+    // nShards inferred from the stored shard ids (the default path)
+    val updated = Ann.nswInsertIndex(spark.read.parquet(out), emb.where($"vec_id" >= 160))
+    val full    = Ann.nswBuildIndex(emb)
+
+    // append-only ids ⇒ bit-identical to the rebuild, edge lists included
+    assert(updated.count() === emb.count())
+    assert(updated.except(full).isEmpty && full.except(updated).isEmpty,
+      "incrementally updated index diverged from the full rebuild")
+
+    // and the updated index answers probes like the fresh build-and-search
+    for (p <- Seq(0L, 111L, 190L)) {
+      val fresh = Ann.nswTopK(emb, p, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaIdx = Ann.nswQueryIndex(updated, Ann.probeVector(emb, p), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaIdx === fresh, s"probe $p after incremental insert")
+    }
+  }
+
   test("IVF index: cell-partitioned persist/reload reproduces ivfTopK with pruning") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
