@@ -50,6 +50,7 @@ SUBSET=$SUBSET,q_linededup,q_linededup_agg,q_tokens,q_lang,q_fingerprint
 SUBSET=$SUBSET,q_dedup,q_dedup_rows,q_distinct
 SUBSET=$SUBSET,q_range,q_point,q_page,q_retain
 SUBSET=$SUBSET,q_ivf,q_hnsw,q_knn,q_ann,q_centroids,q_knn_lsh
+SUBSET=$SUBSET,q_hnsw_idx,q_ivf_idx,q_hnsw_incr
 SUBSET=$SUBSET,q_sql,q_sql_sim
 
 SWEEP_SUBSET="$SUBSET" \

@@ -172,22 +172,27 @@ object Ann {
    * [[bruteForceTopK]]. At scale the table is written partitioned/bucketed
    * by `cid`, so the filter is partition pruning — I/O ∝ nprobe/C.
    */
-  def ivfTopK(
-      emb: DataFrame, probeId: Long, k: Int,
-      centroids: Array[Array[Double]], nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assigned = assignCentroid(emb, centroids, vecCol)
-    val probeVec = emb.filter(col(idCol) === probeId)
-      .select(col(vecCol).cast("array<double>")).take(1).headOption
-      .getOrElse(missingProbe(probeId, idCol))
-      .getSeq[Double](0).toArray
-    val nearCids = centroids.zipWithIndex
+  /** The `nprobe` cell ids nearest to the probe, ranked by squared L2
+    * accumulated left-to-right (ties → lower cid). ONE shared fold for
+    * [[ivfTopK]] and [[ivfQueryIndex]] — the literal-centroid oracle
+    * replay depends on this exact float-op order, so the two paths must
+    * not drift apart. */
+  private def nearestCells(centroids: Array[Array[Double]],
+      probeVec: Array[Double], nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex
       .map { case (cj, j) =>
         val d = cj.zip(probeVec).map { case (a, b) => val t = a - b; t * t }.sum
         (j, d)
       }
       .sortBy { case (j, d) => (d, j) }
-      .take(nprobe).map(_._1)
+      .take(nprobe).map(_._1).toIndexedSeq
+
+  def ivfTopK(
+      emb: DataFrame, probeId: Long, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignCentroid(emb, centroids, vecCol)
+    val nearCids = nearestCells(centroids, probeVector(emb, probeId, idCol, vecCol), nprobe)
     val probe = probeFrame(emb, probeId, idCol, probeVecNorm(vecCol))
     assigned
       .where(col("cid").isin(nearCids.toIndexedSeq: _*))
@@ -223,12 +228,19 @@ object Ann {
       .toDF("cid", "centroid")
   }
 
-  /** Inverse of [[centroidsToDF]]: the model back as an ordered array. */
-  def centroidsFromDF(df: DataFrame): Array[Array[Double]] =
-    df.select(col("cid").cast("int"), col("centroid").cast("array<double>"))
+  /** Inverse of [[centroidsToDF]]: the model back as an ordered array.
+    * Fails loud on a gapped or duplicated cid set — positional indexing
+    * below would otherwise silently misattribute every cell after the
+    * gap and [[ivfQueryIndex]] would prune the wrong lists. */
+  def centroidsFromDF(df: DataFrame): Array[Array[Double]] = {
+    val rows = df.select(col("cid").cast("int"), col("centroid").cast("array<double>"))
       .collect()
       .sortBy(_.getInt(0))
-      .map(_.getSeq[Double](1).toArray)
+    val cids = rows.map(_.getInt(0)).toSeq
+    require(cids == (0 until rows.length),
+      s"model frame cids must be dense 0..${rows.length - 1}, got $cids")
+    rows.map(_.getSeq[Double](1).toArray)
+  }
 
   /**
    * Probe a prebuilt [[ivfBuildIndex]] index without re-assigning
@@ -243,13 +255,7 @@ object Ann {
       index: DataFrame, centroids: Array[Array[Double]],
       probeVec: Array[Double], k: Int, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val nearCids = centroids.zipWithIndex
-      .map { case (cj, j) =>
-        val d = cj.zip(probeVec).map { case (a, b) => val t = a - b; t * t }.sum
-        (j, d)
-      }
-      .sortBy { case (j, d) => (d, j) }
-      .take(nprobe).map(_._1)
+    val nearCids = nearestCells(centroids, probeVec, nprobe)
     val p = array(probeVec.toIndexedSeq.map(lit): _*)
     index
       .where(col("cid").isin(nearCids.toIndexedSeq: _*))
@@ -496,7 +502,13 @@ object Ann {
     import spark.implicits._
     val shards =
       if (nShards > 0) nShards
-      else index.agg(max(col("shard_id"))).first().getInt(0) + 1
+      else {
+        val mx = index.agg(max(col("shard_id"))).first()
+        require(!mx.isNullAt(0),
+          "cannot infer shard count from an EMPTY index — pass nShards " +
+            "explicitly (or build with nswBuildIndex first)")
+        mx.getInt(0) + 1
+      }
     val oldRows = index.select(col(idCol).cast("long"),
       col(vecCol).cast("array<double>"), col("neighbors").cast("array<long>"))
     val addRows = newEmb.select(col(idCol).cast("long"),
@@ -513,10 +525,26 @@ object Ann {
           val fresh   = rows.filter(_._3 == null).sortBy(_._1)
           val items   = old.map(r => (r._1, r._2)) ++ fresh.map(r => (r._1, r._2))
           val local   = items.iterator.map(_._1).zipWithIndex.toMap
+          // an id appearing in BOTH the index and the increment (or twice
+          // in either) would silently last-win in `local` and rewire old
+          // edges to the duplicate — refuse loudly instead
+          require(local.size == items.length,
+            s"shard $shardId holds duplicate ids — the increment must be " +
+              "disjoint from the indexed corpus")
           val vecs    = items.map(_._2)
           val norms   = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
           val adj     = Array.fill(items.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
-          old.iterator.zipWithIndex.foreach { case (r, i) => adj(i) ++= r._3.map(local) }
+          // a neighbor id missing from this partition means the re-hash
+          // did not reproduce the build's shard layout (wrong nShards —
+          // e.g. inferred from an index whose top shard was empty):
+          // failing here is what keeps that from becoming a silently
+          // corrupted graph
+          old.iterator.zipWithIndex.foreach { case (r, i) =>
+            adj(i) ++= r._3.map(g => local.getOrElse(g, throw new IllegalStateException(
+              s"neighbor id $g of node ${r._1} not in shard $shardId — the " +
+                s"index's shard layout does not match nShards=$shards; " +
+                "pass the build's shard count explicitly")))
+          }
           NswShard.insertRange(vecs, norms, adj, from = old.length, m, ef)
           items.iterator.zipWithIndex.map { case ((id, vec), i) =>
             (shardId, id, vec, adj(i).map(j => items(j)._1).toArray)

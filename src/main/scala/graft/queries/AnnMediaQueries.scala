@@ -297,17 +297,25 @@ object AnnMediaQueries {
       val out = graft.ScratchDirs.dir("nsw-incr")
       Ann.nswBuildIndex(emb.where(col("vec_id") < cut), shards = s)
         .write.mode("overwrite").parquet(out)
+      // persist both frames: the two EXCEPT directions and the probe
+      // re-evaluate them, and each re-evaluation re-runs the O(n·m·ef·d)
+      // graph construction — the dominant cost of this certificate
       val updated = Ann.nswInsertIndex(
-        spark.read.parquet(out), emb.where(col("vec_id") >= cut), nShards = s)
-      val full = Ann.nswBuildIndex(emb, shards = s)
-      val eq = updated.except(full).isEmpty && full.except(updated).isEmpty
-      val viaIdx = Ann.nswQueryIndex(updated, Ann.probeVector(emb, 0L), k = 10)
-        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      val fresh = Ann.nswTopK(emb, probeId = 0L, k = 10)
-        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      import spark.implicits._
-      Seq((n, n - cut, eq, viaIdx == fresh))
-        .toDF("n", "incr_rows", "incr_equals_rebuild", "query_match")
+        spark.read.parquet(out), emb.where(col("vec_id") >= cut), nShards = s).persist()
+      val full = Ann.nswBuildIndex(emb, shards = s).persist()
+      try {
+        val eq = updated.except(full).isEmpty && full.except(updated).isEmpty
+        val viaIdx = Ann.nswQueryIndex(updated, Ann.probeVector(emb, 0L), k = 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val fresh = Ann.nswTopK(emb, probeId = 0L, k = 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        import spark.implicits._
+        Seq((n, n - cut, eq, viaIdx == fresh))
+          .toDF("n", "incr_rows", "incr_equals_rebuild", "query_match")
+      } finally {
+        updated.unpersist(blocking = false)
+        full.unpersist(blocking = false)
+      }
     },
 
     // batch k-NN join: exact top-5 neighbors for every probe vec_id < 10 —

@@ -93,13 +93,17 @@ object RelationalQueries {
     // per-type groups GROW with the table, and the factor-1000 sweep
     // showed ~1e9-magnitude double accumulations drifting past the 1e-4
     // grid in this exact shape (caught on q_salted; q_agg only passed by
-    // accumulation-order luck).
+    // accumulation-order luck). avg_value is a DIVISION result — off the
+    // 0.01 grid — so it ships as the bit-identical unrounded double on
+    // both sides per the Declared contract (an engine-side round(,4) at a
+    // shortest-repr half boundary is where Spark HALF_UP and DuckDB
+    // split; the compare layer rounds identical doubles identically).
     Declared(
       "q_agg",
       Some(
         """SELECT event_type, count(*) AS n,
           |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value,
-          |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
       )
     ) { (spark, dir) =>
@@ -108,7 +112,7 @@ object RelationalQueries {
         .agg(
           count(lit(1)).as("n"),
           round(Money.sumMoney(col("value")), 4).as("sum_value"),
-          round(Money.sumMoney(col("value")) / count(lit(1)), 4).as("avg_value"))
+          (Money.sumMoney(col("value")) / count(lit(1))).as("avg_value"))
         .orderBy("event_type")
     },
 
