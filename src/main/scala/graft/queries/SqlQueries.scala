@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.Engine
+import graft.{Engine, Tables}
+import org.apache.spark.sql.functions._
 
 /**
  * The SQL surface end-to-end: the same declared semantics driven through
@@ -242,10 +243,13 @@ object SqlQueries {
 
     // NOT IN three-valued logic — the classic silent-wrong-answer trap: if
     // the subquery produces ANY NULL, `x NOT IN (...)` is never TRUE and
-    // the result is empty. Both engines implement the standard; the query
-    // pins both cohorts (null-free list → real count, null-polluted list
-    // → 0) side by side so a future rewrite to anti-join can't silently
-    // change the semantics.
+    // the result is empty. The ORACLE runs the literal NOT IN, so the
+    // standard's semantics stay pinned; the SPARK side implements the
+    // three-valued rules EXPLICITLY (null-probe rule + list-null rule +
+    // shuffled anti join) because Spark's own NOT IN plan is a null-aware
+    // anti join that can ONLY broadcast — at the factor-1000 slice the
+    // 150M-key list blew the 8 GiB broadcast cap (the sweep's fourth
+    // catch). A wrong explicit rule here would hash-mismatch the oracle.
     Declared(
       "q_notin",
       Some(
@@ -257,13 +261,27 @@ object SqlQueries {
           |                                       ELSE o_custkey END FROM orders)) AS null_poisoned""".stripMargin
       )
     ) { (spark, dir) =>
-      Engine.sql(spark, dir,
-        """SELECT
-          |  (SELECT CAST(count(*) AS BIGINT) FROM customer
-          |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)) AS never_ordered,
-          |  (SELECT CAST(count(*) AS BIGINT) FROM customer
-          |   WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
-          |                                       ELSE o_custkey END FROM orders)) AS null_poisoned""".stripMargin)
+      val cust = Tables.customer(spark, dir)
+      val ord  = Tables.orders(spark, dir)
+      // null-free list: NOT IN ≡ anti join on the distinct keys, minus
+      // NULL probes (a NULL x is never TRUE under NOT IN a non-empty list)
+      val neverOrdered = cust.where(col("c_custkey").isNotNull)
+        .join(ord.where(col("o_custkey").isNotNull).select("o_custkey").distinct(),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .count()
+      // poisoned list: one NULL in the list makes NOT IN never TRUE for
+      // any probe — probe the list for a NULL (cheap pushed filter), and
+      // only fall through to the anti join when it is actually null-free
+      val listHasNull =
+        !ord.where(col("o_orderkey") % 100 === 0 || col("o_custkey").isNull).isEmpty
+      val nullPoisoned =
+        if (listHasNull) 0L
+        else cust.where(col("c_custkey").isNotNull)
+          .join(ord.select(col("o_custkey").as("k")).distinct(),
+            col("c_custkey") === col("k"), "left_anti")
+          .count()
+      import spark.implicits._
+      Seq((neverOrdered, nullPoisoned)).toDF("never_ordered", "null_poisoned")
     },
 
     // Ordered-set aggregates (WITHIN GROUP): listagg with a deterministic
