@@ -41,17 +41,18 @@ if [ $# -gt 1 ] || { [ $# -eq 1 ] && [ ! -d "$1" ]; }; then
   exit 2
 fi
 
-SUBSET=q_agg,q_tpch1,q_join3,q_joinfact,q_rollup,q_cube,q_groupsets,q_groupall
-SUBSET=$SUBSET,q_mode,q_quantile,q_withingroup,q_stats,q_argmax,q_condagg
-SUBSET=$SUBSET,q_topk,q_topkgroup,q_window,q_salted,q_skewjoin,q_hint
-SUBSET=$SUBSET,q_bloomjoin,q_weighted,q_pivot,q_recursive
-SUBSET=$SUBSET,q_heavy,q_tfidf,q_bm25,q_contamination,q_pack,q_redact
-SUBSET=$SUBSET,q_linededup,q_linededup_agg,q_tokens,q_lang,q_fingerprint
-SUBSET=$SUBSET,q_dedup,q_dedup_rows,q_distinct
-SUBSET=$SUBSET,q_range,q_point,q_page,q_retain
-SUBSET=$SUBSET,q_ivf,q_hnsw,q_knn,q_ann,q_centroids,q_knn_lsh
-SUBSET=$SUBSET,q_hnsw_idx,q_ivf_idx,q_hnsw_incr
-SUBSET=$SUBSET,q_sql,q_sql_sim
+SUBSET=q_agg,q_ann,q_anti,q_argmax,q_arrayops,q_bloomjoin,q_bm25
+SUBSET=$SUBSET,q_bpe,q_centroids,q_collect,q_condagg,q_contamination,q_corrsub,q_cube
+SUBSET=$SUBSET,q_dedup,q_dedup_rows,q_distinct,q_entropy,q_except,q_except_all,q_exists
+SUBSET=$SUBSET,q_explode,q_fingerprint,q_frames,q_groupall,q_groupsets,q_heavy,q_hint
+SUBSET=$SUBSET,q_hnsw,q_hnsw_idx,q_hnsw_incr,q_intersect,q_intersect_all,q_ivf,q_ivf_idx
+SUBSET=$SUBSET,q_join3,q_joinfact,q_knn,q_knn_lsh,q_lang,q_lateral,q_linededup
+SUBSET=$SUBSET,q_linededup_agg,q_map,q_media,q_media_decode,q_media_resize,q_mode,q_ngram
+SUBSET=$SUBSET,q_notin,q_nullsafe,q_pack,q_page,q_pivot,q_point,q_posexplode
+SUBSET=$SUBSET,q_quant,q_quantile,q_range,q_recursive,q_redact,q_repetition,q_retain
+SUBSET=$SUBSET,q_rollup,q_salted,q_sample,q_scalarsub,q_semi,q_skewjoin,q_split
+SUBSET=$SUBSET,q_sql,q_sql_sim,q_stats,q_text,q_tfidf,q_theta,q_tokens
+SUBSET=$SUBSET,q_topk,q_topkgroup,q_tpch1,q_union,q_weighted,q_window,q_withingroup
 
 SWEEP_SUBSET="$SUBSET" \
 SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" \
