@@ -64,12 +64,16 @@ object FormatQueries {
     // surface NULL for the new column. At 100 TB this read path (schema
     // drift across years of drops) is the rule, not the edge case — the
     // query proves both cohorts aggregate correctly through one scan.
+    // The per-cohort totals ride the exact-cents Money convention (value
+    // is 2-decimal and so is value*2 — an exact double ×2): 50M-row
+    // cohorts at the factor-1000 slice drifted the plain double sum
+    // 6e-4 off the oracle (the q_salted class, fifth sweep catch).
     Declared(
       "q_evolve",
       Some(
         """SELECT (event_id % 2 = 0) AS legacy, count(*) AS n,
-          |       round(sum(CASE WHEN event_id % 2 = 1 THEN value * 2
-          |                      ELSE value END), 4) AS total
+          |       round(CAST(sum(CAST(CASE WHEN event_id % 2 = 1 THEN value * 2
+          |                                ELSE value END AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
       )
     ) { (spark, dir) =>
@@ -84,7 +88,8 @@ object FormatQueries {
         .parquet(s"$out/gen1", s"$out/gen2")
         .groupBy(col("value_v2").isNull.as("legacy"))
         .agg(count(lit(1)).as("n"),
-          round(sum(coalesce(col("value_v2"), col("value"))), 4).as("total"))
+          round(graft.functions.Money.sumMoney(
+            coalesce(col("value_v2"), col("value"))), 4).as("total"))
         .orderBy("legacy")
     },
 
