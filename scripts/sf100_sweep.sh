@@ -41,18 +41,20 @@ if [ $# -gt 1 ] || { [ $# -eq 1 ] && [ ! -d "$1" ]; }; then
   exit 2
 fi
 
-SUBSET=q_agg,q_ann,q_anti,q_argmax,q_arrayops,q_bloomjoin,q_bm25
-SUBSET=$SUBSET,q_bpe,q_centroids,q_collect,q_condagg,q_contamination,q_corrsub,q_cube
-SUBSET=$SUBSET,q_dedup,q_dedup_rows,q_distinct,q_entropy,q_except,q_except_all,q_exists
-SUBSET=$SUBSET,q_explode,q_fingerprint,q_frames,q_groupall,q_groupsets,q_heavy,q_hint
-SUBSET=$SUBSET,q_hnsw,q_hnsw_idx,q_hnsw_incr,q_intersect,q_intersect_all,q_ivf,q_ivf_idx
-SUBSET=$SUBSET,q_join3,q_joinfact,q_knn,q_knn_lsh,q_lang,q_lateral,q_linededup
-SUBSET=$SUBSET,q_linededup_agg,q_map,q_media,q_media_decode,q_media_resize,q_mode,q_ngram
-SUBSET=$SUBSET,q_notin,q_nullsafe,q_pack,q_page,q_pivot,q_point,q_posexplode
+SUBSET=q_agg,q_ann,q_anti,q_argmax,q_arrayops,q_asof,q_badrecords
+SUBSET=$SUBSET,q_bloomjoin,q_bm25,q_bpe,q_bucket,q_centroids,q_clusterby,q_collect
+SUBSET=$SUBSET,q_condagg,q_contamination,q_corrsub,q_cube,q_dedup,q_dedup_rows,q_distinct
+SUBSET=$SUBSET,q_entropy,q_evolve,q_except,q_except_all,q_exists,q_explode,q_fingerprint
+SUBSET=$SUBSET,q_frames,q_groupall,q_groupsets,q_heavy,q_hint,q_hnsw,q_hnsw_idx
+SUBSET=$SUBSET,q_hnsw_incr,q_intersect,q_intersect_all,q_ivf,q_ivf_idx,q_join3,q_joinfact
+SUBSET=$SUBSET,q_knn,q_knn_lsh,q_lang,q_lateral,q_leftjoin,q_linededup,q_linededup_agg
+SUBSET=$SUBSET,q_map,q_media,q_media_decode,q_media_resize,q_mode,q_ngram,q_notin
+SUBSET=$SUBSET,q_nullsafe,q_pack,q_page,q_partitioned,q_pivot,q_point,q_posexplode
 SUBSET=$SUBSET,q_quant,q_quantile,q_range,q_recursive,q_redact,q_repetition,q_retain
-SUBSET=$SUBSET,q_rollup,q_salted,q_sample,q_scalarsub,q_semi,q_skewjoin,q_split
-SUBSET=$SUBSET,q_sql,q_sql_sim,q_stats,q_text,q_tfidf,q_theta,q_tokens
-SUBSET=$SUBSET,q_topk,q_topkgroup,q_tpch1,q_union,q_weighted,q_window,q_withingroup
+SUBSET=$SUBSET,q_rollup,q_salted,q_sample,q_scalarsub,q_scd2,q_semi,q_session
+SUBSET=$SUBSET,q_skewjoin,q_split,q_sql,q_sql_sim,q_stats,q_stratified,q_text
+SUBSET=$SUBSET,q_tfidf,q_theta,q_tokens,q_topk,q_topkgroup,q_tpch1,q_union
+SUBSET=$SUBSET,q_unpivot,q_upsert,q_weighted,q_window,q_withingroup
 
 SWEEP_SUBSET="$SUBSET" \
 SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" \
