@@ -261,27 +261,30 @@ object SqlQueries {
           |                                       ELSE o_custkey END FROM orders)) AS null_poisoned""".stripMargin
       )
     ) { (spark, dir) =>
-      val cust = Tables.customer(spark, dir)
+      val cust = Tables.customer(spark, dir).where(col("c_custkey").isNotNull)
       val ord  = Tables.orders(spark, dir)
       // null-free list: NOT IN ≡ anti join on the distinct keys, minus
       // NULL probes (a NULL x is never TRUE under NOT IN a non-empty list)
-      val neverOrdered = cust.where(col("c_custkey").isNotNull)
-        .join(ord.where(col("o_custkey").isNotNull).select("o_custkey").distinct(),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .count()
-      // poisoned list: one NULL in the list makes NOT IN never TRUE for
-      // any probe — probe the list for a NULL (cheap pushed filter), and
-      // only fall through to the anti join when it is actually null-free
-      val listHasNull =
-        !ord.where(col("o_orderkey") % 100 === 0 || col("o_custkey").isNull).isEmpty
-      val nullPoisoned =
-        if (listHasNull) 0L
-        else cust.where(col("c_custkey").isNotNull)
-          .join(ord.select(col("o_custkey").as("k")).distinct(),
-            col("c_custkey") === col("k"), "left_anti")
-          .count()
-      import spark.implicits._
-      Seq((neverOrdered, nullPoisoned)).toDF("never_ordered", "null_poisoned")
+      val keys1 = ord.where(col("o_custkey").isNotNull)
+        .select(col("o_custkey").as("k1")).distinct()
+      val never = cust.join(keys1, col("c_custkey") === col("k1"), "left_anti")
+        .agg(count(lit(1)).as("never_ordered"))
+      // poisoned list: anti join against the list's NON-NULL keys, then
+      // zero the count when the list contains ANY NULL (one NULL makes
+      // NOT IN never TRUE for every probe) — all declarative, so the
+      // whole query is one plan with two shuffled LeftAnti joins and
+      // three 1-row broadcast combines
+      val caseKey = when(col("o_orderkey") % 100 === 0, lit(null))
+        .otherwise(col("o_custkey"))
+      val keys2 = ord.select(caseKey.as("k2")).where(col("k2").isNotNull).distinct()
+      val pois = cust.join(keys2, col("c_custkey") === col("k2"), "left_anti")
+        .agg(count(lit(1)).as("pois_cnt"))
+      val hasNull = ord.agg(
+        max(when(col("o_orderkey") % 100 === 0 || col("o_custkey").isNull, 1)
+          .otherwise(0)).as("has_null"))
+      never.crossJoin(broadcast(pois)).crossJoin(broadcast(hasNull))
+        .select(col("never_ordered"),
+          (col("pois_cnt") * (lit(1) - col("has_null"))).cast("long").as("null_poisoned"))
     },
 
     // Ordered-set aggregates (WITHIN GROUP): listagg with a deterministic

@@ -147,9 +147,15 @@ class PlanSpec extends AnyFunSuite {
       s"decorrelation must not fall back to a nested loop:\n$p")
   }
 
-  test("q_notin: null-aware anti join, not a plain anti join") {
+  test("q_notin: explicit three-valued NOT IN plans shuffled anti joins, no broadcast NAAJ") {
+    // Spark's own NOT IN plan is a null-aware anti join that can ONLY
+    // broadcast (8 GiB cap — blew up at the factor-1000 slice); the
+    // rewrite must keep LeftAnti joins in the plan WITHOUT the
+    // null-aware broadcast form
     val p = plan("q_notin")
-    assert(p.contains("LeftAnti"), s"expected anti join for NOT IN:\n$p")
+    assert(p.contains("LeftAnti"), s"expected anti joins for NOT IN:\n$p")
+    assert(!p.contains("NAAJ") && !p.toLowerCase.contains("nullawareanti"),
+      s"three-valued logic must not fall back to the broadcast-only null-aware form:\n$p")
   }
 
   test("q_hll: sketch build and union are partial/final object aggregates") {
