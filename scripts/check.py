@@ -59,11 +59,100 @@ def frame_rows(df):
     return cols, rows
 
 
+INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT"}
+FLOAT_TYPES = {"FLOAT", "DOUBLE"}
+
+
+def _digest_cast(col, s_t, o_t):
+    """Per-side cast pair making (spark_type, oracle_type) hash-comparable.
+
+    Digest mode hashes a canonical VARCHAR row image computed by DuckDB on
+    BOTH sides, so the only normalization needed is across *declared* type
+    pairs (Spark parquet physical type vs the oracle query's result type) —
+    the VALUE formatting is one engine's and cancels out. Pairs outside
+    this table are a schema mismatch, reported as such.
+    """
+    def both(t):
+        return (f'CAST("{col}" AS {t})',) * 2
+    if s_t == o_t:
+        return (f'"{col}"', f'"{col}"')
+    if s_t in INT_TYPES and o_t in INT_TYPES:
+        return both("HUGEINT")
+    if s_t in FLOAT_TYPES and o_t in FLOAT_TYPES:
+        return both("DOUBLE")
+    ts_family = lambda t: t == "DATE" or t.startswith("TIMESTAMP")
+    if ts_family(s_t) and ts_family(o_t):
+        return both("TIMESTAMP")
+    if s_t.startswith("DECIMAL") and (o_t.startswith("DECIMAL") or o_t in INT_TYPES) \
+            or o_t.startswith("DECIMAL") and s_t in INT_TYPES:
+        import re
+        scales = [int(m.group(1)) for t in (s_t, o_t)
+                  for m in [re.search(r",(\d+)\)", t)] if m]
+        return both(f"DECIMAL(38,{max(scales) if scales else 0})")
+    return None
+
+
+def digest_compare(con, out_dir, name, oracle_sql):
+    """Order-independent full-content compare for outputs beyond the pandas
+    row-compare envelope: count(*) + sum(hash(canonical row string)), both
+    sides computed BY DUCKDB (the Spark side from its parquet dump, the
+    oracle side from the oracle query), so no cross-engine value-formatting
+    surface is introduced. A single differing/extra/missing row flips the
+    sum with probability 1 - 2^-64. Returns the rec(...) tuple fields."""
+    spark_src = f"read_parquet('{out_dir}/{name}/*.parquet')"
+    s_desc = con.execute(f"DESCRIBE SELECT * FROM {spark_src}").fetchall()
+    o_desc = con.execute(f"DESCRIBE ({oracle_sql})").fetchall()
+    s_types = {r[0]: r[1] for r in s_desc}
+    o_types = {r[0]: r[1] for r in o_desc}
+    if sorted(s_types) != sorted(o_types):
+        print(f"SCHEMA  {name}: spark={sorted(s_types)} oracle={sorted(o_types)}")
+        return (None, False, False, None, None, None)
+    s_exprs, o_exprs = [], []
+    for col in sorted(s_types):
+        pair = _digest_cast(col, s_types[col], o_types[col])
+        if pair is None:
+            print(f"SCHEMA  {name}: column '{col}' type mismatch "
+                  f"spark={s_types[col]} oracle={o_types[col]} "
+                  f"(no digest promotion rule)")
+            return (None, False, False, None, None, None)
+        s_exprs.append(pair[0])
+        o_exprs.append(pair[1])
+
+    def digest(src, exprs):
+        cells = ", ".join(f"coalesce(CAST({e} AS VARCHAR), chr(30))"
+                          for e in exprs)
+        row = con.execute(
+            f"SELECT CAST(count(*) AS HUGEINT),"
+            f" CAST(coalesce(sum(hash(concat_ws(chr(31), {cells}))), 0) AS HUGEINT)"
+            f" FROM (SELECT * FROM {src})").fetchone()
+        return int(row[0]), int(row[1])
+
+    s_n, s_h = digest(spark_src, s_exprs)
+    o_n, o_h = digest(f"({oracle_sql})", o_exprs)
+    rows_m, hash_m = s_n == o_n, (s_n, s_h) == (o_n, o_h)
+    if not rows_m:
+        print(f"ROWS    {name}: spark={s_n} oracle={o_n} (digest mode)")
+    elif not hash_m:
+        print(f"HASH    {name}: digest mismatch over {s_n} rows "
+              f"(spark {s_h} vs oracle {o_h})")
+    return (rows_m, True, hash_m, s_n, o_n, None)
+
+
 def main():
     import json
     import os
     args = sys.argv[1:]
     json_out = None
+    digest_names = set()
+    if "--digest" in args:
+        i = args.index("--digest")
+        if i + 1 >= len(args):
+            print("usage: check.py <outDir> <sfDir> [--json FILE] "
+                  "[--digest n1,n2] [name...]")
+            sys.exit(2)
+        digest_names = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
     if "--json" in args:
         i = args.index("--json")
         if i + 1 >= len(args):
@@ -99,23 +188,42 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     only = set(args[2:])
     # a typo'd or rows-only name must not silently produce "0 ok, 0 bad"
-    unknown = only - set(oracle)
+    unknown = (only | digest_names) - set(oracle)
     if unknown:
         print(f"UNKNOWN filter names (not in oracle_sql.json): {sorted(unknown)}")
         sys.exit(2)
     n_ok = n_bad = 0
     results = {}
 
-    def rec(name, rows_m, schema_m, hash_m, s_rows, o_rows, err):
+    def rec(name, rows_m, schema_m, hash_m, s_rows, o_rows, err, mode="rows"):
         results[name] = {"rows_match": rows_m, "schema_match": schema_m,
                          "hash_match": hash_m, "spark_rows": s_rows,
-                         "oracle_rows": o_rows, "err": err}
+                         "oracle_rows": o_rows, "err": err, "mode": mode}
 
     import time
     for name in sorted(oracle):
         if only and name not in only:
             continue
         t0 = time.time()
+        if name in digest_names:
+            try:
+                rows_m, schema_m, hash_m, s_n, o_n, err = \
+                    digest_compare(con, out_dir, name, oracle[name])
+            except Exception as e:
+                print(f"DIGERR  {name}: {e}")
+                rec(name, False, False, False, None, None,
+                    f"digest error: {e}", mode="digest")
+                n_bad += 1
+                continue
+            rec(name, rows_m, schema_m, hash_m, s_n, o_n, err, mode="digest")
+            if hash_m:
+                n_ok += 1
+            else:
+                n_bad += 1
+            dt = time.time() - t0
+            if dt > 30:
+                print(f"SLOW    {name}: digest compare took {dt:.0f}s")
+            continue
         try:
             s_df = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:

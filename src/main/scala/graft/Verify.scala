@@ -14,6 +14,12 @@ object Verify {
     // the driver always calls with exactly two args → full dump)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // The driver's pandas/DuckDB compare reads each dump as a directory
+    // glob, so the single-file layout is tidiness, not a contract. For
+    // scale-sweep dumps of 100M+-row row-preserving outputs the coalesce(1)
+    // write is a single-threaded bottleneck — set SPARK_GRAFT_VERIFY_COALESCE=0
+    // to write with the plan's own partitioning (digest-mode sweeps do).
+    val coalesce1 = sys.env.getOrElse("SPARK_GRAFT_VERIFY_COALESCE", "1") != "0"
     val spark = GraftSession
       .configure(
         SparkSession.builder()
@@ -28,8 +34,11 @@ object Verify {
       // stderr marker per query: lets a log reader attribute interleaved
       // Spark warnings (task-size, skew, …) to the query that caused them
       System.err.println(s"[verify] running $name")
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        (if (coalesce1) df.coalesce(1) else df)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
