@@ -54,13 +54,22 @@ EOF
 # envelope), and Verify coalesces each result to one file.
 # SWEEP_SUBSET (comma-separated query names, optional): restrict the dump
 # and the compare to a subset. Used by sf100_sweep.sh, where the excluded
-# families (streaming replays, quadratic DuckDB oracles, >~20M-row
-# row-preserving outputs) are out of the one-box compare envelope; the
-# full-registry sweeps (sf1/sf10) leave it unset.
+# families (streaming replays, quadratic DuckDB oracles) are out of the
+# one-box compare envelope; the full-registry sweeps (sf1/sf10) leave it
+# unset.
+# DIGEST_SUBSET (comma-separated, optional): names compared in check.py's
+# digest mode (order-independent count + row-hash sum computed by DuckDB
+# over both sides) instead of the pandas row-compare — the row-preserving
+# >~20M-row outputs whose frames exceed the row-compare harness. Digest
+# names are dumped without the coalesce(1) single-file write (the
+# single-threaded write would dominate the sweep at 100M+ rows).
 NAMES="${SWEEP_SUBSET:+$(echo "$SWEEP_SUBSET" | tr ',' ' ')}"
+DIGEST_NAMES="${DIGEST_SUBSET:+$(echo "$DIGEST_SUBSET" | tr ',' ' ')}"
 
 SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}" \
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-  sbt -batch "runMain graft.Verify $SLICE $OUT $NAMES"
+SPARK_GRAFT_VERIFY_COALESCE="${DIGEST_SUBSET:+0}" \
+  sbt -batch "runMain graft.Verify $SLICE $OUT $NAMES $DIGEST_NAMES"
 
-python3 scripts/check.py "$OUT" "$SLICE" --json "$OUTJSON" $NAMES
+python3 scripts/check.py "$OUT" "$SLICE" --json "$OUTJSON" \
+  ${DIGEST_SUBSET:+--digest "$DIGEST_SUBSET"} $NAMES $DIGEST_NAMES

@@ -26,12 +26,14 @@
 #    avoid; at 5M docs it does not complete on one box. Their scale
 #    correctness is carried by the full sf10 sweep (160/160) over the
 #    same generator.
-#  - row-preserving outputs >= ~20M rows (q_tail, q_dense, q_envelope,
-#    q_scalar-family, format sidecars, ...): check.py materializes both
-#    sides in pandas and row-sorts them; 100M-row frames exceed the
-#    compare harness, not the engine.
 #  - declared rows-only sketches (q_approxd/q_approxq/q_hll): no oracle
 #    at any scale by design (SketchSpec bounds them).
+#
+# Row-preserving outputs >= ~20M rows (q_tail, q_dense, q_envelope,
+# q_scalar-family, window functions, format sidecars) exceed the pandas
+# row-compare harness, not the engine — those run in check.py's DIGEST
+# mode (order-independent count + row-hash sum, both sides computed by
+# DuckDB; full-content check, O(1) compare memory). See DIGEST below.
 #
 # Output: CORRECTNESS_SF100.json. Usage: sf100_sweep.sh [srcSfDir]
 set -euo pipefail
@@ -55,7 +57,20 @@ SUBSET=$SUBSET,q_rollup,q_salted,q_sample,q_scalarsub,q_scd2,q_semi,q_session
 SUBSET=$SUBSET,q_skewjoin,q_split,q_sql,q_sql_sim,q_stats,q_stratified,q_text
 SUBSET=$SUBSET,q_tfidf,q_theta,q_tokens,q_topk,q_topkgroup,q_tpch1,q_union
 SUBSET=$SUBSET,q_unpivot,q_upsert,q_weighted,q_window,q_withingroup
+# Batch D (round-10 envelope extension): modest outputs + linear oracles,
+# strict row-compare.
+SUBSET=$SUBSET,q_filter,q_fullouter,q_rangejoin,q_sim,q_udaf,q_tumble
+SUBSET=$SUBSET,q_zorder,q_pipeline,q_hof
+
+# Digest-mode names: row-preserving 20M-300M-row outputs (full-content
+# order-independent hash compare; see header).
+DIGEST=q_envelope,q_json,q_scalar,q_datefns,q_strfns
+DIGEST=$DIGEST,q_lag,q_lead,q_locf,q_rangeframe,q_winframe
+DIGEST=$DIGEST,q_ranks,q_try,q_udf,q_variant,q_union_all
+DIGEST=$DIGEST,q_csv,q_jsonfile,q_orcfile,q_xmlfile,q_tail,q_dense
+DIGEST=$DIGEST,q_quality,q_chunk
 
 SWEEP_SUBSET="$SUBSET" \
+DIGEST_SUBSET="$DIGEST" \
 SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" \
 exec "$(dirname "$0")/scale_sweep.sh" 1000 /tmp/graft-sf100 CORRECTNESS_SF100.json "$@"

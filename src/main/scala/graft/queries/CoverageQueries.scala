@@ -657,14 +657,21 @@ object CoverageQueries {
     },
 
     // distribution-ranking window functions: ntile/percent_rank/cume_dist
-    // (unique (value, event_id) total order per partition → deterministic)
+    // (unique (value, event_id) total order per partition → deterministic).
+    // pr/cd ship as RAW doubles: both engines compute the same exact
+    // integer ratios ((rank-1)/(n-1), peers/n) whose IEEE division is
+    // correctly rounded, so the bits agree at any scale — an in-query
+    // round(…,4) split the engines at a .00005 half boundary once
+    // partitions hit 25M rows (factor-1000 digest sweep, sixth catch:
+    // Spark rounds the shortest decimal repr HALF_UP, DuckDB rounds via
+    // a ×10⁴ double multiply).
     Declared(
       "q_ranks",
       Some(
         """SELECT event_id, event_type,
           |       ntile(4) OVER w AS quartile,
-          |       round(percent_rank() OVER w, 4) AS pr,
-          |       round(cume_dist() OVER w, 4) AS cd
+          |       percent_rank() OVER w AS pr,
+          |       cume_dist() OVER w AS cd
           |FROM events
           |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
           |ORDER BY event_id""".stripMargin
@@ -676,8 +683,8 @@ object CoverageQueries {
         .select(
           col("event_id"), col("event_type"),
           ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 4).as("pr"),
-          round(cume_dist().over(w), 4).as("cd"))
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
         .orderBy("event_id")
     },
 
