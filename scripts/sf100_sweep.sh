@@ -20,12 +20,15 @@
 #    100M events is far past it. Streaming correctness at scale is carried
 #    by the batch analogs included here plus the sf10 full sweep.
 #  - quadratic DuckDB oracles (q_minhash_lsh, q_neardup, q_dupgroups,
-#    q_dedup_incr, q_dedup_keep, q_embdup, q_editdist, q_curate, q_winnow,
-#    q_windup, q_simhash-family pair queries): the ORACLE side is an exact
-#    all-pairs / in-block join — the very plan the Spark side exists to
+#    q_dedup_incr, q_dedup_keep, q_embdup, q_editdist, q_curate,
+#    q_windup): the ORACLE side is an exact all-pairs / in-block /
+#    fingerprint self-join — the very plan the Spark side exists to
 #    avoid; at 5M docs it does not complete on one box. Their scale
 #    correctness is carried by the full sf10 sweep (160/160) over the
-#    same generator.
+#    same generator. (q_rollhash/q_simhash/q_winnow were initially
+#    lumped in here; their oracles are LINEAR per-doc replays — measured
+#    ~2/~25/~25 min at full threads on the 5M-doc slice — so they now
+#    run in DIGEST mode below. Only q_windup's pair self-join stays out.)
 #  - declared rows-only sketches (q_approxd/q_approxq/q_hll): no oracle
 #    at any scale by design (SketchSpec bounds them).
 #
@@ -69,6 +72,9 @@ DIGEST=$DIGEST,q_lag,q_lead,q_locf,q_rangeframe,q_winframe
 DIGEST=$DIGEST,q_ranks,q_try,q_udf,q_variant,q_union_all
 DIGEST=$DIGEST,q_csv,q_jsonfile,q_orcfile,q_xmlfile,q_tail,q_dense
 DIGEST=$DIGEST,q_quality,q_chunk
+# Linear-oracle hash replays (per-doc list_reduce / XXH64 bit replay in
+# DuckDB — heavy but linear; row-preserving or per-doc-expanding output).
+DIGEST=$DIGEST,q_rollhash,q_simhash,q_winnow
 
 SWEEP_SUBSET="$SUBSET" \
 DIGEST_SUBSET="$DIGEST" \
