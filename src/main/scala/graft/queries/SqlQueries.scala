@@ -279,9 +279,12 @@ object SqlQueries {
       val keys2 = ord.select(caseKey.as("k2")).where(col("k2").isNotNull).distinct()
       val pois = cust.join(keys2, col("c_custkey") === col("k2"), "left_anti")
         .agg(count(lit(1)).as("pois_cnt"))
+      // coalesce: max over an EMPTY orders table is NULL, and the standard
+      // says NOT IN an empty list is TRUE for every probe — the poisoned
+      // count must then equal the probe count, not go NULL
       val hasNull = ord.agg(
-        max(when(col("o_orderkey") % 100 === 0 || col("o_custkey").isNull, 1)
-          .otherwise(0)).as("has_null"))
+        coalesce(max(when(col("o_orderkey") % 100 === 0 || col("o_custkey").isNull, 1)
+          .otherwise(0)), lit(0)).as("has_null"))
       never.crossJoin(broadcast(pois)).crossJoin(broadcast(hasNull))
         .select(col("never_ordered"),
           (col("pois_cnt") * (lit(1) - col("has_null"))).cast("long").as("null_poisoned"))
