@@ -184,6 +184,53 @@ object Dedup {
     verifiedPairs(lshCandidates(docs, idCol, textCol), threshold)
 
   /**
+   * The SAME candidate set as [[lshCandidates]] through a structurally
+   * independent plan: instead of the band-bucket SELF-JOIN, aggregate each
+   * bucket (groupBy (band, h) → sorted collect_list of its ids) and expand
+   * the in-bucket pairs with higher-order functions — an
+   * ObjectHashAggregate + Generate where the join plan has a
+   * SortMergeJoin/shuffled hash join. Identical math, disjoint operator
+   * families; [[minhashLshPairsViaBuckets]] agreeing bit-for-bit with
+   * [[minhashLshPairs]] cross-checks the pair generation at scales where
+   * the exact all-pairs oracle cannot run (the q_linededup /
+   * q_linededup_agg dual-plan pattern). Scale note: a degenerate bucket of
+   * k ids concentrates its k·(k−1)/2 pairs in ONE aggregation row here,
+   * where the join spreads them across tasks — the join remains the
+   * production path; this plan is the independent witness.
+   */
+  def lshCandidatesViaBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): DataFrame = {
+    val shingled = shingledDocs(docs, idCol, textCol, shingleSize)
+    val buckets = bandedIds(shingled, numHashes, bands)
+      .groupBy("band", "h")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    // ids are distinct within a bucket (one signature per id, one hash per
+    // band) and sorted ascending, so pairing each element with its strict
+    // suffix yields exactly the da < db pairs the self-join produces
+    val pairs = buckets
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "y -> named_struct('da', x, 'db', y))))")).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+      .dropDuplicates("da", "db")
+    attachShingles(pairs, shingled, shingled)
+  }
+
+  /** [[minhashLshPairs]] through the bucket-aggregation plan — the
+    * cross-plan certificate variant. */
+  def minhashLshPairsViaBuckets(
+      docs: DataFrame, idCol: String, textCol: String, threshold: Double = 0.8): DataFrame =
+    verifiedPairs(lshCandidatesViaBuckets(docs, idCol, textCol), threshold)
+
+  /**
    * Incremental dedup: near-dup pairs BETWEEN two corpora (`incoming` da ×
    * `existing` db) — the recurring-crawl shape: signature + band both
    * sides, CROSS-side band equi-join only (no incoming×incoming or

@@ -63,6 +63,19 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
+    // the SAME semantics through the bucket-aggregation plan (groupBy
+    // band-bucket → sorted collect_list → HOF pair expansion) — a third
+    // independent derivation of the near-dup pair set sharing ONE oracle
+    // with q_neardup/q_minhash_lsh. Its role: at factor-1000 scale, where
+    // the exact all-pairs oracle cannot run, bit-equality between this
+    // plan and the join plan is the correctness certificate for the pair
+    // generation (the q_linededup/q_linededup_agg dual-plan pattern).
+    Declared("q_minhash_lsh_gb", Some(exactPairsSql)) { (spark, dir) =>
+      Dedup.minhashLshPairsViaBuckets(
+        Tables.documents(spark, dir), "doc_id", "text", threshold = 0.8)
+        .orderBy("da", "db")
+    },
+
     // dedup keeper selection: drop the higher doc_id of every near-dup pair
     Declared(
       "q_dedup_keep",

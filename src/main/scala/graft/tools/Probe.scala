@@ -135,6 +135,39 @@ object Probe {
           f"mean=${hits.sum / (10.0 * hits.length)}%.2f min=${hits.min} " +
           f"${(System.nanoTime() - t0) / 1e9}%6.1f s")
       }
+    } else if (args.headOption.contains("--cc-cert")) {
+      // q_dupgroups scale certificate: the recursive-CTE oracle cannot run
+      // above the sf10 slice, but the min-label-propagation OUTPUT is
+      // self-certifying — (1) a converged labeling assigns both endpoints
+      // of EVERY edge the same component (any early-termination
+      // under-merge shows up here, and over-merge is impossible: a label
+      // only ever flows along edges), and (2) each component's label is
+      // the min member id (the declared representative). Both checks are
+      // single joins/aggregations — linear, fully distributed, any scale.
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      import graft.Tables
+      val t0 = System.nanoTime()
+      val pairs = Dedup.minhashLshPairs(
+        Tables.documents(spark, dir), "doc_id", "text", threshold = 0.8)
+        .select("da", "db").cache()
+      val nPairs = pairs.count()
+      val labels = Dedup.connectedComponents(pairs).cache()
+      val edges = pairs.union(pairs.select(col("db"), col("da")))
+        .toDF("u", "v")
+      val edgeViolations = edges
+        .join(labels.select(col("id").as("u"), col("component").as("cu")), "u")
+        .join(labels.select(col("id").as("v"), col("component").as("cv")), "v")
+        .where(col("cu") =!= col("cv")).count()
+      val minViolations = labels.groupBy("component").agg(min("id").as("mn"))
+        .where(col("component") =!= col("mn")).count()
+      val nNodes = labels.count()
+      val nComponents = labels.select("component").distinct().count()
+      println(f"[cc-cert] dir=$dir pairs=$nPairs nodes=$nNodes " +
+        f"components=$nComponents edge_violations=$edgeViolations " +
+        f"minlabel_violations=$minViolations ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      assert(edgeViolations == 0L && minViolations == 0L,
+        s"connected-components certificate FAILED at $dir")
     } else {
       (1 to 2).foreach { round =>
         names.foreach { n =>

@@ -56,6 +56,23 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exact)
   }
 
+  test("bucket-aggregation plan: same rows as the join plan, disjoint operator family") {
+    val docs = Tables.documents(spark, dir)
+    val join = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+    val gb   = Dedup.minhashLshPairsViaBuckets(docs, "doc_id", "text", threshold = 0.8)
+    val j = join.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val g = gb.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(j.nonEmpty && g === j,
+      s"dual plans diverge: join-only ${(j -- g).size}, gb-only ${(g -- j).size}")
+    // the certificate is only as strong as the plans are different: the
+    // candidate stage must be an aggregation+generator, not a band self-join
+    val plan = gb.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected collect_list aggregation in the bucket plan:\n$plan")
+    assert(plan.contains("Generate"),
+      s"expected HOF pair expansion Generate in the bucket plan:\n$plan")
+  }
+
   test("minhashLshPairsBetween finds exactly the cross-side exact pairs, and only those") {
     val docs     = Tables.documents(spark, dir)
     val incoming = docs.where(col("doc_id") % 10 === 0)
