@@ -168,14 +168,20 @@ object Dedup {
       .join(right.select(col("id").as("db"), col("sh").as("sb")), "db")
       .select("da", "db", "sa", "sb")
 
-  /** Exact Jaccard over candidate pairs (the verification step). */
+  /** Exact Jaccard over candidate pairs (the verification step). The score
+    * ships as the RAW double: IEEE division of exact integers is correctly
+    * rounded, so every engine computing i/u gets the identical bits —
+    * whereas a query-side `round(_, 4)` re-enters the cross-engine
+    * half-boundary class (Spark rounds the shortest decimal repr HALF_UP,
+    * DuckDB rounds a ×10⁴ double product; they split on ratios like
+    * 16339/20000 = 0.81695). Same convention as q_ranks/q_media/q_agg. */
   def verifiedPairs(candidates: DataFrame, threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
     val union = (size(col("sa")) + size(col("sb"))).cast("double") - inter
     candidates
       .withColumn("jaccard", inter / union)
       .where(col("jaccard") >= threshold)
-      .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("da"), col("db"), col("jaccard"))
   }
 
   /** MinHash-LSH near-dup pairs, exact-verified at `threshold`. */
@@ -343,7 +349,8 @@ object Dedup {
       .join(sizes.withColumnRenamed("id", "db").withColumnRenamed("n", "nb"), "db")
       .withColumn("jaccard", col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
       .where(col("jaccard") >= threshold)
-      .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+      // raw double, same rationale as [[verifiedPairs]]
+      .select(col("da"), col("db"), col("jaccard"))
   }
 
   // --- SimHash ------------------------------------------------------------

@@ -26,7 +26,7 @@ object DedupQueries {
       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2)
-      |SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+      |SELECT da, db, i * 1.0 / (sa.n + sb.n - i) AS jaccard
       |FROM inter
       |JOIN sizes sa ON da = sa.doc_id
       |JOIN sizes sb ON db = sb.doc_id

@@ -168,6 +168,29 @@ object Probe {
         f"minlabel_violations=$minViolations ${(System.nanoTime() - t0) / 1e9}%6.1f s")
       assert(edgeViolations == 0L && minViolations == 0L,
         s"connected-components certificate FAILED at $dir")
+    } else if (args.headOption.contains("--lsh-cert")) {
+      // q_minhash_lsh scale certificate: above sf10 the exact all-pairs
+      // oracle cannot run, so the correctness witness is bit-equality
+      // between the two structurally independent pair derivations — the
+      // band self-JOIN production plan and the bucket-AGGREGATION plan
+      // (groupBy band bucket → sorted collect_list → HOF expansion).
+      // Shared code stops at the per-doc signature; everything from
+      // bucketing to pair emission differs, so a defect in either pair
+      // generator breaks the equality with near-certainty.
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      import graft.Tables
+      val t0 = System.nanoTime()
+      val docs = Tables.documents(spark, dir)
+      val join = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8).cache()
+      val gb   = Dedup.minhashLshPairsViaBuckets(docs, "doc_id", "text", threshold = 0.8).cache()
+      val nJoin = join.count(); val nGb = gb.count()
+      val joinOnly = join.exceptAll(gb).count()
+      val gbOnly   = gb.exceptAll(join).count()
+      println(f"[lsh-cert] dir=$dir join=$nJoin gb=$nGb " +
+        f"join_only=$joinOnly gb_only=$gbOnly ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      assert(nJoin > 0 && joinOnly == 0L && gbOnly == 0L,
+        s"LSH dual-plan certificate FAILED at $dir")
     } else {
       (1 to 2).foreach { round =>
         names.foreach { n =>
