@@ -1,0 +1,39 @@
+#!/bin/bash
+# Pair-family scale certificates — the correctness story for the queries
+# whose DuckDB oracles are quadratic and therefore stop at the sf10 sweep
+# (sf100_sweep.sh exclusion list). Each certificate is linear, fully
+# distributed, and runs at ANY scale:
+#
+#   --lsh-cert     q_minhash_lsh / q_neardup / q_minhash_lsh_gb pair set:
+#                  bit-equality (exceptAll both directions) between the
+#                  band self-JOIN plan and the bucket-AGGREGATION plan —
+#                  structurally disjoint derivations of the same pairs.
+#   --cc-cert      q_dupgroups labeling: every edge's endpoints share a
+#                  component (no under-merge; over-merge impossible — a
+#                  label only flows along edges) and each component's
+#                  label is its min member id.
+#   --windup-cert  q_windup shared-fingerprint pairs: self-join plan vs
+#                  bucket-aggregation plan, bit-equality.
+#
+# Remaining pair-family members are carried by composition: q_dedup_keep /
+# q_dupgroups / q_curate consume the certified pair set through linear set
+# ops; q_dedup_incr's cross-side banding is the certified banding restricted
+# to (incoming x existing); q_editdist's candidate cut has the PropertySpec
+# losslessness replay; q_embdup's cosine verification is the certified
+# bucket shape with a different verifier.
+#
+# Usage: scripts/scale_certs.sh [sfDir]   (default /tmp/graft-sf100)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+DIR="${1:-/tmp/graft-sf100}"
+[ -d "$DIR" ] || { echo "no such dir: $DIR" >&2; exit 2; }
+
+for cert in --lsh-cert --cc-cert --windup-cert; do
+  SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" \
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  SPARK_GRAFT_SF_DIR="$DIR" \
+    sbt -batch "runMain graft.tools.Probe $cert" 2>&1 |
+    grep -E "\[(lsh|cc|windup)-cert\]|FAILED" || exit 1
+done
+echo "scale certificates: ALL GREEN at $DIR"

@@ -191,6 +191,43 @@ object Probe {
         f"join_only=$joinOnly gb_only=$gbOnly ${(System.nanoTime() - t0) / 1e9}%6.1f s")
       assert(nJoin > 0 && joinOnly == 0L && gbOnly == 0L,
         s"LSH dual-plan certificate FAILED at $dir")
+    } else if (args.headOption.contains("--windup-cert")) {
+      // q_windup scale certificate: the fingerprint self-join oracle is
+      // quadratic in DuckDB and cannot run above sf10, so the factor-1000
+      // witness is bit-equality between the production self-join plan and
+      // an independent bucket-aggregation derivation (groupBy fp → sorted
+      // collect_list → HOF pair expansion → per-pair count). The rare
+      // filter (df ≤ 50) bounds every bucket, so the agg row holds at most
+      // 50·49/2 pairs — no degenerate-bucket risk in either plan.
+      import org.apache.spark.sql.functions._
+      import graft.Tables
+      val t0 = System.nanoTime()
+      val f = Tables.documents(spark, dir)
+        .where(col("n_chars") >= 15)
+        .select(col("doc_id"), explode(call_function("graft_winnow", col("text"))).as("fp"))
+      val rare = f.groupBy("fp").agg(count(lit(1)).as("df")).where(col("df") <= 50).select("fp")
+      val fr = f.join(rare, Seq("fp")).cache()
+      val join = fr.select(col("fp"), col("doc_id").as("da"))
+        .join(fr.select(col("fp"), col("doc_id").as("db")), Seq("fp"))
+        .where(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= 5).cache()
+      val gb = fr.groupBy("fp")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .where(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, (x, i) -> " +
+            "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+            "y -> named_struct('da', x, 'db', y))))")).as("p"))
+        .groupBy("p.da", "p.db").agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= 5).cache()
+      val nJoin = join.count(); val nGb = gb.count()
+      val joinOnly = join.exceptAll(gb).count()
+      val gbOnly   = gb.exceptAll(join).count()
+      println(f"[windup-cert] dir=$dir join=$nJoin gb=$nGb " +
+        f"join_only=$joinOnly gb_only=$gbOnly ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      assert(nJoin > 0 && joinOnly == 0L && gbOnly == 0L,
+        s"windup dual-plan certificate FAILED at $dir")
     } else {
       (1 to 2).foreach { round =>
         names.foreach { n =>
