@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.Money
 import graft.operators.TemporalJoins
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -218,15 +219,22 @@ object AdvancedQueries {
         .orderBy("vec_id")
     },
 
-    // window frames + distribution functions: running sum, ntile, percent_rank
+    // window frames + distribution functions: running sum, ntile,
+    // percent_rank. Engine-independence at ANY partition size: the running
+    // sum goes through exact integer cents (a double prefix sum's error
+    // crosses the round-4 half boundary once partitions reach ~1e7 rows,
+    // and the two engines associate window sums differently), and
+    // percent_rank ships as the raw exact-ratio double (the q_ranks
+    // catch: round-4 splits the engines on ratios like k/20000 once
+    // partitions reach ~16k rows).
     Declared(
       "q_winframe",
       Some(
         """SELECT user_id, event_id,
-          |       round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
-          |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id
+          |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
           |       ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS quartile,
-          |       round(percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id), 4) AS pr
+          |       percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS pr
           |FROM events ORDER BY user_id, event_id""".stripMargin
       )
     ) { (spark, dir) =>
@@ -236,9 +244,9 @@ object AdvancedQueries {
       Tables.events(spark, dir)
         .select(
           col("user_id"), col("event_id"),
-          round(sum("value").over(wf), 4).as("run_sum"),
+          (sum(Money.cents(col("value"))).over(wf) / 100.0).as("run_sum"),
           ntile(4).over(wo).cast("long").as("quartile"),
-          round(percent_rank().over(wv), 4).as("pr"))
+          percent_rank().over(wv).as("pr"))
         .orderBy("user_id", "event_id")
     },
 

@@ -86,17 +86,22 @@ object CoverageQueries {
 
     // GROUP BY ALL / ORDER BY ALL (the modern SQL ergonomics both engines
     // share): every non-aggregate select item becomes a grouping key.
+    // avg_value follows the q_agg convention — exact DECIMAL total, one
+    // division, unrounded double — so the cohorts (which grow linearly
+    // with data: user_id % 10) can never drift the double sum or land a
+    // round(,4) on a cross-engine half boundary. The IDENTICAL SQL text
+    // runs on both engines.
     Declared(
       "q_groupall",
       Some(
-        """SELECT event_type, user_id % 10 AS cohort,
-          |       count(*) AS n, round(avg(value), 4) AS avg_value
+        """SELECT event_type, user_id % 10 AS cohort, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
           |FROM events GROUP BY ALL ORDER BY ALL""".stripMargin
       )
     ) { (spark, dir) =>
       graft.Engine.sql(spark, dir,
-        """SELECT event_type, user_id % 10 AS cohort,
-          |       count(*) AS n, round(avg(value), 4) AS avg_value
+        """SELECT event_type, user_id % 10 AS cohort, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
           |FROM events GROUP BY ALL ORDER BY ALL""".stripMargin)
     },
 
@@ -203,25 +208,31 @@ object CoverageQueries {
 
     // scalar subquery: orders ≥2× the global mean price. The 1-row global
     // aggregate is broadcast into the scan predicate (no driver round-trip,
-    // no recompute per row)
+    // no recompute per row). The mean goes through the exact-cents total
+    // (a double avg's accumulation-order noise shifts BOTH the row set at
+    // the 2×mean filter and the ratio's round(,4) bucket once the corpus
+    // is large enough); with an identical exact mean on both engines the
+    // raw ratio double is bit-identical, so it ships unrounded.
     Declared(
       "q_scalarsub",
       Some(
-        """SELECT o_orderkey,
-          |       round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 4) AS ratio
-          |FROM orders
-          |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        """WITH m AS (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |                  / count(*) AS mean_price FROM orders)
+          |SELECT o_orderkey, o_totalprice / mean_price AS ratio
+          |FROM orders, m
+          |WHERE o_totalprice > 2 * mean_price
           |ORDER BY o_orderkey""".stripMargin
       )
     ) { (spark, dir) =>
       val orders = Tables.orders(spark, dir)
-      val mean   = orders.agg(avg("o_totalprice").as("mean_price"))
+      val mean = orders.agg(
+        (Money.sumMoney(col("o_totalprice")) / count(lit(1))).as("mean_price"))
       orders
         .crossJoin(broadcast(mean))
         .where(col("o_totalprice") > lit(2) * col("mean_price"))
         .select(
           col("o_orderkey"),
-          round(col("o_totalprice") / col("mean_price"), 4).as("ratio"))
+          (col("o_totalprice") / col("mean_price")).as("ratio"))
         .orderBy("o_orderkey")
     },
 

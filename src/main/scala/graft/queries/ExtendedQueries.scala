@@ -39,17 +39,25 @@ object ExtendedQueries {
         .orderBy("user_id", "event_type")
     },
 
-    // text corpus profile
+    // text corpus profile. avg_chars ships as the unrounded exact-ratio
+    // double (integer char total / count — both engines sum exactly below
+    // 2^53 chars per lang, and IEEE division of exact integers is
+    // correctly rounded): a round(,4) here is the q_agg shortest-repr
+    // half-boundary class once a lang's count divides the total into a
+    // 5-decimal half (e.g. avg ending .15625 at lang counts with a /32
+    // reduced denominator).
     Declared(
       "q_text",
       Some(
-        """SELECT lang, count(*) AS docs, round(avg(n_chars), 4) AS avg_chars
+        """SELECT lang, count(*) AS docs,
+          |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
       )
     ) { (spark, dir) =>
       Tables.documents(spark, dir)
         .groupBy("lang")
-        .agg(count(lit(1)).as("docs"), round(avg("n_chars"), 4).as("avg_chars"))
+        .agg(count(lit(1)).as("docs"),
+          (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"))
         .orderBy("lang")
     },
 
