@@ -325,8 +325,16 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
-    // embedding-cosine near-dup pairs, exact (the small-corpus oracle; the
-    // scale path is the LSH-bucketed variant in Ann)
+    // embedding-cosine near-dup pairs, exact all-pairs. Scale story,
+    // considered explicitly: at this corpus' declared threshold (0.45 —
+    // pairs sit AT it, 0.45-0.6) no hyperplane-LSH banding has
+    // near-certain recall (P[bit agree] ≈ 0.65 ⇒ any banding misses
+    // borderline pairs), so unlike q_minhash_lsh there is NO lossless
+    // bucketed variant that could share this oracle; the honest scale
+    // paths are (a) the distributed blocked exact join this query's plan
+    // already is (quadratic but perfectly parallel — tractable to ~10M
+    // vectors on a cluster), or (b) the ANN family (Ann.lshKnnJoin /
+    // ivf/nsw) with measured recall where approximation is acceptable.
     Declared(
       "q_embdup",
       Some(
