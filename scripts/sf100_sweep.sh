@@ -19,13 +19,15 @@
 #    feed driver-side inside the documented envelope (EventFeed guard);
 #    100M events is far past it. Streaming correctness at scale is carried
 #    by the batch analogs included here plus the sf10 full sweep.
-#  - quadratic DuckDB oracles (q_minhash_lsh, q_neardup, q_dupgroups,
-#    q_dedup_incr, q_dedup_keep, q_embdup, q_editdist, q_curate,
-#    q_windup): the ORACLE side is an exact all-pairs / in-block /
+#  - quadratic DuckDB oracles (q_minhash_lsh, q_minhash_lsh_gb, q_neardup,
+#    q_dupgroups, q_dedup_incr, q_dedup_keep, q_embdup, q_editdist,
+#    q_curate, q_windup): the ORACLE side is an exact all-pairs / in-block /
 #    fingerprint self-join — the very plan the Spark side exists to
 #    avoid; at 5M docs it does not complete on one box. Their scale
 #    correctness is carried by the full sf10 sweep (160/160) over the
-#    same generator. (q_rollhash/q_simhash/q_winnow were initially
+#    same generator, plus the factor-1000 pair-family certificates
+#    (scripts/scale_certs.sh: dual-plan bit-equality + labeling
+#    self-checks run directly on this slice). (q_rollhash/q_simhash/q_winnow were initially
 #    lumped in here; their oracles are LINEAR per-doc replays — measured
 #    ~2/~25/~25 min at full threads on the 5M-doc slice — so they now
 #    run in DIGEST mode below. Only q_windup's pair self-join stays out.)

@@ -51,7 +51,7 @@ object Bench {
 
   private def group(name: String): String =
     if (name.startsWith("q_stream")) "streaming"
-    else if (Set("q_neardup", "q_embdup", "q_minhash_lsh", "q_simhash",
+    else if (Set("q_neardup", "q_embdup", "q_minhash_lsh", "q_minhash_lsh_gb", "q_simhash",
                  "q_dedup", "q_dedup_keep", "q_dedup_rows", "q_ivf", "q_editdist",
                  "q_knn", "q_knn_lsh", "q_ann", "q_sim", "q_sql_sim",
                  "q_dedup_incr", "q_contamination", "q_dupgroups", "q_hnsw",

@@ -221,20 +221,75 @@ object Dedup {
     // band) and sorted ascending, so pairing each element with its strict
     // suffix yields exactly the da < db pairs the self-join produces
     val pairs = buckets
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          "y -> named_struct('da', x, 'db', y))))")).as("p"))
+      .select(explode(strictSuffixPairs).as("p"))
       .select(col("p.da").as("da"), col("p.db").as("db"))
       .dropDuplicates("da", "db")
     attachShingles(pairs, shingled, shingled)
   }
+
+  /** All (da, db) with da < db from a sorted-distinct `ids` array column —
+    * the HOF strict-suffix expansion the bucket-aggregation certificate
+    * plans share. Contract: the input column is named `ids`, sorted
+    * ascending, element-distinct. */
+  private def strictSuffixPairs: Column = expr(
+    "flatten(transform(ids, (x, i) -> " +
+      "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+      "y -> named_struct('da', x, 'db', y))))")
 
   /** [[minhashLshPairs]] through the bucket-aggregation plan — the
     * cross-plan certificate variant. */
   def minhashLshPairsViaBuckets(
       docs: DataFrame, idCol: String, textCol: String, threshold: Double = 0.8): DataFrame =
     verifiedPairs(lshCandidatesViaBuckets(docs, idCol, textCol), threshold)
+
+  // --- winnow-fingerprint duplication pairs (q_windup) ----------------------
+
+  /**
+   * `(fp, id)` winnow fingerprints with ubiquitous fingerprints dropped:
+   * doc-frequency > `maxDf` means boilerplate (one hot 8-gram would pair
+   * the whole corpus quadratically) — the stop-fingerprint guard that
+   * bounds every join bucket at scale. Shared base of [[windupPairs]] and
+   * [[windupPairsViaBuckets]]; exposed so a caller comparing both plans
+   * (Probe --windup-cert) can cache ONE fingerprint table under them.
+   */
+  def rareFingerprints(
+      docs: DataFrame, idCol: String, textCol: String, maxDf: Int = 50): DataFrame = {
+    val f = docs.select(col(idCol).as("id"),
+      explode(call_function("graft_winnow", col(textCol))).as("fp"))
+    val rare = f.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("fp")
+    f.join(rare, Seq("fp"))
+  }
+
+  /** Pairs from an already-built [[rareFingerprints]] frame (self-join
+    * plan): docs sharing ≥ `minShared` rare fingerprints share substantial
+    * verbatim spans. Returns (da, db, shared) with da < db. */
+  def windupPairsFrom(fr: DataFrame, minShared: Int = 5): DataFrame =
+    fr.select(col("fp"), col("id").as("da"))
+      .join(fr.select(col("fp"), col("id").as("db")), Seq("fp"))
+      .where(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+
+  /** Exact-substring duplication pairs via winnow fingerprints — the
+    * q_windup production pipeline (rare filter + fingerprint self-join). */
+  def windupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Int = 50, minShared: Int = 5): DataFrame =
+    windupPairsFrom(rareFingerprints(docs, idCol, textCol, maxDf), minShared)
+
+  /** [[windupPairsFrom]] through the bucket-aggregation plan (groupBy fp →
+    * sorted collect_list → strict-suffix expansion → per-pair count) — the
+    * dual-plan certificate variant; a doc's fingerprints are distinct
+    * (graft_winnow emits a distinct set) so each (da, db) appears once per
+    * shared fp, exactly as in the self-join. */
+  def windupPairsViaBucketsFrom(fr: DataFrame, minShared: Int = 5): DataFrame =
+    fr.groupBy("fp")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(strictSuffixPairs).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
 
   /**
    * Incremental dedup: near-dup pairs BETWEEN two corpora (`incoming` da ×

@@ -216,11 +216,12 @@ object CoverageQueries {
     Declared(
       "q_scalarsub",
       Some(
-        """WITH m AS (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-          |                  / count(*) AS mean_price FROM orders)
-          |SELECT o_orderkey, o_totalprice / mean_price AS ratio
-          |FROM orders, m
-          |WHERE o_totalprice > 2 * mean_price
+        """SELECT o_orderkey,
+          |       o_totalprice / (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |                              / count(*) FROM orders) AS ratio
+          |FROM orders
+          |WHERE o_totalprice > 2 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |                                 / count(*) FROM orders)
           |ORDER BY o_orderkey""".stripMargin
       )
     ) { (spark, dir) =>

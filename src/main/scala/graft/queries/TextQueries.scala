@@ -236,17 +236,8 @@ object TextQueries {
           |ORDER BY da, db""".stripMargin
       )
     ) { (spark, dir) =>
-      val f = Tables.documents(spark, dir)
-        .where(col("n_chars") >= 15)
-        .select(col("doc_id"), explode(call_function("graft_winnow", col("text"))).as("fp"))
-      val rare = f.groupBy("fp").agg(count(lit(1)).as("df")).where(col("df") <= 50).select("fp")
-      val fr = f.join(rare, Seq("fp"))
-      fr.select(col("fp"), col("doc_id").as("da"))
-        .join(fr.select(col("fp"), col("doc_id").as("db")), Seq("fp"))
-        .where(col("da") < col("db"))
-        .groupBy("da", "db")
-        .agg(count(lit(1)).as("shared"))
-        .where(col("shared") >= 5)
+      graft.operators.Dedup.windupPairs(
+        Tables.documents(spark, dir).where(col("n_chars") >= 15), "doc_id", "text")
         .orderBy("da", "db")
     },
 

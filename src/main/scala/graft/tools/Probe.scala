@@ -166,7 +166,9 @@ object Probe {
       println(f"[cc-cert] dir=$dir pairs=$nPairs nodes=$nNodes " +
         f"components=$nComponents edge_violations=$edgeViolations " +
         f"minlabel_violations=$minViolations ${(System.nanoTime() - t0) / 1e9}%6.1f s")
-      assert(edgeViolations == 0L && minViolations == 0L,
+      // nPairs > 0 guards vacuous success: an empty/mis-generated slice
+      // with no planted near-dups would otherwise certify nothing
+      assert(nPairs > 0L && edgeViolations == 0L && minViolations == 0L,
         s"connected-components certificate FAILED at $dir")
     } else if (args.headOption.contains("--lsh-cert")) {
       // q_minhash_lsh scale certificate: above sf10 the exact all-pairs
@@ -200,27 +202,16 @@ object Probe {
       // filter (df ≤ 50) bounds every bucket, so the agg row holds at most
       // 50·49/2 pairs — no degenerate-bucket risk in either plan.
       import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
       import graft.Tables
       val t0 = System.nanoTime()
-      val f = Tables.documents(spark, dir)
-        .where(col("n_chars") >= 15)
-        .select(col("doc_id"), explode(call_function("graft_winnow", col("text"))).as("fp"))
-      val rare = f.groupBy("fp").agg(count(lit(1)).as("df")).where(col("df") <= 50).select("fp")
-      val fr = f.join(rare, Seq("fp")).cache()
-      val join = fr.select(col("fp"), col("doc_id").as("da"))
-        .join(fr.select(col("fp"), col("doc_id").as("db")), Seq("fp"))
-        .where(col("da") < col("db"))
-        .groupBy("da", "db").agg(count(lit(1)).as("shared"))
-        .where(col("shared") >= 5).cache()
-      val gb = fr.groupBy("fp")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .where(size(col("ids")) > 1)
-        .select(explode(expr(
-          "flatten(transform(ids, (x, i) -> " +
-            "transform(slice(ids, i + 2, size(ids) - i - 1), " +
-            "y -> named_struct('da', x, 'db', y))))")).as("p"))
-        .groupBy("p.da", "p.db").agg(count(lit(1)).as("shared"))
-        .where(col("shared") >= 5).cache()
+      // the SHARED production pipeline pieces (no drift: the certificate
+      // measures the operators q_windup actually runs), with the one
+      // fingerprint table cached under both plans
+      val fr = Dedup.rareFingerprints(
+        Tables.documents(spark, dir).where(col("n_chars") >= 15), "doc_id", "text").cache()
+      val join = Dedup.windupPairsFrom(fr).cache()
+      val gb   = Dedup.windupPairsViaBucketsFrom(fr).cache()
       val nJoin = join.count(); val nGb = gb.count()
       val joinOnly = join.exceptAll(gb).count()
       val gbOnly   = gb.exceptAll(join).count()

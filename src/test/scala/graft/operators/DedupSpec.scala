@@ -78,26 +78,11 @@ class DedupSpec extends AnyFunSuite {
     // factor-1000 witness for q_windup's quadratic-oracle exclusion):
     // the rare-filtered shared-fingerprint pair counts must be identical
     // through the self-join and the collect_list strict-suffix expansion
-    val f = Tables.documents(spark, dir)
-      .where(col("n_chars") >= 15)
-      .select(col("doc_id"), explode(call_function("graft_winnow", col("text"))).as("fp"))
-    val rare = f.groupBy("fp").agg(count(lit(1)).as("df")).where(col("df") <= 50).select("fp")
-    val fr = f.join(rare, Seq("fp"))
-    val join = fr.select(col("fp"), col("doc_id").as("da"))
-      .join(fr.select(col("fp"), col("doc_id").as("db")), Seq("fp"))
-      .where(col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("shared"))
-      .where(col("shared") >= 5)
+    val fr = Dedup.rareFingerprints(
+      Tables.documents(spark, dir).where(col("n_chars") >= 15), "doc_id", "text")
+    val join = Dedup.windupPairsFrom(fr)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val gb = fr.groupBy("fp")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          "y -> named_struct('da', x, 'db', y))))")).as("p"))
-      .groupBy("p.da", "p.db").agg(count(lit(1)).as("shared"))
-      .where(col("shared") >= 5)
+    val gb = Dedup.windupPairsViaBucketsFrom(fr)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(join.nonEmpty, "corpus should contain verbatim-span near-dups")
     assert(gb === join,
