@@ -15,7 +15,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    unrounded double on both sides (same exact-rational formulation,
  *    e.g. integer sum ÷ count) and left to the compare layer's own
  *    rounding: `round` at a x.xxxx5 boundary is where HALF_UP (Spark)
- *    and round-half-even (DuckDB) split,
+ *    and round-half-even (DuckDB) split. The round-10 audit classified
+ *    every remaining round(,4) site (commit "Close the remaining
+ *    cross-engine rounding latents"): exact-integer-ratio and
+ *    growing-group-sum emissions ship unrounded/exact-cents; round
+ *    stays only where the pre-round value is a cross-engine FLOAT
+ *    aggregate (cosine, stddev, corr) or provably off the boundary
+ *    (2-decimal money, ≤4-decimal quantile interpolations,
+ *    bounded-fan-in per-key sums),
  *  - identical column names on both sides (the driver's compare sorts
  *    columns by name before hashing),
  *  - identical column types where the engines' defaults diverge (e.g.
