@@ -14,6 +14,19 @@
 #                  label is its min member id.
 #   --windup-cert  q_windup shared-fingerprint pairs: self-join plan vs
 #                  bucket-aggregation plan, bit-equality.
+#   --stream-cert  the streaming-replay exclusion family's witness: the
+#                  hourly exact-cents windowed profile through the FILE
+#                  source (multi-batch admission, cross-batch window
+#                  state — the at-scale ingestion path; q_stream_filewin
+#                  runs the identical FileStreams code against its DuckDB
+#                  oracle at driver SFs) must BIT-equal the batch plan
+#                  over the same files.
+#   --sketch-cert  the rows-only sketch family (q_approxd/q_hll/q_approxq):
+#                  published accuracy/mergeability contracts checked
+#                  against exact linear aggregates on the slice, through
+#                  the shared SketchChecks code SketchSpec pins at driver
+#                  SFs (HLL merge exact; HLL++/HLL 3-sigma error bounds;
+#                  GK rank-error guarantee per percentile).
 #
 # Remaining pair-family members are carried by composition: q_dedup_keep /
 # q_dupgroups / q_curate consume the certified pair set through linear set
@@ -29,11 +42,11 @@ cd "$(dirname "$0")/.."
 DIR="${1:-/tmp/graft-sf100}"
 [ -d "$DIR" ] || { echo "no such dir: $DIR" >&2; exit 2; }
 
-for cert in --lsh-cert --cc-cert --windup-cert; do
+for cert in --lsh-cert --cc-cert --windup-cert --stream-cert --sketch-cert; do
   SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" \
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   SPARK_GRAFT_SF_DIR="$DIR" \
     sbt -batch "runMain graft.tools.Probe $cert" 2>&1 |
-    grep -E "\[(lsh|cc|windup)-cert\]|FAILED" || exit 1
+    grep -E "\[(lsh|cc|windup|stream|sketch)-cert\]|FAILED" || exit 1
 done
 echo "scale certificates: ALL GREEN at $DIR"

@@ -112,6 +112,33 @@ object StreamingQueries {
       spark.table(table).orderBy("event_type")
     },
 
+    // File-source WINDOWED aggregation (q_stream_filesrc's ingestion path ×
+    // q_stream_window's state shape): event-time tumbling windows per type,
+    // state ∝ windows × types, results landing DISTRIBUTED via foreachBatch
+    // parquet — no driver materialization anywhere, which is what lets the
+    // identical code run as the factor-1000 streaming certificate
+    // (`Probe --stream-cert` over a ScaleUp slice the EventFeed replay
+    // envelope cannot hold). Exact quantities only (count + integer cents),
+    // so stream/batch equality is bit-equality at any batching.
+    Declared(
+      "q_stream_filewin",
+      Some(
+        """SELECT date_trunc('hour', ts) AS w, event_type, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      )
+    ) { (spark, dir) =>
+      // stage the driver's single events file as 4 drops so the file
+      // source replays a real multi-batch discovery (2 files/trigger)
+      val stage = graft.ScratchDirs.dir("graft-filewin")
+      graft.Tables.events(spark, dir).repartition(4).write.mode("overwrite").parquet(stage)
+      val out = graft.ScratchDirs.dir("graft-filewin-out")
+      val (result, _) = withStatePartitions(spark, 8) {
+        graft.streaming.FileStreams.hourlyProfileStream(spark, stage, filesPerTrigger = 2, outDir = out)
+      }
+      result.orderBy("w", "event_type")
+    },
+
     // STREAMING curation (the flagship batch chain q_curate, re-expressed
     // incrementally): documents land as files, stream through normalize →
     // stateful exact-dedup (dropDuplicates on the normalized text) →

@@ -219,6 +219,74 @@ object Probe {
         f"join_only=$joinOnly gb_only=$gbOnly ${(System.nanoTime() - t0) / 1e9}%6.1f s")
       assert(nJoin > 0 && joinOnly == 0L && gbOnly == 0L,
         s"windup dual-plan certificate FAILED at $dir")
+    } else if (args.headOption.contains("--stream-cert")) {
+      // Streaming scale certificate: the 23 streaming replays stop at the
+      // sf10 sweep because the EventFeed harness is driver-materialized by
+      // design (the reference's poll-loop emulation, bounded to the
+      // serving-layer envelope). The at-scale ingestion path is the FILE
+      // source (q_stream_filewin runs the IDENTICAL FileStreams code at
+      // driver SFs against its DuckDB oracle); here it streams the slice's
+      // events directory through multiple admission-capped micro-batches —
+      // state ∝ windows × types — and the witness is BIT-equality with the
+      // batch plan over the same files: every aggregated quantity is an
+      // exact integer (count + cents), so stream/batch equality is exact
+      // at any batching and any scale.
+      import graft.streaming.FileStreams
+      val t0 = System.nanoTime()
+      val evPath = s"$dir/events.parquet"
+      val p = java.nio.file.Paths.get(evPath)
+      val nFiles =
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.filter(f => f.toString.endsWith(".parquet")).count() finally s.close()
+        } else 1L
+      // ~4 micro-batches regardless of how many part files the slice holds
+      val fpt = math.max(1L, (nFiles + 3) / 4).toInt
+      val out = graft.ScratchDirs.dir("graft-streamcert")
+      val (got, batches) = FileStreams.hourlyProfileStream(spark, evPath, fpt, out)
+      val expected = FileStreams.hourlyProfileBatch(spark, evPath).cache()
+      val gotC = got.cache()
+      val nGot = gotC.count(); val nExp = expected.count()
+      val gotOnly = gotC.exceptAll(expected).count()
+      val expOnly = expected.exceptAll(gotC).count()
+      println(f"[stream-cert] dir=$dir files=$nFiles batches=$batches " +
+        f"stream_groups=$nGot batch_groups=$nExp got_only=$gotOnly " +
+        f"exp_only=$expOnly ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      assert(nGot > 0 && gotOnly == 0L && expOnly == 0L &&
+        (nFiles < 2 || batches >= 2),
+        s"streaming duality certificate FAILED at $dir")
+    } else if (args.headOption.contains("--sketch-cert")) {
+      // Rows-only sketch scale certificate: q_approxd / q_hll / q_approxq
+      // have no SQL-portable oracle at ANY scale (engine-specific binary
+      // sketches), so their factor-1000 witness is the accuracy /
+      // mergeability contract each sketch publishes, checked against exact
+      // linear aggregates on the same slice through the SHARED
+      // SketchChecks code SketchSpec pins at driver SFs.
+      import org.apache.spark.sql.functions._
+      import graft.functions.SketchChecks
+      import graft.Tables
+      val t0 = System.nanoTime()
+      val ev = Tables.events(spark, dir).cache()
+      val d = SketchChecks.approxDistinct(ev, "user_id")
+      // default rsd 0.05 → 3-sigma bound 0.15 (same bound SketchSpec pins)
+      println(f"[sketch-cert] approxd exact=${d.exact} approx=${d.approx} " +
+        f"rel_err=${d.relErr}%.4f (bound 0.15)")
+      val h = SketchChecks.hllMerge(ev, "user_id", col("ts").cast("date"))
+      // lgK 12 → rsd ~0.0163; 3-sigma 0.05. Mergeability must be EXACT.
+      println(f"[sketch-cert] hll global=${h.global} merged=${h.merged} " +
+        f"exact=${h.exact} daily_buckets=${h.buckets} rel_err=${h.relErr}%.4f (bound 0.05)")
+      val qs = SketchChecks.percentileRanks(
+        ev, "event_type", "value", accuracy = 1000, ps = Seq(0.5, 0.9))
+      qs.foreach { q =>
+        println(f"[sketch-cert] approxq ${q.group}%-8s p=${q.p} v=${q.value}%.4f " +
+          f"n=${q.n} rank_lt=${q.lt} rank_le=${q.le} ok=${q.ok(0.001)}")
+      }
+      println(f"[sketch-cert] dir=$dir ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      assert(d.relErr <= 0.15, s"approx_count_distinct outside 3-sigma at $dir")
+      assert(h.merged == h.global, s"HLL merge not exact at $dir")
+      assert(h.relErr <= 0.05, s"HLL estimate outside 3-sigma at $dir")
+      assert(qs.nonEmpty && qs.forall(_.ok(0.001)),
+        s"approx_percentile rank guarantee violated at $dir")
     } else {
       (1 to 2).foreach { round =>
         names.foreach { n =>

@@ -56,4 +56,23 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(merged - exact).toDouble / exact < 0.05,
       s"HLL estimate $merged vs exact $exact")
   }
+
+  test("sketch contracts hold through the shared SketchChecks (--sketch-cert path)") {
+    // the SAME code `Probe --sketch-cert` runs at ScaleUp slices — pinned
+    // here at a driver SF so the certificate and the spec cannot drift
+    import graft.functions.SketchChecks
+    val ev = Tables.events(spark, dir)
+    val d = SketchChecks.approxDistinct(ev, "user_id")
+    assert(d.relErr <= 0.15, s"approxd rel_err ${d.relErr}")
+    val h = SketchChecks.hllMerge(ev, "user_id", col("ts").cast("date"))
+    assert(h.merged === h.global, s"HLL merge ${h.merged} vs global ${h.global}")
+    assert(h.relErr <= 0.05, s"hll rel_err ${h.relErr}")
+    // approx_percentile's ACTUAL contract: returned value's rank within
+    // eps·n of target (eps = 1/accuracy) — distribution-independent, so
+    // it transfers unchanged to any ScaleUp slice
+    val qs = SketchChecks.percentileRanks(ev, "event_type", "value", 1000, Seq(0.5, 0.9))
+    assert(qs.nonEmpty)
+    qs.foreach(q => assert(q.ok(0.001),
+      s"${q.group} p=${q.p}: rank [${q.lt},${q.le}] of n=${q.n} misses ±0.001 band"))
+  }
 }

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import graft.{ScratchDirs, Tables, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The stream/batch duality contract behind q_stream_filewin and the
+ * factor-1000 streaming certificate (`Probe --stream-cert`): the hourly
+ * exact-quantity profile computed through the file streaming source (real
+ * multi-batch admission, cross-batch window state) must BIT-equal the
+ * batch plan over the same files — the aggregates are exact integers
+ * (count + cents), so the equality is batching- and order-invariant.
+ * This spec pins the property at sf0.001 through the SAME FileStreams
+ * code the certificate runs at ScaleUp slices.
+ */
+class FileStreamsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("file-source windowed profile bit-equals the batch plan across micro-batches") {
+    // stage as 4 drops, admit 2 per trigger → a real 2-batch replay with
+    // window state carried across the batch boundary
+    val stage = ScratchDirs.dir("graft-filewin-spec")
+    Tables.events(spark, dir).repartition(4).write.mode("overwrite").parquet(stage)
+    val out = ScratchDirs.dir("graft-filewin-spec-out")
+    val (got, batches) = FileStreams.hourlyProfileStream(spark, stage, filesPerTrigger = 2, outDir = out)
+    assert(batches >= 2, s"expected a multi-batch replay, got $batches")
+    val expected = FileStreams.hourlyProfileBatch(spark, stage)
+    assert(got.count() > 0)
+    assert(got.exceptAll(expected).count() === 0L)
+    assert(expected.exceptAll(got).count() === 0L)
+  }
+
+  test("filesPerTrigger must be positive") {
+    intercept[IllegalArgumentException] {
+      FileStreams.hourlyProfileStream(spark, s"$dir/events.parquet", 0, ScratchDirs.dir("x"))
+    }
+  }
+}
