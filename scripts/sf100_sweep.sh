@@ -19,6 +19,14 @@
 #    feed driver-side inside the documented envelope (EventFeed guard);
 #    100M events is far past it. Streaming correctness at scale is carried
 #    by the batch analogs included here plus the sf10 full sweep.
+#    EXCEPTIONS: q_stream_filewin, q_stream_filesrc and q_stream_curate
+#    run the FILE source (no driver materialization — filewin's sink is
+#    distributed foreachBatch parquet; filesrc/curate memory sinks hold
+#    only 5-row/1-row global aggregates; curate's dedup state holds the
+#    5M distinct norms ACROSS EXECUTOR state partitions, ~the exact-dedup
+#    state cost at any scale), so all three join the sweep below;
+#    Probe --stream-cert additionally pins filewin's stream/batch
+#    bit-equality over the slice's full events directory.
 #  - quadratic DuckDB oracles (q_minhash_lsh, q_minhash_lsh_gb, q_neardup,
 #    q_dupgroups, q_dedup_incr, q_dedup_keep, q_embdup, q_editdist,
 #    q_curate, q_windup): the ORACLE side is an exact all-pairs / in-block /
@@ -66,6 +74,11 @@ SUBSET=$SUBSET,q_unpivot,q_upsert,q_weighted,q_window,q_withingroup
 # strict row-compare.
 SUBSET=$SUBSET,q_filter,q_fullouter,q_rangejoin,q_sim,q_udaf,q_tumble
 SUBSET=$SUBSET,q_zorder,q_pipeline,q_hof
+# Sixth session: the file-source streaming queries (see EXCEPTIONS
+# above) — hourly-window aggregate output (~3.6M groups), the 5-row
+# global profile, and the streaming-curation profile (1 row; 5M-key
+# dedup state), strict row-compare.
+SUBSET=$SUBSET,q_stream_filewin,q_stream_filesrc,q_stream_curate
 
 # Digest-mode names: row-preserving 20M-300M-row outputs (full-content
 # order-independent hash compare; see header).

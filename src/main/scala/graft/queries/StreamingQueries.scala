@@ -81,10 +81,16 @@ object StreamingQueries {
     // stateful agg accumulating across the batch boundary (the same
     // transition 4 batches proved, at half the per-batch floor).
     // Complements q_stream_filesink (the exactly-once file SINK).
+    // `total` sums exact integer cents (the Money convention): the
+    // original round(sum(double),4) was the q_salted drift class — green
+    // at driver SFs, divergent once per-group sums reach 1e9 at factor
+    // 1000 (caught by class analysis when this query joined the sf100
+    // sweep; exact cents are order-, batching- and engine-invariant).
     Declared(
       "q_stream_filesrc",
       Some(
-        """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+        """SELECT event_type, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
       )
     ) { (spark, dir) =>
@@ -99,7 +105,8 @@ object StreamingQueries {
           .option("maxFilesPerTrigger", 2)
           .parquet(stage)
           .groupBy("event_type")
-          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+          .agg(count(lit(1)).as("n"),
+            (sum(graft.functions.Money.cents(col("value"))) / 100.0).as("total"))
           .writeStream
           .trigger(Trigger.AvailableNow())
           .outputMode("complete")
