@@ -25,8 +25,11 @@
 #                  published accuracy/mergeability contracts checked
 #                  against exact linear aggregates on the slice, through
 #                  the shared SketchChecks code SketchSpec pins at driver
-#                  SFs (HLL merge exact; HLL++/HLL 3-sigma error bounds;
-#                  GK rank-error guarantee per percentile).
+#                  SFs (HLL union + global each within the 3-sigma bound
+#                  and their HIP-vs-composite estimator split small —
+#                  estimate equality is a plan property, not a sketch
+#                  contract; HLL++ 3-sigma bound; GK rank-error guarantee
+#                  per percentile).
 #
 # Remaining pair-family members are carried by composition: q_dedup_keep /
 # q_dupgroups / q_curate consume the certified pair set through linear set

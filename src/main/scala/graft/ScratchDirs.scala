@@ -23,6 +23,24 @@ object ScratchDirs {
   def dir(prefix: String): String =
     Files.createTempDirectory(root, prefix).toString
 
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Memoized scratch DATASET: `build` runs once per `key` per JVM and the
+    * directory is reused by every later caller with the same key. For the
+    * staged-input pattern (streaming queries re-writing a source table as
+    * N file drops): Verify/Bench run each such query repeatedly in one
+    * JVM, and at rehearsal scales a staged copy is multi-GB — without
+    * memoization each invocation re-writes it. Keys must encode every
+    * input that determines the dataset (source dir, projection, layout). */
+  def cached(key: String)(build: String => Unit): String =
+    built.computeIfAbsent(key, { _ =>
+      // hand the builder a NOT-YET-EXISTING child path: dataset writers
+      // (parquet etc.) refuse an existing directory without overwrite mode
+      val d = dir(key.replaceAll("[^A-Za-z0-9_.-]", "_").take(60)) + "/data"
+      build(d)
+      d
+    })
+
   private def deleteRecursively(p: Path): Unit = {
     try {
       if (Files.isDirectory(p)) {

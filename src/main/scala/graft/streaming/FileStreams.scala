@@ -37,7 +37,7 @@ object FileStreams {
     ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        (sum(Money.cents(col("value"))) / 100.0).as("total"))
+        Money.sumMoney(col("value")).as("total"))
       .select(col("window.start").as("w"), col("event_type"), col("n"), col("total"))
 
   /** Batch side of the duality: the same profile over the same files

@@ -41,20 +41,49 @@ class SketchSpec extends AnyFunSuite {
       s"approx $approx vs exact $exact")
   }
 
-  test("HLL daily-sketch union equals the global sketch exactly (mergeability)") {
+  test("HLL daily-sketch union tracks the global sketch (mergeability)") {
     val ev = Tables.events(spark, dir)
     ev.createOrReplaceTempView("graft_hll_spec")
     val merged = SparkEntry.queries("q_hll")(spark, dir).head().getLong(0)
     val global = spark.sql(
       "SELECT CAST(hll_sketch_estimate(hll_sketch_agg(user_id)) AS BIGINT) FROM graft_hll_spec")
       .head().getLong(0)
-    // sketch merge is associative: per-day sketches unioned must give the
-    // SAME estimate as one global sketch — this is what makes persisted
-    // daily sketches re-aggregable over any date range without rescans
-    assert(merged === global, s"merged $merged vs global $global")
+    // the union is lossless at the REGISTER level; on the estimate
+    // surface the published contract is both build paths landing within
+    // the sketch's accuracy bound — the two estimates can legitimately
+    // differ by the HIP-vs-composite estimator split (the dense-regime
+    // canary below measures it), so equality is not asserted here
     val exact = ev.select("user_id").distinct().count()
     assert(math.abs(merged - exact).toDouble / exact < 0.05,
-      s"HLL estimate $merged vs exact $exact")
+      s"HLL merged estimate $merged vs exact $exact")
+    assert(math.abs(global - exact).toDouble / exact < 0.05,
+      s"HLL global estimate $global vs exact $exact")
+    assert(math.abs(merged - global).toDouble / exact < 0.05,
+      s"estimator-path split: merged $merged vs global $global")
+  }
+
+  test("HLL estimator-path split is real and bounded (dense-regime canary)") {
+    // A directly-built DENSE sketch estimates through the HIP path; a
+    // union result estimates through the composite path — measured here:
+    // 50k distinct >> 2^lgK=4096 slots on a SINGLE partition (so the
+    // "global" agg never union-merges partials) vs a 37-way union gives
+    // merged=51825 vs global=51674 (~0.3% split). This is WHY the
+    // certificates assert the published per-path accuracy bound + a small
+    // split instead of estimate equality: merged==global only holds when
+    // the global side is itself union-built (any multi-partition input),
+    // which is a plan property, not a sketch contract. The canary keeps
+    // the split measured so a Spark/DataSketches upgrade that widens it
+    // past the certificate bound fails here by name first.
+    val df = spark.range(0, 50000, 1, 1).selectExpr("id AS v", "id % 37 AS b")
+    val global = df.agg(hll_sketch_estimate(hll_sketch_agg(col("v"))).cast("long"))
+      .head().getLong(0)
+    val merged = df.groupBy("b").agg(hll_sketch_agg(col("v")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long"))
+      .head().getLong(0)
+    assert(math.abs(global - 50000).toDouble / 50000 <= 0.05, s"global $global")
+    assert(math.abs(merged - 50000).toDouble / 50000 <= 0.05, s"merged $merged")
+    assert(math.abs(merged - global).toDouble / 50000 <= 0.05,
+      s"split beyond certificate bound: merged $merged vs global $global")
   }
 
   test("sketch contracts hold through the shared SketchChecks (--sketch-cert path)") {
@@ -65,8 +94,9 @@ class SketchSpec extends AnyFunSuite {
     val d = SketchChecks.approxDistinct(ev, "user_id")
     assert(d.relErr <= 0.15, s"approxd rel_err ${d.relErr}")
     val h = SketchChecks.hllMerge(ev, "user_id", col("ts").cast("date"))
-    assert(h.merged === h.global, s"HLL merge ${h.merged} vs global ${h.global}")
-    assert(h.relErr <= 0.05, s"hll rel_err ${h.relErr}")
+    assert(h.relErr <= 0.05, s"hll merged rel_err ${h.relErr}")
+    assert(h.globalRelErr <= 0.05, s"hll global rel_err ${h.globalRelErr}")
+    assert(h.splitRel <= 0.05, s"hll estimator-path split ${h.splitRel}")
     // approx_percentile's ACTUAL contract: returned value's rank within
     // eps·n of target (eps = 1/accuracy) — distribution-independent, so
     // it transfers unchanged to any ScaleUp slice
