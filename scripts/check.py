@@ -120,8 +120,18 @@ def digest_compare(con, out_dir, name, oracle_sql):
         o_exprs.append(pair[1])
 
     def digest(src, exprs):
-        cells = ", ".join(f"coalesce(CAST({e} AS VARCHAR), chr(30))"
-                          for e in exprs)
+        # each cell is SELF-DELIMITING (ADVICE r10): under the old plain
+        # concat_ws(chr(31), ...) image, a value containing the separator
+        # could realign the row — ('a\x1f','b') hashed identically to
+        # ('a','\x1fb') — so a spark/oracle diff on text columns could in
+        # principle hash-cancel. 'N' marks NULL (distinct from any value,
+        # including a literal chr(30)); values carry a length prefix, so
+        # no character of the payload can act as a delimiter.
+        cells = ", ".join(
+            f"CASE WHEN CAST({e} AS VARCHAR) IS NULL THEN 'N' "
+            f"ELSE concat('V', CAST(length(CAST({e} AS VARCHAR)) AS VARCHAR),"
+            f" ':', CAST({e} AS VARCHAR)) END"
+            for e in exprs)
         row = con.execute(
             f"SELECT CAST(count(*) AS HUGEINT),"
             f" CAST(coalesce(sum(hash(concat_ws(chr(31), {cells}))), 0) AS HUGEINT)"

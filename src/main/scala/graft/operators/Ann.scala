@@ -377,9 +377,14 @@ object Ann {
     val nShards = math.max(shards,
       ((emb.count() + maxShardRows - 1) / maxShardRows).toInt)
 
+    // cast BEFORE repartition: all three shard paths (topK / buildIndex /
+    // insertIndex) must hash the id as the SAME type — insertIndex hashes
+    // the long-cast union, and Murmur3(int) != Murmur3(long), so a raw
+    // non-long id column here would give the increment a different shard
+    // layout than the build it extends (ADVICE r10)
     val local = emb
+      .select(col(idCol).cast("long").as(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .repartition(nShards, col(idCol))
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val items = it.toArray.sortBy(_._1) // deterministic insertion order
@@ -420,8 +425,10 @@ object Ann {
     val nShards = math.max(shards,
       ((emb.count() + maxShardRows - 1) / maxShardRows).toInt)
     emb
+      // long-cast before repartition — same hash type as nswTopK and
+      // nswInsertIndex, so an increment re-hash reproduces this layout
+      .select(col(idCol).cast("long").as(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .repartition(nShards, col(idCol))
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val items = it.toArray.sortBy(_._1) // deterministic insertion order

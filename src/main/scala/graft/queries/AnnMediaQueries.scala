@@ -281,15 +281,25 @@ object AnnMediaQueries {
     Declared(
       "q_hnsw_incr",
       Some(
-        """WITH c AS (SELECT count(*) AS cnt FROM embeddings)
-          |SELECT cnt AS n, CAST(cnt - (cnt * 9) // 10 AS BIGINT) AS incr_rows,
+        """WITH c AS (SELECT count(*) AS cnt,
+          |                  (max(vec_id) + 1) * 9 // 10 AS cut FROM embeddings)
+          |SELECT cnt AS n,
+          |       (SELECT count(*) FROM embeddings, c WHERE vec_id >= cut) AS incr_rows,
           |       true AS incr_equals_rebuild, true AS query_match
           |FROM c""".stripMargin
       )
     ) { (spark, dir) =>
       val emb = Tables.embeddings(spark, dir)
       val n   = emb.count()
-      val cut = n * 9 / 10
+      // cut by ID SPAN, not row count (ADVICE r10): ScaleUp slices stride
+      // ids by 1e7, so `vec_id < n*9/10` would select only copy 0 there
+      // and the reported incr_rows would not be the appended row count.
+      // floor(0.9·(max_id+1)) splits the actual id space — for dense
+      // 0..n-1 ids it degenerates to the old n*9/10 — and incr_rows below
+      // is the REAL appended count, mirrored exactly by the oracle.
+      val maxId = emb.agg(max(col("vec_id").cast("long"))).first().getLong(0)
+      val cut   = (maxId + 1L) * 9L / 10L
+      val incrN = emb.where(col("vec_id") >= cut).count()
       // pin the FULL corpus's shard count on both paths so the equality
       // is well-defined at every scale (a fresh build sized by the grown
       // corpus must not out-shard the increment path)
@@ -310,7 +320,7 @@ object AnnMediaQueries {
         val fresh = Ann.nswTopK(emb, probeId = 0L, k = 10)
           .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
         import spark.implicits._
-        Seq((n, n - cut, eq, viaIdx == fresh))
+        Seq((n, incrN, eq, viaIdx == fresh))
           .toDF("n", "incr_rows", "incr_equals_rebuild", "query_match")
       } finally {
         updated.unpersist(blocking = false)

@@ -261,33 +261,47 @@ object SqlQueries {
           |                                       ELSE o_custkey END FROM orders)) AS null_poisoned""".stripMargin
       )
     ) { (spark, dir) =>
-      val cust = Tables.customer(spark, dir).where(col("c_custkey").isNotNull)
-      val ord  = Tables.orders(spark, dir)
+      val custAll = Tables.customer(spark, dir)
+      val cust    = custAll.where(col("c_custkey").isNotNull)
+      val ord     = Tables.orders(spark, dir)
       // null-free list: NOT IN ≡ anti join on the distinct keys, minus
       // NULL probes (a NULL x is never TRUE under NOT IN a non-empty list)
       val keys1 = ord.where(col("o_custkey").isNotNull)
         .select(col("o_custkey").as("k1")).distinct()
       val never = cust.join(keys1, col("c_custkey") === col("k1"), "left_anti")
-        .agg(count(lit(1)).as("never_ordered"))
+        .agg(count(lit(1)).as("never_cnt"))
       // poisoned list: anti join against the list's NON-NULL keys, then
       // zero the count when the list contains ANY NULL (one NULL makes
       // NOT IN never TRUE for every probe) — all declarative, so the
       // whole query is one plan with two shuffled LeftAnti joins and
-      // three 1-row broadcast combines
+      // four 1-row broadcast combines
       val caseKey = when(col("o_orderkey") % 100 === 0, lit(null))
         .otherwise(col("o_custkey"))
       val keys2 = ord.select(caseKey.as("k2")).where(col("k2").isNotNull).distinct()
       val pois = cust.join(keys2, col("c_custkey") === col("k2"), "left_anti")
         .agg(count(lit(1)).as("pois_cnt"))
-      // coalesce: max over an EMPTY orders table is NULL, and the standard
-      // says NOT IN an empty list is TRUE for every probe — the poisoned
-      // count must then equal the probe count, not go NULL
-      val hasNull = ord.agg(
+      // list-shape stats for the remaining three-valued edges (coalesce:
+      // aggregates over an EMPTY orders table go NULL): l1_cnt/l2_cnt = 0
+      // means the respective list is EMPTY, where the standard says NOT IN
+      // is TRUE for EVERY probe — NULL probes included (ADVICE r10: the
+      // pre-filtered NULL probes must be added back in exactly that case);
+      // has_null = 1 means one list NULL makes NOT IN never TRUE.
+      val listStats = ord.agg(
+        count(when(col("o_custkey").isNotNull, 1)).as("l1_cnt"),
+        count(lit(1)).as("l2_cnt"),
         coalesce(max(when(col("o_orderkey") % 100 === 0 || col("o_custkey").isNull, 1)
           .otherwise(0)), lit(0)).as("has_null"))
-      never.crossJoin(broadcast(pois)).crossJoin(broadcast(hasNull))
-        .select(col("never_ordered"),
-          (col("pois_cnt") * (lit(1) - col("has_null"))).cast("long").as("null_poisoned"))
+      val nullProbes = custAll.agg(
+        count(when(col("c_custkey").isNull, 1)).as("null_probes"))
+      never.crossJoin(broadcast(pois)).crossJoin(broadcast(listStats))
+        .crossJoin(broadcast(nullProbes))
+        .select(
+          (col("never_cnt") +
+            when(col("l1_cnt") === 0, col("null_probes")).otherwise(lit(0)))
+            .cast("long").as("never_ordered"),
+          when(col("l2_cnt") === 0, col("pois_cnt") + col("null_probes"))
+            .otherwise(col("pois_cnt") * (lit(1) - col("has_null")))
+            .cast("long").as("null_poisoned"))
     },
 
     // Ordered-set aggregates (WITHIN GROUP): listagg with a deterministic
