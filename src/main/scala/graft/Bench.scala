@@ -79,6 +79,47 @@ object Bench {
     else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /**
+   * Fixed-work calibration probe (VERDICT r10 item 3): round 10's box-day
+   * drift was a uniform 1.3-1.5× on untouched queries — beyond the ±25%
+   * envelope — and every cross-round total comparison had to be argued by
+   * hand from per-query ratios. This probe runs the SAME deterministic
+   * work before every timed pass, so any consumer can normalize totals
+   * mechanically: normalized_total = total × (calib_ref / calib_s), with
+   * calib_ref the committed idle-box calibration in BENCH_SUMMARY.json.
+   *
+   * Two components, summed (both must slow down for the normalization to
+   * hold, and box-day drift hits both alike):
+   *  - a single-thread splitmix hash loop (raw CPU speed under current
+   *    contention — no allocation, no I/O, JIT-stable after warmup), and
+   *  - one fixed Spark job (range → xxhash64 → sum): scheduler + codegen
+   *    + 32-thread throughput, the engine path every query rides.
+   * Zero data dependence: no files, no testdata, same work at any SF.
+   */
+  private def calibrate(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, expr, xxhash64}
+    val t0 = System.nanoTime()
+    var h = 0x9e3779b97f4a7c15L
+    var i = 0L
+    while (i < 200000000L) { // ~0.3 s idle; fixed iteration count
+      h += 0x9e3779b97f4a7c15L
+      var z = h
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      h ^= z ^ (z >>> 31)
+      i += 1
+    }
+    // sink the loop result so the JIT cannot eliminate it
+    if (h == 42L) System.err.println("[bench] calib sentinel")
+    // bit_xor, not sum: 2e8 random 64-bit hashes overflow a Long sum
+    // under ANSI; xor folds them without overflow semantics
+    val agg = spark.range(0L, 200000000L)
+      .select(xxhash64(col("id")).as("h"))
+      .agg(expr("bit_xor(h)")).head().getLong(0)
+    if (agg == 42L) System.err.println("[bench] calib sentinel")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir  = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus   = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -136,6 +177,10 @@ object Bench {
     // samples(name) = one wall-clock per pass, pass-interleaved
     val loadStart = loadAvg
     val failures  = scala.collection.mutable.Map.empty[String, Int]
+    // one untimed calibration first: lets JIT/codegen reach steady state so
+    // the timed samples measure the box, not first-call compilation
+    calibrate(spark)
+    val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val samples: Map[String, Seq[Double]] = {
       val tStart = System.nanoTime()
       val runs   = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
@@ -144,6 +189,7 @@ object Bench {
       while (p < passes &&
              (p == 0 ||
               (System.nanoTime() - tStart) / 1e9 + lastPassSec <= budgetSec)) {
+        calibs += calibrate(spark) // fixed work, before EVERY pass
         val tPass = System.nanoTime()
         runs += names.map { name =>
           val fn = SparkEntry.queries(name)
@@ -186,8 +232,13 @@ object Bench {
     // (ADVICE r08: the committed floor couldn't self-certify)
     val contendedJson =
       s""","contended":$contended,"load_ambient":${f3(loadAmbient)}"""
+    // fixed-work calibration: median + per-pass samples. BASELINE.md's
+    // normalization rule divides totals by this before cross-box-day
+    // comparison (normalized_total = total × calib_ref / calib_s).
+    val calibJson =
+      s""","calib_s":${f3(median(calibs.toSeq))},"calib_samples":[${calibs.map(f3).mkString(",")}]"""
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","median":true,"passes":$passesRun,"load":[${f3(loadStart)},${f3(loadEnd)}]$contendedJson$failJson,"queries":$medJson,"samples":$samplesJson,"sf":"$sfDir","cpus":"$cpus"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","median":true,"passes":$passesRun,"load":[${f3(loadStart)},${f3(loadEnd)}]$contendedJson$calibJson$failJson,"queries":$medJson,"samples":$samplesJson,"sf":"$sfDir","cpus":"$cpus"}"""
     // a filtered run must not clobber the committed full-registry record —
     // its total covers only the subset and carries no marker of the filter;
     // a contended run must not clobber the committed idle-box floor
@@ -217,7 +268,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val summaryLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","median":true,"passes":$passesRun,"load":[${f3(loadStart)},${f3(loadEnd)}]$contendedJson$failJson,"queries":$head,"groups":$byGroup,"n_queries":${medians.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","median":true,"passes":$passesRun,"load":[${f3(loadStart)},${f3(loadEnd)}]$contendedJson$calibJson$failJson,"queries":$head,"groups":$byGroup,"n_queries":${medians.size},"sf":"$sfDir"}"""
     // the per-round BENCH_r{N}.json has recorded "parsed": null every round
     // (the driver's own parse of this stdout line never succeeds), so every
     // judge re-derives the totals from a raw log tail — persist the SAME

@@ -95,6 +95,12 @@ object AnnMediaQueries {
       s"(CASE WHEN list_dot_product($vecExpr, ${planeLit(p)}) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Names whose oracle is recorded at RUN time (Verify materializes the
+    * literal-centroid SQL after the query executes), so a cold registry
+    * shows them oracle-less. The doc-count gate (scripts/check_counts.sh)
+    * counts these as oracle-checked, matching the driver's view. */
+  val dynamicOracleNames: Seq[String] = Seq("q_ivf", "q_ivf_idx")
+
   /** `def`, not `val`: q_ivf's oracle is assembled from the model the run
     * records, so the registry must be re-materialized when Verify asks for
     * `SparkEntry.oracleSql` AFTER the query loop (the only evaluation-order
