@@ -30,11 +30,22 @@
 #                  estimate equality is a plan property, not a sketch
 #                  contract; HLL++ 3-sigma bound; GK rank-error guarantee
 #                  per percentile).
+#   --keep-cert    q_dedup_keep keeper set: one anti-join past the
+#                  certified pair set, derived from BOTH pair plans,
+#                  bit-equality.
+#   --incr-cert    q_dedup_incr survivor set: production cross-side
+#                  banding vs the full-corpus bucket-plan pair set
+#                  RESTRICTED to (incoming x existing), bit-equality.
+#   --curate-cert  q_curate flagship chain: STAGE-CHAINED dual-plan
+#                  bit-equality (window-vs-agg exact dedup, join-vs-bucket
+#                  LSH drops, broadcast+count-vs-merge+countDistinct
+#                  contamination, codegen-vs-SQL-text quality/split,
+#                  prefix-sum-vs-window packing, two final agg paths),
+#                  each stage consuming the previous stage's certified
+#                  output.
 #
-# Remaining pair-family members are carried by composition: q_dedup_keep /
-# q_dupgroups / q_curate consume the certified pair set through linear set
-# ops; q_dedup_incr's cross-side banding is the certified banding restricted
-# to (incoming x existing); q_editdist's candidate cut has the PropertySpec
+# Remaining pair-family members carried by composition: q_dupgroups'
+# label set has --cc-cert; q_editdist's candidate cut has the PropertySpec
 # losslessness replay; q_embdup's cosine verification is the certified
 # bucket shape with a different verifier.
 #
@@ -45,11 +56,12 @@ cd "$(dirname "$0")/.."
 DIR="${1:-/tmp/graft-sf100}"
 [ -d "$DIR" ] || { echo "no such dir: $DIR" >&2; exit 2; }
 
-for cert in --lsh-cert --cc-cert --windup-cert --stream-cert --sketch-cert; do
+for cert in --lsh-cert --cc-cert --windup-cert --stream-cert --sketch-cert \
+            --keep-cert --incr-cert --curate-cert; do
   SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" \
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   SPARK_GRAFT_SF_DIR="$DIR" \
     sbt -batch "runMain graft.tools.Probe $cert" 2>&1 |
-    grep -E "\[(lsh|cc|windup|stream|sketch)-cert\]|FAILED" || exit 1
+    grep -E "\[(lsh|cc|windup|stream|sketch|keep|incr|curate)-cert\]|FAILED" || exit 1
 done
 echo "scale certificates: ALL GREEN at $DIR"
