@@ -35,7 +35,16 @@
 #    correctness is carried by the full sf10 sweep (160/160) over the
 #    same generator, plus the factor-1000 pair-family certificates
 #    (scripts/scale_certs.sh: dual-plan bit-equality + labeling
-#    self-checks run directly on this slice). (q_rollhash/q_simhash/q_winnow were initially
+#    self-checks run directly on this slice). Round 11 closed the
+#    family's remaining indirect members with certificates of their
+#    own, all green on this slice: --keep-cert (q_dedup_keep's keeper
+#    set from both pair plans), --incr-cert (q_dedup_incr's survivor
+#    set: cross-side banding vs the restricted full-corpus pair set)
+#    and --curate-cert (q_curate: STAGE-CHAINED dual-plan bit-equality
+#    through all six pipeline stages + the final aggregate). Only
+#    q_windup's oracle-side pair self-join and the exact ground-truth
+#    queries (q_neardup/q_embdup/q_editdist) remain compare-excluded,
+#    each with its own certificate or property replay. (q_rollhash/q_simhash/q_winnow were initially
 #    lumped in here; their oracles are LINEAR per-doc replays — measured
 #    ~2/~25/~25 min at full threads on the 5M-doc slice — so they now
 #    run in DIGEST mode below. Only q_windup's pair self-join stays out.)
