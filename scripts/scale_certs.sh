@@ -30,6 +30,13 @@
 #                  estimate equality is a plan property, not a sketch
 #                  contract; HLL++ 3-sigma bound; GK rank-error guarantee
 #                  per percentile).
+#   --streamjoin-cert  stream-stream JOIN state at scale: the file-source
+#                  attribution join (q_stream_filejoin runs the identical
+#                  FileStreams code against its DuckDB oracle at driver
+#                  SFs) over two admission-capped streams of the slice's
+#                  events directory — cross-batch join state under fully
+#                  time-unordered arrival — must BIT-equal the batch join
+#                  over the same files.
 #   --keep-cert    q_dedup_keep keeper set: one anti-join past the
 #                  certified pair set, derived from BOTH pair plans,
 #                  bit-equality.
@@ -57,11 +64,11 @@ DIR="${1:-/tmp/graft-sf100}"
 [ -d "$DIR" ] || { echo "no such dir: $DIR" >&2; exit 2; }
 
 for cert in --lsh-cert --cc-cert --windup-cert --stream-cert --sketch-cert \
-            --keep-cert --incr-cert --curate-cert; do
+            --streamjoin-cert --keep-cert --incr-cert --curate-cert; do
   SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" \
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   SPARK_GRAFT_SF_DIR="$DIR" \
     sbt -batch "runMain graft.tools.Probe $cert" 2>&1 |
-    grep -E "\[(lsh|cc|windup|stream|sketch|keep|incr|curate)-cert\]|FAILED" || exit 1
+    grep -E "\[(lsh|cc|windup|stream|streamjoin|sketch|keep|incr|curate)-cert\]|FAILED" || exit 1
 done
 echo "scale certificates: ALL GREEN at $DIR"

@@ -88,6 +88,9 @@ SUBSET=$SUBSET,q_zorder,q_pipeline,q_hof
 # global profile, and the streaming-curation profile (1 row; 5M-key
 # dedup state), strict row-compare.
 SUBSET=$SUBSET,q_stream_filewin,q_stream_filesrc,q_stream_curate
+# Round 11: the file-source stream-stream JOIN (cross-batch join state,
+# ~222k attribution pairs at this slice), strict row-compare.
+SUBSET=$SUBSET,q_stream_filejoin
 
 # Digest-mode names: row-preserving 20M-300M-row outputs (full-content
 # order-independent hash compare; see header).

@@ -160,6 +160,43 @@ object StreamingQueries {
       result.orderBy("w", "event_type")
     },
 
+    // File-source STREAM-STREAM JOIN (the at-scale twin of the q_stream_join
+    // replay family): click→purchase attribution within 6 hours over the
+    // user_id % 10 cohort, two file-source streams of the same landing
+    // directory, cross-batch join state, raw pairs appended per micro-batch.
+    // Deliberately NO watermark: the staged drops (and every ScaleUp slice)
+    // interleave event time across files, so arrival is time-unordered and
+    // any finite eviction delay could drop a late partner — the bounded-
+    // replay contract is keep-all-state on the two NARROW cohort sides
+    // (FileStreams.attributionJoinStream scaladoc). Watermarked eviction
+    // stays pinned by the EventFeed replay queries; what this pins is join
+    // state + once-each pair emission under adversarial arrival order. The
+    // oracle is the plain batch join; output carries the raw purchase value
+    // (no arithmetic → bit-identical doubles). Same code runs at factor
+    // 1000 as `Probe --streamjoin-cert`.
+    Declared(
+      "q_stream_filejoin",
+      Some(
+        """WITH e AS (SELECT user_id, ts, event_type, value FROM events
+          |           WHERE user_id % 10 = 0),
+          |c AS (SELECT user_id, ts AS c_ts FROM e WHERE event_type = 'click'),
+          |p AS (SELECT user_id, ts AS p_ts, value FROM e WHERE event_type = 'purchase')
+          |SELECT c.user_id, c.c_ts, p.p_ts, p.value
+          |FROM c JOIN p ON c.user_id = p.user_id
+          | AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL '6 hours'
+          |ORDER BY 1, 2, 3""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val stage = stagedEvents4(spark, dir)
+      val out = graft.ScratchDirs.dir("graft-filejoin-out")
+      val (result, batches) = withStatePartitions(spark, 8) {
+        graft.streaming.FileStreams.attributionJoinStream(
+          spark, stage, filesPerTrigger = 2, outDir = out)
+      }
+      require(batches >= 2, s"q_stream_filejoin expected a multi-batch replay, got $batches")
+      result.orderBy("user_id", "c_ts", "p_ts")
+    },
+
     // STREAMING curation (the flagship batch chain q_curate, re-expressed
     // incrementally): documents land as files, stream through normalize →
     // stateful exact-dedup (dropDuplicates on the normalized text) →

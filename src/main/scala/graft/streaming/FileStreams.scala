@@ -87,4 +87,88 @@ object FileStreams {
     q.awaitTermination()
     (spark.read.parquet(outDir), batches)
   }
+
+  // --- stream-stream join through the file source ---------------------------
+
+  /** Click→purchase attribution pairs — the shared STREAM-STREAM JOIN shape
+    * both plans run: same-user purchases within 6 hours of a click, over
+    * the `user_id % 10 == 0` cohort (the declared subset that keeps the
+    * bounded-replay state small at every scale). Output carries the raw
+    * purchase value untouched (no arithmetic → bit-identical doubles on
+    * both engines). `cl`/`pu` must already be the filtered narrow sides
+    * ([[attributionSides]]) so join STATE holds only (key, ts[, value]). */
+  def attributionJoin(cl: DataFrame, pu: DataFrame): DataFrame =
+    cl.join(pu,
+        col("c_uid") === col("user_id") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("user_id"), col("c_ts"), col("p_ts"), col("value"))
+
+  /** The two narrow join sides from one events frame: clicks (key + ts)
+    * and purchases (key + ts + value), cohort-filtered. Projection happens
+    * BEFORE the join so streaming state rows stay ~3 columns wide. The
+    * click key is renamed `c_uid` so the sides' schemas are fully disjoint
+    * — the batch duality plan derives BOTH sides from one frame, and a
+    * shared attribute would be an ambiguous self-join. */
+  def attributionSides(ev: DataFrame): (DataFrame, DataFrame) = {
+    val cohort = ev.where(col("user_id") % 10 === 0)
+    (cohort.where(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts")),
+      cohort.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value")))
+  }
+
+  /** Batch side of the join duality. */
+  def attributionJoinBatch(spark: SparkSession, eventsPath: String): DataFrame = {
+    val (cl, pu) = attributionSides(Tables.readEvents(spark, eventsPath))
+    attributionJoin(cl, pu)
+  }
+
+  /**
+   * Streaming side: the SAME join over two file-source streams of the same
+   * landing directory, each admission-capped to `filesPerTrigger` — raw
+   * pair rows appended to `outDir` per micro-batch, exactly once each.
+   *
+   * Deliberately NO watermark: ScaleUp slices interleave event time across
+   * files (every part file spans the full range), so arrival order is
+   * fully time-UNORDERED and NO finite watermark delay could evict state
+   * without dropping late-arriving partners — the honest bounded-replay
+   * contract is keep-all-state (inner joins permit this; Spark only
+   * requires watermarks for outer emission/eviction). State stays small by
+   * construction: the two narrow cohort sides, ~4M rows at factor 1000.
+   * Watermarked EVICTION semantics are oracle-checked at driver SFs by the
+   * q_stream_join/outer/fullouter/semijoin replay family; what THIS path
+   * certifies at scale is cross-batch join state + exactly-once pair
+   * emission under adversarial arrival order ([[graft.tools.Probe]]
+   * `--streamjoin-cert`: bit-equality with the batch join).
+   */
+  def attributionJoinStream(
+      spark: SparkSession,
+      eventsPath: String,
+      filesPerTrigger: Int,
+      outDir: String): (DataFrame, Long) = {
+    require(filesPerTrigger > 0, s"filesPerTrigger must be positive: $filesPerTrigger")
+    val schema = spark.read.parquet(eventsPath).schema
+    def src = Tables.normalizeTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(eventsPath))
+    // two INDEPENDENT source instances (`def`): a stream-stream join needs
+    // two streaming relations even when both scan the same landing dir
+    val (cl, _) = attributionSides(src)
+    val (_, pu) = attributionSides(src)
+    @volatile var batches = 0L
+    val q = attributionJoin(cl, pu).writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        df.write.mode("append").parquet(outDir)
+        batches = id + 1
+      }
+      .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-filejoin-ckpt"))
+      .start()
+    q.awaitTermination()
+    (spark.read.parquet(outDir), batches)
+  }
 }

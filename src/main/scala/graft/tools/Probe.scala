@@ -492,6 +492,44 @@ object Probe {
         f"probes=${times.size} ratio=${buildS / serveMed}%.1f")
       assert(times.nonEmpty && serveMed < buildS,
         s"serve path not cheaper than build at $dir — amortization claim broken")
+    } else if (args.headOption.contains("--streamjoin-cert")) {
+      // Stream-stream JOIN scale certificate: the q_stream_join replay
+      // family stops at the sf10 sweep (EventFeed envelope); the at-scale
+      // ingestion twin is the FILE-source attribution join
+      // (q_stream_filejoin runs the IDENTICAL FileStreams code against its
+      // DuckDB oracle at driver SFs). Here it joins two admission-capped
+      // file streams of the slice's events directory — cross-batch JOIN
+      // state under fully time-unordered arrival (every part file spans
+      // the whole event-time range) — and the witness is BIT-equality of
+      // the emitted pair set with the batch join over the same files: a
+      // dropped partner, a duplicated emission, or a state-eviction bug
+      // each flips a row. Completes the stateful-shape coverage at factor
+      // 1000: windows (--stream-cert), dedup state (q_stream_curate in
+      // the sf100 sweep), and now join state.
+      import graft.streaming.FileStreams
+      val t0 = System.nanoTime()
+      val evPath = s"$dir/events.parquet"
+      val p = java.nio.file.Paths.get(evPath)
+      val nFiles =
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.filter(f => f.toString.endsWith(".parquet")).count() finally s.close()
+        } else 1L
+      // ~8 micro-batches: more batch boundaries = more cross-batch matches
+      val fpt = math.max(1L, (nFiles + 7) / 8).toInt
+      val out = graft.ScratchDirs.dir("graft-streamjoincert")
+      val (got, batches) = FileStreams.attributionJoinStream(spark, evPath, fpt, out)
+      val expected = FileStreams.attributionJoinBatch(spark, evPath).cache()
+      val gotC = got.cache()
+      val nGot = gotC.count(); val nExp = expected.count()
+      val gotOnly = gotC.exceptAll(expected).count()
+      val expOnly = expected.exceptAll(gotC).count()
+      println(f"[streamjoin-cert] dir=$dir files=$nFiles batches=$batches " +
+        f"stream_pairs=$nGot batch_pairs=$nExp got_only=$gotOnly " +
+        f"exp_only=$expOnly ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      assert(nGot > 0 && gotOnly == 0L && expOnly == 0L &&
+        (nFiles < 2 || batches >= 2),
+        s"stream-stream join duality certificate FAILED at $dir")
     } else if (args.headOption.contains("--sketch-cert")) {
       // Rows-only sketch scale certificate: q_approxd / q_hll / q_approxq
       // have no SQL-portable oracle at ANY scale (engine-specific binary
