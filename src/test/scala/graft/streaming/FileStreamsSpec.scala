@@ -37,4 +37,21 @@ class FileStreamsSpec extends AnyFunSuite {
       FileStreams.hourlyProfileStream(spark, s"$dir/events.parquet", 0, ScratchDirs.dir("x"))
     }
   }
+
+  test("file-source stream-stream join emits exactly the batch join's pairs") {
+    // the q_stream_filejoin / --streamjoin-cert duality at sf0.001: stage
+    // as 4 drops, admit 1 per trigger → 4 batches, so some attribution
+    // pairs can only materialize from CROSS-BATCH join state (clicks and
+    // purchases land via repartition(4)'s row-hash spray — time-unordered
+    // by construction, the adversarial arrival order the certificate runs)
+    val stage = ScratchDirs.dir("graft-filejoin-spec")
+    Tables.events(spark, dir).repartition(4).write.mode("overwrite").parquet(stage)
+    val out = ScratchDirs.dir("graft-filejoin-spec-out")
+    val (got, batches) = FileStreams.attributionJoinStream(spark, stage, filesPerTrigger = 1, outDir = out)
+    assert(batches >= 2, s"expected a multi-batch replay, got $batches")
+    val expected = FileStreams.attributionJoinBatch(spark, stage)
+    assert(got.count() > 0) // sf0.001 yields 5 pairs — non-vacuous
+    assert(got.exceptAll(expected).count() === 0L)
+    assert(expected.exceptAll(got).count() === 0L)
+  }
 }
