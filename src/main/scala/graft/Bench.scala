@@ -28,11 +28,13 @@ import org.apache.spark.sql.SparkSession
  * BENCH_SUMMARY.json so the parsed totals are a committed artifact, not a
  * log-tail re-derivation.
  *
- * LOAD GATE: if the 1-min load average sampled BEFORE the session spins up
- * exceeds SPARK_GRAFT_BENCH_MAX_LOAD (default 1.0), the run is marked
- * `"contended": true` and its full record goes to BENCH_FULL_CONTENDED.json
- * — BENCH_FULL.json is only ever overwritten by idle-box runs, so the
- * committed artifact is always the floor, not whatever ran last.
+ * LOAD GATE: if the ambient load sampled BEFORE the session spins up —
+ * min(1-min, 5-min) loadavg, so this process's own JVM-startup burst
+ * cannot self-flag an idle box — exceeds SPARK_GRAFT_BENCH_MAX_LOAD
+ * (default 1.0), the run is marked `"contended": true` and its full
+ * record goes to BENCH_FULL_CONTENDED.json — BENCH_FULL.json is only
+ * ever overwritten by idle-box runs, so the committed artifact is always
+ * the floor, not whatever ran last.
  *
  * Before timing, every query runs once against sf0.001 (when present):
  * this warms JVM/JIT, Parquet footer readers, and whole-stage codegen
@@ -70,6 +72,23 @@ object Bench {
     * 3-5 each burned budget re-litigating load-skewed totals). */
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Ambient-load estimator for the contention gate: min(1-min, 5-min)
+    * loadavg. The 1-min figure alone false-flags idle boxes — THIS
+    * process's sbt/JVM startup burst (classloading across 32 cores)
+    * lands in the 1-min average before main() samples it (a round-11 run
+    * on a 0.13-load box sampled 2.32 and self-diverted to the contended
+    * slot). A genuinely busy box has BOTH windows high, so the min keeps
+    * the gate's intent while ignoring our own just-started burst; falls
+    * back to the 1-min MXBean value when /proc/loadavg is unreadable. */
+  private def ambientLoad: Double = {
+    val one = loadAvg
+    try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim.split("\\s+")
+      math.min(one, parts(1).toDouble)
+    } catch { case _: Throwable => one }
+  }
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -133,7 +152,7 @@ object Bench {
     // band was 129–136 s, and every judge had to re-derive that from
     // BASELINE.md prose). Contended medians still land in
     // BENCH_FULL_CONTENDED.json so no measurement is lost.
-    val loadAmbient = loadAvg
+    val loadAmbient = ambientLoad
     val maxLoad     = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0").toDouble
     val contended   = loadAmbient > maxLoad
     val spark = GraftSession
