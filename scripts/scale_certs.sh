@@ -50,6 +50,14 @@
 #                  prefix-sum-vs-window packing, two final agg paths),
 #                  each stage consuming the previous stage's certified
 #                  output.
+#   --semdedup-cert  q_semdedup at SemDeDup's published scale regime
+#                  (c ∝ n, the literal-centroid oracle replay is out of
+#                  envelope): assignment duality at c=64 (inline-
+#                  expression plan vs broadcast-model-frame join plan,
+#                  bit-equality over (vec_id, cid)) + the keep-first drop
+#                  set at c=n/512 from the production cluster-local LEFT
+#                  SEMI plan vs a typed flatMapGroups per-cell pair scan
+#                  (no Catalyst join), bit-equality.
 #
 # Remaining pair-family members carried by composition: q_dupgroups'
 # label set has --cc-cert; q_editdist's candidate cut has the PropertySpec
@@ -64,11 +72,12 @@ DIR="${1:-/tmp/graft-sf100}"
 [ -d "$DIR" ] || { echo "no such dir: $DIR" >&2; exit 2; }
 
 for cert in --lsh-cert --cc-cert --windup-cert --stream-cert --sketch-cert \
-            --streamjoin-cert --keep-cert --incr-cert --curate-cert; do
+            --streamjoin-cert --keep-cert --incr-cert --curate-cert \
+            --semdedup-cert; do
   SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" \
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   SPARK_GRAFT_SF_DIR="$DIR" \
     sbt -batch "runMain graft.tools.Probe $cert" 2>&1 |
-    grep -E "\[(lsh|cc|windup|stream|streamjoin|sketch|keep|incr|curate)-cert\]|FAILED" || exit 1
+    grep -E "\[(lsh|cc|windup|stream|streamjoin|sketch|keep|incr|curate|semdedup)-cert\]|FAILED" || exit 1
 done
 echo "scale certificates: ALL GREEN at $DIR"

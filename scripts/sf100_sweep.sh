@@ -44,7 +44,11 @@
 #    through all six pipeline stages + the final aggregate). Only
 #    q_windup's oracle-side pair self-join and the exact ground-truth
 #    queries (q_neardup/q_embdup/q_editdist) remain compare-excluded,
-#    each with its own certificate or property replay. (q_rollhash/q_simhash/q_winnow were initially
+#    each with its own certificate or property replay. q_semdedup joins
+#    this class in round 11: its literal-centroid oracle replay is
+#    quadratic-in-cell on the 2M-vector slice; --semdedup-cert carries
+#    it (assignment duality at c=64 + dual-plan drop set at c=n/512,
+#    SemDeDup's published c ∝ n regime). (q_rollhash/q_simhash/q_winnow were initially
 #    lumped in here; their oracles are LINEAR per-doc replays — measured
 #    ~2/~25/~25 min at full threads on the 5M-doc slice — so they now
 #    run in DIGEST mode below. Only q_windup's pair self-join stays out.)
@@ -91,6 +95,10 @@ SUBSET=$SUBSET,q_stream_filewin,q_stream_filesrc,q_stream_curate
 # Round 11: the file-source stream-stream JOIN (cross-batch join state,
 # ~222k attribution pairs at this slice), strict row-compare.
 SUBSET=$SUBSET,q_stream_filejoin
+# Round 11: the corpus-LM rare-bigram quality filter (bigram-keyed LM
+# build + membership join over ~0.5B bigram occurrences; 5-row output),
+# strict row-compare.
+SUBSET=$SUBSET,q_raregram
 
 # Digest-mode names: row-preserving 20M-300M-row outputs (full-content
 # order-independent hash compare; see header).

@@ -138,7 +138,11 @@ object Ann {
           .collect()
           .map(_.getSeq[Double](0).toArray)
       for (_ <- 1 to iters) {
-        val means = assignCentroid(train, centroids, vecCol)
+        // large-c regime (SemDeDup's c ∝ n): the broadcast-model-frame
+        // join assignment — c inline distance expressions stop being
+        // codegen-viable in the thousands; bit-identical by the
+        // semAssigned contract, so small-c fits are unchanged
+        val means = semAssigned(train, centroids, idCol, vecCol)
           .select(col("cid"), posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
           .groupBy("cid", "dim")
           .agg(avg("x").as("m"))
@@ -569,6 +573,109 @@ object Ann {
       .select(col(vecCol).cast("array<double>")).take(1).headOption
       .getOrElse(missingProbe(probeId, idCol))
       .getSeq[Double](0).toArray
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540, public): cluster the embedding space with the
+   * deterministic IVF quantizer ([[ivfFit]]), generate candidate pairs
+   * ONLY within each cluster (cosine ≥ `tau`), and drop the higher-id
+   * member of every pair — the keep-first rule the text near-dup family
+   * uses. The point vs q_embdup's exact all-pairs: candidates are
+   * cluster-LOCAL, so pair work is n·(n/c)/2 instead of n²/2, and with c
+   * grown ∝ n (the paper's configuration — cluster size held roughly
+   * constant) the pair stage is LINEAR in corpus size, each cluster a
+   * bounded local join task. Cross-cluster near-dups are missed BY the
+   * algorithm's published contract — approximation lives in candidate
+   * generation, never in the cosine or the keep rule.
+   *
+   * Returns the dropped ids as `(cid, vb)`. The drop decision is an
+   * EXISTS — "some smaller-id in-cell near-dup" — so the plan is a
+   * LEFT SEMI self-join on the cell key with the cosine threshold as the
+   * join predicate: the probe row stops at its FIRST qualifying partner
+   * and no pair set is ever materialized. On a corpus with heavy exact
+   * duplication (every ScaleUp slice: factor× identical copies) the
+   * pair-then-distinct formulation would shuffle ~n·(copies)² pair rows
+   * only to collapse them; the semi join emits each dropped id once.
+   */
+  def semDedupDropped(
+      emb: DataFrame, centroids: Array[Array[Double]], tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val asg = semAssigned(emb, centroids, idCol, vecCol)
+    val a = asg.select(col("cid").as("cida"), col(idCol).as("va"), col(vecCol).as("ea"))
+    val b = asg.select(col("cid"), col(idCol).as("vb"), col(vecCol).as("eb"))
+    b.join(a,
+        col("cid") === col("cida") && col("va") < col("vb") &&
+          Similarity.cosineSimilarity(col("ea"), col("eb")) >= tau,
+        "left_semi")
+      .select(col("cid"), col("vb"))
+  }
+
+  /** Cell assignment for the SemDeDup family: the c-inline-expression
+    * plan while c is codegen-viable, the broadcast-model-frame JOIN plan
+    * ([[assignCentroidJoin]]) in the large-c regime SemDeDup actually
+    * runs at (c ∝ n). The two plans score bit-identical distances with
+    * the same tie rule (AnnSpec + `Probe --semdedup-cert` pin it), so the
+    * switch is a physical-plan choice, never a semantic one. */
+  private def semAssigned(
+      emb: DataFrame, centroids: Array[Array[Double]],
+      idCol: String, vecCol: String): DataFrame =
+    if (centroids.length < 128) assignCentroid(emb, centroids, vecCol)
+    else
+      emb.join(
+        assignCentroidJoin(emb,
+          semModelDF(emb.sparkSession, centroids), idCol, vecCol),
+        Seq(idCol))
+
+  /** Per-cluster SemDeDup summary `(cid, n_vecs, n_dropped)` — pins both
+    * the assignment (cluster sizes) and the dedup decision (drop counts)
+    * in one k-row frame; scale-stable output (rows = clusters, not docs).
+    */
+  def semDedupStats(
+      emb: DataFrame, centroids: Array[Array[Double]], tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val asg = semAssigned(emb, centroids, idCol, vecCol)
+    val per = asg.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+    val dc  = semDedupDropped(emb, centroids, tau, idCol, vecCol)
+      .groupBy("cid").agg(count(lit(1)).as("n_dropped"))
+    per.join(dc, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_dropped"))
+      .orderBy("cid")
+  }
+
+  /** The quantizer as a broadcastable model frame `(cid, centroid, cc)`
+    * with ‖c‖² precomputed driver-side — the SAME Scala fold
+    * [[assignCentroid]] inlines as a literal, so the two assignment paths
+    * score bit-identical distances. */
+  def semModelDF(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (cv, cid) => (cid, cv.toSeq, cv.map(x => x * x).sum) }.toSeq
+      .toDF("cid", "centroid", "cc")
+  }
+
+  /**
+   * Join-based nearest-centroid assignment — the large-c scale path.
+   * [[assignCentroid]] inlines c distance expressions into one projection,
+   * which stops being codegen-viable in the thousands-of-centroids regime
+   * SemDeDup runs at; this variant broadcasts the model FRAME instead and
+   * reduces the n×c scored rows with a partial-aggregatable
+   * `min(struct(d, cid))` (ties → lowest cid, the same rule as
+   * array_position-of-min over bit-identical distances). Same FLOPs, no
+   * expression-tree blowup, and the model artifact stays a plain frame.
+   * Returns the `(idCol, cid)` mapping only — callers join it back, which
+   * keeps the wide embedding column out of the n×c intermediate.
+   */
+  def assignCentroidJoin(
+      emb: DataFrame, model: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(model))
+      .withColumn("d",
+        lit(-2.0) * Similarity.dotProduct(col(vecCol), col("centroid")) + col("cc"))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col(idCol), col("m.cid").as("cid"))
 
   /**
    * LSH-bucketed approximate top-k: probe bucket + all buckets within

@@ -37,6 +37,9 @@ object AnnMediaQueries {
     * Verify run of either query materializes its own oracle). */
   @volatile private var ivfIdxCentroids: Option[Array[Array[Double]]] = None
 
+  /** q_semdedup's recorded fit (same mechanism). */
+  @volatile private var semCentroids: Option[Array[Array[Double]]] = None
+
   /** DuckDB replay of [[graft.operators.Ann.ivfTopK]] from literal
     * centroids — mirrors each engine-side computation at matching
     * float-op order so the hash check is bit-for-bit:
@@ -50,6 +53,40 @@ object AnnMediaQueries {
   private def ivfOracleSql: Option[String] = ivfCentroids.map(ivfReplaySql)
 
   private def ivfIdxOracleSql: Option[String] = ivfIdxCentroids.map(ivfReplaySql)
+
+  /** DuckDB replay of [[graft.operators.Ann.semDedupStats]] from literal
+    * centroids: the same asg CTE as the IVF replay (bit-identical
+    * distance fold, ties → lowest cid), then the cluster-LOCAL pair join
+    * with the raw `list_cosine_similarity ≥ τ` threshold (the q_embdup
+    * contract: both engines' cosine is the identical left-to-right double
+    * fold, so the ≥ decision agrees bit-for-bit), keep-first drops, and
+    * the per-cluster summary. The oracle does the SAME cluster-local work
+    * as the engine — linear × cluster size, not all-pairs. */
+  private def semOracleSql: Option[String] = semCentroids.map { cs =>
+    val values = cs.zipWithIndex.map { case (cv, cid) =>
+      val cc = cv.map(x => x * x).sum
+      s"($cid, CAST(${planeLit(cv.toSeq)} AS DOUBLE[]), ${cc.toString})"
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c(cid, cv, cc) AS (VALUES
+       |  $values),
+       |asg AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cc, c.cid) AS rn
+       |    FROM e CROSS JOIN c)
+       |  WHERE rn = 1),
+       |drp AS (
+       |  SELECT DISTINCT a.cid, b.vec_id AS vb
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.v, b.v) >= 0.45),
+       |per AS (SELECT cid, count(*) AS n_vecs FROM asg GROUP BY cid),
+       |dc AS (SELECT cid, count(*) AS n_dropped FROM drp GROUP BY cid)
+       |SELECT per.cid, CAST(per.n_vecs AS BIGINT) AS n_vecs,
+       |       CAST(coalesce(dc.n_dropped, 0) AS BIGINT) AS n_dropped
+       |FROM per LEFT JOIN dc USING (cid) ORDER BY per.cid""".stripMargin
+  }
 
   private def ivfReplaySql(cs: Array[Array[Double]]): String = {
     val values = cs.zipWithIndex.map { case (cv, cid) =>
@@ -99,7 +136,7 @@ object AnnMediaQueries {
     * literal-centroid SQL after the query executes), so a cold registry
     * shows them oracle-less. The doc-count gate (scripts/check_counts.sh)
     * counts these as oracle-checked, matching the driver's view. */
-  val dynamicOracleNames: Seq[String] = Seq("q_ivf", "q_ivf_idx")
+  val dynamicOracleNames: Seq[String] = Seq("q_ivf", "q_ivf_idx", "q_semdedup")
 
   /** `def`, not `val`: q_ivf's oracle is assembled from the model the run
     * records, so the registry must be re-materialized when Verify asks for
@@ -196,6 +233,25 @@ object AnnMediaQueries {
       val model = Ann.centroidsFromDF(spark.read.parquet(s"$out/model"))
       Ann.ivfQueryIndex(spark.read.parquet(s"$out/cells"), model,
         Ann.probeVector(emb, 0L), k = 10, nprobe = 4)
+    },
+
+    // SemDeDup semantic dedup (Abbas et al. 2023): deterministic k-means
+    // clustering of the embedding space, near-dup pairs generated ONLY
+    // within clusters (cosine >= 0.45, the q_embdup corpus threshold),
+    // keep-first drop of the higher id. The run records its fitted
+    // centroids; the oracle replays assignment + cluster-local pairs +
+    // drops from the literals bit-for-bit. Scale: pair work is
+    // n·(n/c)/2, and with c grown ∝ n (the paper's regime — cluster size
+    // held constant; assignment then via Ann.assignCentroidJoin's
+    // broadcast model frame instead of c inline expressions) the stage is
+    // LINEAR in corpus size — the at-scale answer to q_embdup's honest
+    // but quadratic exact all-pairs. The two assignment plans' bit-
+    // equality at factor 1000 is certified by `Probe --semdedup-cert`.
+    Declared("q_semdedup", semOracleSql) { (spark, dir) =>
+      val emb       = Tables.embeddings(spark, dir)
+      val centroids = Ann.ivfFit(emb, c = 16, iters = 3)
+      semCentroids = Some(centroids)
+      Ann.semDedupStats(emb, centroids, tau = 0.45)
     },
 
     // Graph-ANN top-10: shard-local navigable-small-world graphs (the

@@ -265,6 +265,67 @@ object TextQueries {
         .limit(50)
     },
 
+    // corpus-LM rare-bigram quality filter (the CCNet-style shape, Wenzek
+    // et al. 2020: score each document against statistics of the corpus
+    // itself, flag the ones the LM finds improbable) — kept exact-integer
+    // instead of float perplexity so the cross-engine check is bit-free:
+    // a bigram is RARE when its corpus frequency sits below a TENTH of
+    // the mean frequency (cf·vocab·10 <= total — scale-FREE: vocab is
+    // bounded while total grows with the corpus, so the cutoff tracks
+    // corpus size instead of going vacuous the way any absolute cf
+    // threshold does), and a doc is FLAGGED when >2% of its bigrams are
+    // rare (integer cross-multiplication, no ratio float). Plan: one
+    // bigram-keyed partial-agg shuffle builds the LM table (map-side
+    // combine collapses per-partition repeats), a 2-long-column 1-row
+    // stats frame broadcasts, and ONE bigram-keyed membership join scores
+    // every occurrence against the LM — the honest CCNet shape; at 100 TB
+    // the LM table shards on the same uniform bigram key (AQE broadcasts
+    // it while the trained vocab still fits). Output per-lang (5 rows at
+    // any scale): doc counts, flag counts, and the exact bigram/rare sums
+    // that pin every join row.
+    Declared(
+      "q_raregram",
+      Some(
+        """WITH b AS (
+          |  SELECT doc_id, lang,
+          |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+          |  FROM (SELECT doc_id, lang, regexp_split_to_array(text, ' +') AS w FROM documents)
+          |  WHERE len(w) >= 2),
+          |cf AS (SELECT bigram, count(*) AS cf FROM b GROUP BY bigram),
+          |stats AS (SELECT count(*) AS vocab, CAST(sum(cf) AS BIGINT) AS total FROM cf),
+          |per AS (
+          |  SELECT b.doc_id, b.lang, count(*) AS bigrams,
+          |         sum(CASE WHEN cf.cf * stats.vocab * 10 <= stats.total THEN 1 ELSE 0 END) AS rare
+          |  FROM b JOIN cf USING (bigram) CROSS JOIN stats
+          |  GROUP BY 1, 2)
+          |SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+          |       CAST(sum(CASE WHEN rare * 50 > bigrams THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+          |       CAST(sum(bigrams) AS BIGINT) AS bigrams,
+          |       CAST(sum(rare) AS BIGINT) AS rare_bigrams
+          |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val bi = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " +").as("w"))
+        .where(size(col("w")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+            .as("bigram"))
+      val cf    = bi.groupBy("bigram").agg(count(lit(1)).as("cf"))
+      val stats = cf.agg(count(lit(1)).as("vocab"), sum("cf").as("total"))
+      val per = bi.join(cf, "bigram").crossJoin(broadcast(stats))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("bigrams"),
+          sum(when(col("cf") * col("vocab") * 10 <= col("total"), 1L).otherwise(0L)).as("rare"))
+      per.groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("rare") * 50 > col("bigrams"), 1L).otherwise(0L)).as("flagged_docs"),
+          sum("bigrams").as("bigrams"),
+          sum("rare").as("rare_bigrams"))
+        .orderBy("lang")
+    },
+
     // token-distribution Shannon entropy per document — the information-
     // density quality signal (low entropy = templated/repetitive text;
     // complements q_repetition's distinct-ratio rule). Token counts via

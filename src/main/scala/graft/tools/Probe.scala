@@ -453,6 +453,84 @@ object Probe {
         f"prod_only=$prodOnly indep_only=$indepOnly ${(System.nanoTime() - t0) / 1e9}%6.1f s")
       assert(nSurv > 0L && nSurv < nIn && prodOnly == 0L && indepOnly == 0L,
         s"incremental-dedup dual-plan certificate FAILED at $dir")
+    } else if (args.headOption.contains("--semdedup-cert")) {
+      // q_semdedup factor-1000 certificate. The registry query runs the
+      // driver-SF parameterization (c=16); SemDeDup's published scale
+      // regime is c ∝ n with cluster size held constant, which the oracle
+      // cannot replay at slice scale (the literal-centroid VALUES replay
+      // is quadratic-in-cell on a 2M-vector corpus). Two independent
+      // equalities on the slice instead:
+      //  1. ASSIGNMENT duality at c=64 over the full corpus: the
+      //     c-inline-expression plan vs the broadcast-model-frame join
+      //     plan — (vec_id, cid) exceptAll both ways (the bit-equality
+      //     the semAssigned switch rests on, at scale);
+      //  2. the DEDUP decision at scale-c (n/512 cells): keep-first drops
+      //     from the production cluster-local LEFT SEMI join plan vs a
+      //     typed flatMapGroups pair scan (no Catalyst join at all — a
+      //     per-cell Scala loop replaying graft_cosine's exact fold
+      //     order: dot/na/nb accumulated in one pass, denom =
+      //     sqrt(na)*sqrt(nb)) — (cid, vb) exceptAll both ways.
+      import org.apache.spark.sql.functions._
+      import graft.functions.Similarity
+      import graft.operators.Ann
+      import graft.Tables
+      val t0 = System.nanoTime()
+      def secs = f"${(System.nanoTime() - t0) / 1e9}%7.1f s"
+      val emb = Tables.embeddings(spark, dir).cache()
+      val n   = emb.count()
+
+      val cs64    = Ann.ivfFit(emb, c = 64, iters = 3)
+      val litAsg  = Ann.assignCentroid(emb, cs64).select("vec_id", "cid")
+      val joinAsg = Ann.assignCentroidJoin(emb, Ann.semModelDF(spark, cs64))
+      val litOnly  = litAsg.exceptAll(joinAsg).count()
+      val joinOnly = joinAsg.exceptAll(litAsg).count()
+      println(f"[semdedup-cert] assign-duality c=64 n=$n " +
+        f"lit_only=$litOnly join_only=$joinOnly $secs")
+      assert(litOnly == 0L && joinOnly == 0L,
+        s"assignment dual-plan certificate FAILED at $dir")
+
+      val c   = math.max(16, (n / 512).toInt)
+      val tau = 0.45
+      val cs  = Ann.ivfFit(emb, c = c, iters = 3)
+      val prod = Ann.semDedupDropped(emb, cs, tau).cache()
+      // independent plan: same assignment values, pairs via a typed
+      // per-cell Scala scan (groupByKey + flatMapGroups)
+      import spark.implicits._
+      val asg = Ann.assignCentroidJoin(emb, Ann.semModelDF(spark, cs))
+        .join(emb, Seq("vec_id"))
+        .select(col("cid"), col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .as[(Int, Long, Array[Double])]
+      val indep = asg.groupByKey(_._1)
+        .flatMapGroups { (cid, it) =>
+          val xs = it.map { case (_, id, v) => (id, v) }.toArray.sortBy(_._1)
+          val out = Array.newBuilder[(Int, Long)]
+          var j = 1
+          while (j < xs.length) {
+            var i = 0; var hit = false
+            while (i < j && !hit) {
+              val a = xs(i)._2; val b = xs(j)._2
+              var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+              while (k < a.length) {
+                val x = a(k); val y = b(k)
+                dot += x * y; na += x * x; nb += y * y; k += 1
+              }
+              val denom = math.sqrt(na) * math.sqrt(nb)
+              if (denom != 0.0 && dot / denom >= tau) hit = true
+              i += 1
+            }
+            if (hit) out += ((cid, xs(j)._1))
+            j += 1
+          }
+          out.result().iterator
+        }
+        .toDF("cid", "vb")
+      val nDrop     = prod.count()
+      val prodOnly2  = prod.exceptAll(indep).count()
+      val indepOnly2 = indep.exceptAll(prod).count()
+      println(f"[semdedup-cert] dedup-duality c=$c tau=$tau n=$n drops=$nDrop " +
+        f"prod_only=$prodOnly2 indep_only=$indepOnly2 $secs")
+      assert(nDrop > 0L && nDrop < n && prodOnly2 == 0L && indepOnly2 == 0L,
+        s"semdedup dual-plan certificate FAILED at $dir")
     } else if (args.headOption.contains("--nsw-serve")) {
       // Build-vs-serve split for the ANN graph path (VERDICT r10 item 5):
       // q_hnsw's bench number deliberately pays the O(n·m·ef·d) graph

@@ -292,4 +292,47 @@ class AnnSpec extends AnyFunSuite {
     assert(candidates < total / 2,
       s"candidates $candidates should prune the $total-row corpus")
   }
+
+  test("semDedup drops planted in-cluster near-dups, keep-first") {
+    import spark.implicits._
+    // 20 planted clusters of 10 near-identical members (cosine ≈ 0.999);
+    // with tau high every member that shares a k-means cell with a
+    // lower-id near-dup must drop, and no cell minimum ever drops
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      c <- 0 until 20
+      center = Array.fill(64)(rnd.nextGaussian().toFloat)
+      m <- 0 until 10
+    } yield ((c * 10 + m).toLong, center.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq)
+    val emb = rows.toDF("vec_id", "embedding")
+
+    val centroids = Ann.ivfFit(emb, c = 16, iters = 3)
+    val stats = Ann.semDedupStats(emb, centroids, tau = 0.99).collect()
+    assert(stats.map(_.getLong(1)).sum === 200L, "cluster sizes must partition the corpus")
+    val dropped = stats.map(_.getLong(2)).sum
+    // 20 planted groups over 16 cells: at least one cell holds a full
+    // planted group, so drops are substantial; keepers >= one per cell
+    assert(dropped >= 150L && dropped <= 200L - 16L, s"dropped $dropped")
+
+    // keep-first: the minimum id of every k-means cell never drops
+    val asg = Ann.assignCentroid(emb, centroids)
+      .select("vec_id", "cid").as[(Long, Int)].collect()
+    val cellMin = asg.groupBy(_._2).map { case (_, xs) => xs.map(_._1).min }.toSet
+    val droppedIds = Ann.semDedupDropped(emb, centroids, tau = 0.99)
+      .select("vb").as[Long].collect().toSet
+    assert(cellMin.intersect(droppedIds).isEmpty, "a cell-minimum id was dropped")
+  }
+
+  test("join-based centroid assignment is bit-identical to the literal-expression plan") {
+    // the --semdedup-cert core assumption, pinned at spec scale: the
+    // broadcast-model-frame plan (large-c scale path) scores the same
+    // distances in the same fold order, so (vec_id, cid) agrees exactly
+    val emb       = Tables.embeddings(spark, dir)
+    val centroids = Ann.ivfFit(emb, c = 16, iters = 3)
+    val litPlan = Ann.assignCentroid(emb, centroids)
+      .select("vec_id", "cid")
+    val joinPlan = Ann.assignCentroidJoin(emb, Ann.semModelDF(spark, centroids))
+    assert(litPlan.exceptAll(joinPlan).count() === 0L)
+    assert(joinPlan.exceptAll(litPlan).count() === 0L)
+  }
 }
