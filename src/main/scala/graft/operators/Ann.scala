@@ -659,23 +659,41 @@ object Ann {
    * [[assignCentroid]] inlines c distance expressions into one projection,
    * which stops being codegen-viable in the thousands-of-centroids regime
    * SemDeDup runs at; this variant broadcasts the model FRAME instead and
-   * reduces the n×c scored rows with a partial-aggregatable
-   * `min(struct(d, cid))` (ties → lowest cid, the same rule as
-   * array_position-of-min over bit-identical distances). Same FLOPs, no
-   * expression-tree blowup, and the model artifact stays a plain frame.
-   * Returns the `(idCol, cid)` mapping only — callers join it back, which
-   * keeps the wide embedding column out of the n×c intermediate.
+   * reduces the n×c scored rows by argmin. Same FLOPs (twice — see
+   * below), no expression-tree blowup, and the model artifact stays a
+   * plain frame. Returns the `(idCol, cid)` mapping only — callers join
+   * it back, which keeps the wide embedding column out of the n×c
+   * intermediate.
+   *
+   * The argmin is TWO hash-aggregable passes, not one `min(struct(d,
+   * cid))`: struct aggregation buffers are not UnsafeRow-mutable, so
+   * Catalyst plans the struct-min as a SortAggregate — a full sort of
+   * the n×c scored rows, which the factor-1000 `--semdedup-cert` run
+   * caught as a disk-filling spill (7.8B rows at 2M×3906). Instead:
+   * pass 1 reduces `min(d)` per id (primitive buffer → hash agg with
+   * map-side partials); pass 2 re-scores with `dmin` joined onto the
+   * n-row side BEFORE the model cross join — so the n×c rows are never
+   * shuffled or sorted, only filtered `d === dmin` (bit-identical by the
+   * shared codegen fold) down to ~n rows, then `min(cid)` resolves
+   * duplicate-centroid ties to the lowest cid, the same rule as
+   * array_position-of-min. Re-computing the distances costs one extra
+   * n×c FLOP sweep — narrow, codegen'd, embarrassingly parallel — which
+   * is the right trade against sorting n×c rows at any scale.
    */
   def assignCentroidJoin(
       emb: DataFrame, model: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    emb.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(model))
-      .withColumn("d",
-        lit(-2.0) * Similarity.dotProduct(col(vecCol), col("centroid")) + col("cc"))
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def scored(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(model))
+        .withColumn("d",
+          lit(-2.0) * Similarity.dotProduct(col(vecCol), col("centroid")) + col("cc"))
+    val mins = scored(emb.select(col(idCol), col(vecCol)))
+      .groupBy(col(idCol)).agg(min("d").as("dmin"))
+    scored(emb.select(col(idCol), col(vecCol)).join(mins, Seq(idCol)))
+      .where(col("d") === col("dmin"))
       .groupBy(col(idCol))
-      .agg(min(struct(col("d"), col("cid"))).as("m"))
-      .select(col(idCol), col("m.cid").as("cid"))
+      .agg(min("cid").as("cid"))
+  }
 
   /**
    * LSH-bucketed approximate top-k: probe bucket + all buckets within

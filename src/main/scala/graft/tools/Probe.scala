@@ -480,8 +480,11 @@ object Probe {
       val n   = emb.count()
 
       val cs64    = Ann.ivfFit(emb, c = 64, iters = 3)
-      val litAsg  = Ann.assignCentroid(emb, cs64).select("vec_id", "cid")
-      val joinAsg = Ann.assignCentroidJoin(emb, Ann.semModelDF(spark, cs64))
+      // cache both 2M-row narrow mappings: each feeds two exceptAll
+      // directions, and the join plan re-scores n×c distances per
+      // evaluation by design
+      val litAsg  = Ann.assignCentroid(emb, cs64).select("vec_id", "cid").cache()
+      val joinAsg = Ann.assignCentroidJoin(emb, Ann.semModelDF(spark, cs64)).cache()
       val litOnly  = litAsg.exceptAll(joinAsg).count()
       val joinOnly = joinAsg.exceptAll(litAsg).count()
       println(f"[semdedup-cert] assign-duality c=64 n=$n " +
@@ -524,6 +527,7 @@ object Probe {
           out.result().iterator
         }
         .toDF("cid", "vb")
+        .cache()
       val nDrop     = prod.count()
       val prodOnly2  = prod.exceptAll(indep).count()
       val indepOnly2 = indep.exceptAll(prod).count()
