@@ -122,11 +122,19 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       fitSample: Int = 4096): Array[Array[Double]] = {
     val n = emb.count()
-    // stride 1 (fitSample ≤ n < 2·fitSample) would "sample" every row
+    // the sample must GROW with c (ADVICE r11): a flat 4096-row cap under
+    // SemDeDup's c ∝ n regime could land below c rows (binomial sampling)
+    // and the init below would silently return fewer than c centroids —
+    // the model shrinks and nothing errors. 32 training points per
+    // centroid keeps the fit bounded (n/16 at c = n/512) while making a
+    // short sample statistically impossible; the require after the init
+    // fails loudly if it happens anyway.
+    val effSample = if (fitSample > 0) math.max(fitSample.toLong, 32L * c) else 0L
+    // stride 1 (effSample ≤ n < 2·effSample) would "sample" every row
     // through a useless predicate — treat it like the under-cap case. The
-    // strided sample size is approximate (~binomial around fitSample), not
+    // strided sample size is approximate (~binomial around effSample), not
     // an exact cut; quantizer fit only needs the order of magnitude.
-    val stride = if (fitSample > 0) n / fitSample else 0L
+    val stride = if (effSample > 0) n / effSample else 0L
     val train =
       (if (stride < 2) emb
        else emb.filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0))
@@ -137,6 +145,10 @@ object Ann {
           .select(col(vecCol).cast("array<double>"))
           .collect()
           .map(_.getSeq[Double](0).toArray)
+      require(centroids.length == c,
+        s"ivfFit(c=$c) drew only ${centroids.length} training points — " +
+          "the corpus (or its sample) is smaller than the requested model; " +
+          "lower c or raise fitSample")
       for (_ <- 1 to iters) {
         // large-c regime (SemDeDup's c ∝ n): the broadcast-model-frame
         // join assignment — c inline distance expressions stop being
@@ -615,16 +627,26 @@ object Ann {
     * ([[assignCentroidJoin]]) in the large-c regime SemDeDup actually
     * runs at (c ∝ n). The two plans score bit-identical distances with
     * the same tie rule (AnnSpec + `Probe --semdedup-cert` pin it), so the
-    * switch is a physical-plan choice, never a semantic one. */
-  private def semAssigned(
+    * switch is a physical-plan choice, never a semantic one.
+    *
+    * NULL-embedding rows are excluded HERE, before either path (ADVICE
+    * r11): [[assignCentroid]] would keep them with a NULL cid while
+    * [[assignCentroidJoin]] silently drops them (null dot → null d →
+    * `d === dmin` never true), so without the shared filter the c=128
+    * plan switch would change semDedupStats cluster counts on any corpus
+    * with a null vector. A null vector has no position in embedding
+    * space — it belongs to no cluster on either path. */
+  private[graft] def semAssigned(
       emb: DataFrame, centroids: Array[Array[Double]],
-      idCol: String, vecCol: String): DataFrame =
-    if (centroids.length < 128) assignCentroid(emb, centroids, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nn = emb.where(col(vecCol).isNotNull)
+    if (centroids.length < 128) assignCentroid(nn, centroids, vecCol)
     else
-      emb.join(
-        assignCentroidJoin(emb,
+      nn.join(
+        assignCentroidJoin(nn,
           semModelDF(emb.sparkSession, centroids), idCol, vecCol),
         Seq(idCol))
+  }
 
   /** Per-cluster SemDeDup summary `(cid, n_vecs, n_dropped)` — pins both
     * the assignment (cluster sizes) and the dedup decision (drop counts)
@@ -679,6 +701,11 @@ object Ann {
    * array_position-of-min. Re-computing the distances costs one extra
    * n×c FLOP sweep — narrow, codegen'd, embarrassingly parallel — which
    * is the right trade against sorting n×c rows at any scale.
+   *
+   * Contract: rows with a NULL `vecCol` emit NO output row (null dot →
+   * null d → the `d === dmin` filter drops them), unlike
+   * [[assignCentroid]]'s NULL-cid row — callers needing parity across
+   * the two plans must pre-filter nulls ([[semAssigned]] does).
    */
   def assignCentroidJoin(
       emb: DataFrame, model: DataFrame,

@@ -40,6 +40,15 @@ object AnnMediaQueries {
   /** q_semdedup's recorded fit (same mechanism). */
   @volatile private var semCentroids: Option[Array[Array[Double]]] = None
 
+  /** q_semdedup's parameters, defined ONCE and interpolated into both the
+    * engine call and the generated oracle SQL (ADVICE r11: a tau literal
+    * hardcoded in the SQL next to a separate tau literal in the call site
+    * turns any single-sided edit into a silently different oracle). Tau
+    * is carried as the string both sides print so the SQL literal is the
+    * exact double the engine compares against. */
+  private val SemTau: Double = 0.45
+  private val SemC: Int      = 16
+
   /** DuckDB replay of [[graft.operators.Ann.ivfTopK]] from literal
     * centroids — mirrors each engine-side computation at matching
     * float-op order so the hash check is bit-for-bit:
@@ -80,7 +89,7 @@ object AnnMediaQueries {
        |drp AS (
        |  SELECT DISTINCT a.cid, b.vec_id AS vb
        |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
-       |  WHERE list_cosine_similarity(a.v, b.v) >= 0.45),
+       |  WHERE list_cosine_similarity(a.v, b.v) >= ${SemTau.toString}),
        |per AS (SELECT cid, count(*) AS n_vecs FROM asg GROUP BY cid),
        |dc AS (SELECT cid, count(*) AS n_dropped FROM drp GROUP BY cid)
        |SELECT per.cid, CAST(per.n_vecs AS BIGINT) AS n_vecs,
@@ -249,9 +258,9 @@ object AnnMediaQueries {
     // equality at factor 1000 is certified by `Probe --semdedup-cert`.
     Declared("q_semdedup", semOracleSql) { (spark, dir) =>
       val emb       = Tables.embeddings(spark, dir)
-      val centroids = Ann.ivfFit(emb, c = 16, iters = 3)
+      val centroids = Ann.ivfFit(emb, c = SemC, iters = 3)
       semCentroids = Some(centroids)
-      Ann.semDedupStats(emb, centroids, tau = 0.45)
+      Ann.semDedupStats(emb, centroids, tau = SemTau)
     },
 
     // Graph-ANN top-10: shard-local navigable-small-world graphs (the

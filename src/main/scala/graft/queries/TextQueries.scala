@@ -270,11 +270,17 @@ object TextQueries {
     // itself, flag the ones the LM finds improbable) — kept exact-integer
     // instead of float perplexity so the cross-engine check is bit-free:
     // a bigram is RARE when its corpus frequency sits below a TENTH of
-    // the mean frequency (cf·vocab·10 <= total — scale-FREE: vocab is
-    // bounded while total grows with the corpus, so the cutoff tracks
-    // corpus size instead of going vacuous the way any absolute cf
-    // threshold does), and a doc is FLAGGED when >2% of its bigrams are
-    // rare (integer cross-multiplication, no ratio float). Plan: one
+    // the mean frequency — stated as cf·vocab·10 ≤ total, but COMPUTED as
+    // cf ≤ total div (vocab·10), the overflow-free form (ADVICE r11: the
+    // product form multiplies two corpus-scale longs — bigram vocab is
+    // vocab² token-pair space, not bounded — and overflows exactly at the
+    // scale the cutoff is for; Spark would wrap silently in non-ANSI mode
+    // while DuckDB raises). The div form is EXACTLY equivalent over
+    // nonnegative longs: cf ≤ ⌊T/V⌋ ⟺ cf·V ≤ T for integer cf, and
+    // vocab·10 itself stays far under 2⁶³. The cutoff is scale-FREE
+    // (tracks mean frequency), so it never goes vacuous the way an
+    // absolute cf threshold does. A doc is FLAGGED when >2% of its
+    // bigrams are rare (integer cross-multiplication, no ratio float). Plan: one
     // bigram-keyed partial-agg shuffle builds the LM table (map-side
     // combine collapses per-partition repeats), a 2-long-column 1-row
     // stats frame broadcasts, and ONE bigram-keyed membership join scores
@@ -295,7 +301,7 @@ object TextQueries {
           |stats AS (SELECT count(*) AS vocab, CAST(sum(cf) AS BIGINT) AS total FROM cf),
           |per AS (
           |  SELECT b.doc_id, b.lang, count(*) AS bigrams,
-          |         sum(CASE WHEN cf.cf * stats.vocab * 10 <= stats.total THEN 1 ELSE 0 END) AS rare
+          |         sum(CASE WHEN cf.cf <= stats.total // (stats.vocab * 10) THEN 1 ELSE 0 END) AS rare
           |  FROM b JOIN cf USING (bigram) CROSS JOIN stats
           |  GROUP BY 1, 2)
           |SELECT lang, CAST(count(*) AS BIGINT) AS docs,
@@ -317,7 +323,7 @@ object TextQueries {
       val per = bi.join(cf, "bigram").crossJoin(broadcast(stats))
         .groupBy("doc_id", "lang")
         .agg(count(lit(1)).as("bigrams"),
-          sum(when(col("cf") * col("vocab") * 10 <= col("total"), 1L).otherwise(0L)).as("rare"))
+          sum(when(col("cf") <= expr("total div (vocab * 10)"), 1L).otherwise(0L)).as("rare"))
       per.groupBy("lang")
         .agg(count(lit(1)).as("docs"),
           sum(when(col("rare") * 50 > col("bigrams"), 1L).otherwise(0L)).as("flagged_docs"),

@@ -535,6 +535,41 @@ object Probe {
         f"prod_only=$prodOnly2 indep_only=$indepOnly2 $secs")
       assert(nDrop > 0L && nDrop < n && prodOnly2 == 0L && indepOnly2 == 0L,
         s"semdedup dual-plan certificate FAILED at $dir")
+
+      // 3. ASSIGNMENT replay at SCALE-c (ADVICE r11): legs 1 and 2 both
+      //    consume assignCentroidJoin's output at c = n/512, so an argmin
+      //    bug specific to the large-c regime (the dmin-join rewrite)
+      //    would be invisible to them. Here a deterministic ~2k-id sample
+      //    is re-assigned DRIVER-SIDE in plain Scala — same fold order as
+      //    the codegen graft_dot (left-to-right, per-element double
+      //    promotion), same d = −2·dot + ‖c‖² with the ‖c‖² Scala fold
+      //    semModelDF precomputes, strict `<` so ties keep the lowest cid
+      //    — and compared exactly against the join plan's mapping.
+      val sampleIds = emb.where(col("vec_id") % 997 === 0)
+        .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val ccs = cs.map(cv => cv.map(x => x * x).sum)
+      val replay = sampleIds.map { case (id, v) =>
+        var bestD = Double.PositiveInfinity; var bestC = -1; var j = 0
+        while (j < cs.length) {
+          val cv = cs(j)
+          var dot = 0.0; var k = 0
+          while (k < v.length) { dot += v(k) * cv(k); k += 1 }
+          val d = -2.0 * dot + ccs(j)
+          if (d < bestD) { bestD = d; bestC = j }
+          j += 1
+        }
+        (id, bestC)
+      }.toMap
+      val joinSample = Ann.assignCentroidJoin(emb.where(col("vec_id") % 997 === 0),
+          Ann.semModelDF(spark, cs))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val mismatches = replay.count { case (id, cid) => joinSample.get(id) != Some(cid) }
+      println(f"[semdedup-cert] scale-c replay c=$c sample=${replay.size} " +
+        f"join_rows=${joinSample.size} mismatches=$mismatches $secs")
+      assert(replay.nonEmpty && replay.size == joinSample.size && mismatches == 0,
+        s"scale-c driver argmin replay FAILED at $dir")
     } else if (args.headOption.contains("--nsw-serve")) {
       // Build-vs-serve split for the ANN graph path (VERDICT r10 item 5):
       // q_hnsw's bench number deliberately pays the O(n·m·ef·d) graph

@@ -323,6 +323,41 @@ class AnnSpec extends AnyFunSuite {
     assert(cellMin.intersect(droppedIds).isEmpty, "a cell-minimum id was dropped")
   }
 
+  test("semAssigned excludes NULL embeddings identically on both plan regimes") {
+    import spark.implicits._
+    // ADVICE r11: assignCentroid keeps a null vector with a NULL cid while
+    // assignCentroidJoin silently drops it, so without the shared filter
+    // the c>=128 plan switch would change cluster counts. Corpus: two
+    // tight planted clusters + ONE null-embedding row. Small-c model = the
+    // two true centers; large-c model = the same two centers plus 128
+    // far-away dummies (distance >> any real row, so every real row still
+    // assigns to cid 0/1 and the two models' shared-cid assignments agree).
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(2)(Array.fill(8)(rnd.nextGaussian()))
+    val rows: Seq[(Long, Option[Seq[Double]])] =
+      (0 until 40).map { i =>
+        val c = i % 2
+        (i.toLong, Some(centers(c).map(x => x + 0.001 * rnd.nextGaussian()).toSeq))
+      } :+ (40L, Option.empty[Seq[Double]])
+    val emb = rows.toDF("vec_id", "embedding")
+
+    val small = centers
+    val big   = centers ++ Array.fill(128)(Array.fill(8)(1e6 + rnd.nextGaussian()))
+    val viaSmall = Ann.semAssigned(emb, small).select("vec_id", "cid")
+    val viaBig   = Ann.semAssigned(emb, big).select("vec_id", "cid")
+    // the null row is on NEITHER side, and the two regimes agree exactly
+    assert(viaSmall.count() === 40L)
+    assert(viaBig.count() === 40L)
+    assert(viaSmall.exceptAll(viaBig).count() === 0L)
+    assert(viaBig.exceptAll(viaSmall).count() === 0L)
+    // and the stats entry point (what q_semdedup runs) partitions only the
+    // non-null rows at both regimes
+    assert(Ann.semDedupStats(emb, small, tau = 0.99)
+      .agg(org.apache.spark.sql.functions.sum("n_vecs")).first().getLong(0) === 40L)
+    assert(Ann.semDedupStats(emb, big, tau = 0.99)
+      .agg(org.apache.spark.sql.functions.sum("n_vecs")).first().getLong(0) === 40L)
+  }
+
   test("join-based centroid assignment is bit-identical to the literal-expression plan") {
     // the --semdedup-cert core assumption, pinned at spec scale: the
     // broadcast-model-frame plan (large-c scale path) scores the same
