@@ -50,6 +50,11 @@
 #                  prefix-sum-vs-window packing, two final agg paths),
 #                  each stage consuming the previous stage's certified
 #                  output.
+#   --substr-cert  q_substrdedup/q_substrdedup_win removal output: the
+#                  production partial-agg min(struct) + hash-join-back
+#                  first-occurrence plan vs the definitional row_number
+#                  window plan, through the shared coverage-cut tail —
+#                  bit-equality of (doc, toks_kept, toks_dropped, fp).
 #   --semdedup-cert  q_semdedup at SemDeDup's published scale regime
 #                  (c ∝ n, the literal-centroid oracle replay is out of
 #                  envelope): assignment duality at c=64 (inline-
@@ -73,11 +78,11 @@ DIR="${1:-/tmp/graft-sf100}"
 
 for cert in --lsh-cert --cc-cert --windup-cert --stream-cert --sketch-cert \
             --streamjoin-cert --keep-cert --incr-cert --curate-cert \
-            --semdedup-cert; do
+            --semdedup-cert --substr-cert; do
   SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" \
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   SPARK_GRAFT_SF_DIR="$DIR" \
     sbt -batch "runMain graft.tools.Probe $cert" 2>&1 |
-    grep -E "\[(lsh|cc|windup|stream|streamjoin|sketch|keep|incr|curate|semdedup)-cert\]|FAILED" || exit 1
+    grep -E "\[(lsh|cc|windup|stream|streamjoin|sketch|keep|incr|curate|semdedup|substr)-cert\]|FAILED" || exit 1
 done
 echo "scale certificates: ALL GREEN at $DIR"

@@ -291,6 +291,103 @@ object Dedup {
       .groupBy("da", "db").agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
 
+  // --- exact-substring dedup with REMOVAL (q_substrdedup) -------------------
+
+  /** `(id, pos, span)` rows: one per k-token SLIDING window of each doc
+    * (stride 1 — overlapping, unlike [[lineSegments]]' disjoint cut), pos
+    * 0-based. Docs shorter than k tokens emit nothing (they have no
+    * k-token span to deduplicate). Narrow generator — tokens ≈ rows. */
+  private def spanRows(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val w = split(col(textCol), " +")
+    docs.select(col(idCol), w.as("w"))
+      .where(size(col("w")) >= k)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(col("w")) - k),
+          s => array_join(slice(col("w"), s + 1, lit(k)), " "))).as(Seq("pos", "span")))
+  }
+
+  /** Shared back half of both substring-dedup plans: aggregate each doc's
+    * duplicate span STARTS (the `__dup` flag is evaluated inside the
+    * aggregate — a filter would be pushed into the agg plan's hash join
+    * and change its keys, the [[lineDedupAgg]] lesson), then cut every
+    * token covered by some duplicated span [s, s+k) and reassemble.
+    * The coverage test is a per-doc HOF (`exists` over the sorted start
+    * list) — O(doc_tokens · doc_dup_spans) per doc, driver-free and
+    * embarrassingly parallel; a doc is its own bound at any corpus size.
+    * Output `(id, toks_kept, toks_dropped, fp)` with fp fingerprinting
+    * the REBUILT text, so an oracle checks the reassembly byte-for-byte
+    * (the [[lineDedup]] output convention, one level down). */
+  private def removeSpans(
+      docs: DataFrame, marked: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val starts = marked.groupBy(idCol)
+      .agg(sort_array(collect_list(when(col("__dup"), col("pos")))).as("__starts"))
+    docs.join(starts, Seq(idCol), "left")
+      .select(col(idCol), split(col(textCol), " +").as("w"),
+        coalesce(col("__starts"), array().cast("array<int>")).as("starts"))
+      .withColumn("kept", filter(sequence(lit(0), size(col("w")) - 1),
+        p => !exists(col("starts"), s => p >= s && p < s + k)))
+      .select(col(idCol),
+        size(col("kept")).cast("long").as("toks_kept"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("toks_dropped"),
+        md5(array_join(transform(col("kept"), p => element_at(col("w"), p + 1)), " "))
+          .as("fp"))
+  }
+
+  /**
+   * Exact-substring dedup WITH REMOVAL (the Lee et al. 2021,
+   * arXiv:2107.06499 capability, at fixed token granularity): every
+   * k-token span that appears more than once corpus-wide keeps only its
+   * FIRST occurrence (min (doc, pos)); every token of a later occurrence
+   * is cut from its document, and the survivors are reassembled in order.
+   * Overlapping duplicated spans union their coverage, so a duplicated
+   * run of any length ≥ k is removed wholesale — including within-doc
+   * self-repetition (the boilerplate loop case q_repetition only scores).
+   * q_windup DETECTS shared spans; this operator removes them.
+   *
+   * This is the definitional WINDOW plan (row_number over the span key —
+   * every copy of a hot span sorts inside one partition): the certificate
+   * witness, not the scale path. Production = [[substrDedupAgg]].
+   */
+  def substrDedup(
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 10): DataFrame = {
+    val segs = spanRows(docs, idCol, textCol, k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("span").orderBy(idCol, "pos")
+    removeSpans(docs,
+      segs.withColumn("__dup", row_number().over(w) > 1), idCol, textCol, k)
+  }
+
+  /**
+   * Skew-robust production plan of [[substrDedup]] — SAME output, same
+   * oracle. First occurrence per span via a partial-aggregatable
+   * `min(struct(id, pos))` (map-side combine collapses each partition's
+   * copies of a hot boilerplate span to ONE candidate row before the
+   * shuffle), joined back on the 64-bit span hash — fixed-width shuffle
+   * keys, and a REAL exchange on the firsts side so AQE's
+   * OptimizeSkewedJoin can split a hot span's partition (the
+   * [[lineDedupAgg]] analysis, verbatim: joining on `span` itself would
+   * reuse the aggregation's partitioning and AQE only splits
+   * ENSURE_REQUIREMENTS exchanges). Hash equality is not span equality,
+   * so exact span equality is part of the `__dup` flag evaluated inside
+   * the downstream aggregate — a collision row contributes NULL to
+   * collect_list and vanishes, never a filter the optimizer could fold
+   * into the join keys.
+   */
+  def substrDedupAgg(
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 10): DataFrame = {
+    val segs = spanRows(docs, idCol, textCol, k).withColumn("__h", xxhash64(col("span")))
+    val firsts = segs.groupBy("span")
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+      .select(xxhash64(col("span")).as("__fh"), col("span").as("__fspan"), col("__first"))
+    val marked = segs.join(firsts, col("__h") === col("__fh"))
+      .withColumn("__dup",
+        col("span") === col("__fspan") &&
+          struct(col(idCol), col("pos")) =!= col("__first"))
+    removeSpans(docs, marked, idCol, textCol, k)
+  }
+
   /**
    * Incremental dedup: near-dup pairs BETWEEN two corpora (`incoming` da ×
    * `existing` db) — the recurring-crawl shape: signature + band both

@@ -49,6 +49,30 @@ object DedupQueries {
       |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos), '')) AS fp
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** DuckDB replay of [[graft.operators.Dedup.substrDedup]]: sliding
+    * 10-token spans, keep-first by (doc_id, pos), covered-position cut,
+    * md5 of the reassembled text. Shared by both plan variants. */
+  private val substrDedupOracleSql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents),
+      |sp AS (SELECT doc_id, pos, array_to_string(w[pos + 1 : pos + 10], ' ') AS span
+      |       FROM (SELECT doc_id, w, unnest(range(0, len(w) - 9)) AS pos
+      |             FROM t WHERE len(w) >= 10)),
+      |r AS (SELECT doc_id, pos,
+      |             row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      |      FROM sp),
+      |st AS (SELECT doc_id, list(pos ORDER BY pos) AS starts
+      |       FROM r WHERE rn > 1 GROUP BY doc_id),
+      |k AS (SELECT t.doc_id, t.w,
+      |             list_filter(range(0, len(t.w)),
+      |               p -> len(list_filter(coalesce(st.starts, []),
+      |                          s -> p >= s AND p < s + 10)) = 0) AS kept
+      |      FROM t LEFT JOIN st USING (doc_id))
+      |SELECT doc_id,
+      |       CAST(len(kept) AS BIGINT) AS toks_kept,
+      |       CAST(len(w) - len(kept) AS BIGINT) AS toks_dropped,
+      |       md5(coalesce(array_to_string(list_transform(kept, p -> w[p + 1]), ' '), '')) AS fp
+      |FROM k ORDER BY doc_id""".stripMargin
+
   val all: Seq[Declared] = Seq(
     // exact n-gram Jaccard near-dup pairs (the small-corpus ground truth)
     Declared("q_neardup", Some(exactPairsSql)) { (spark, dir) =>
@@ -322,6 +346,42 @@ object DedupQueries {
       Some(lineDedupOracleSql)
     ) { (spark, dir) =>
       Dedup.lineDedupAgg(Tables.documents(spark, dir), "doc_id", "text", segTokens = 10)
+        .orderBy("doc_id")
+    },
+
+    // Exact-SUBSTRING dedup with REMOVAL (Lee et al. 2021,
+    // arXiv:2107.06499, at fixed 10-token granularity) — the step past
+    // q_linededup: spans are SLIDING (stride 1), so a duplicated token run
+    // is removed wherever it starts, not only when it lands on a segment
+    // boundary, and within-doc self-repetition is cut too. Every k-token
+    // span duplicated corpus-wide keeps its first (doc, pos) occurrence;
+    // later occurrences' tokens are cut and the doc is reassembled from
+    // the survivors (covered-position union, so overlapping duplicated
+    // spans remove a whole >= k duplicated run). Plan (the production agg
+    // form): narrow span generator (~tokens rows) → ONE span-keyed
+    // partial-agg shuffle for first-occurrence + a fixed-width hash-keyed
+    // join-back (AQE-splittable under a hot boilerplate span — the
+    // q_linededup_agg analysis) → ONE doc-keyed shuffle collecting dup
+    // starts → per-doc HOF coverage cut (embarrassingly parallel). The
+    // oracle replays the whole thing, fingerprint included.
+    Declared(
+      "q_substrdedup",
+      Some(substrDedupOracleSql)
+    ) { (spark, dir) =>
+      Dedup.substrDedupAgg(Tables.documents(spark, dir), "doc_id", "text", k = 10)
+        .orderBy("doc_id")
+    },
+
+    // The SAME removal semantics through the definitional WINDOW plan
+    // (row_number over the span key) — the q_linededup/q_linededup_agg
+    // dual-plan pattern: both plans hash-check against ONE oracle at
+    // driver SFs, and their bit-equality is re-certified at factor 1000
+    // by Probe --substr-cert where the oracle cannot run.
+    Declared(
+      "q_substrdedup_win",
+      Some(substrDedupOracleSql)
+    ) { (spark, dir) =>
+      Dedup.substrDedup(Tables.documents(spark, dir), "doc_id", "text", k = 10)
         .orderBy("doc_id")
     },
 

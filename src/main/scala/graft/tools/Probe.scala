@@ -219,6 +219,31 @@ object Probe {
         f"join_only=$joinOnly gb_only=$gbOnly ${(System.nanoTime() - t0) / 1e9}%6.1f s")
       assert(nJoin > 0 && joinOnly == 0L && gbOnly == 0L,
         s"windup dual-plan certificate FAILED at $dir")
+    } else if (args.headOption.contains("--substr-cert")) {
+      // q_substrdedup factor-1000 certificate: the DuckDB replay carries a
+      // window over every span occurrence (quadratic memory in the hot-span
+      // case) and stops at the sf10 sweep; the at-scale witness is
+      // bit-equality between the two structurally disjoint first-occurrence
+      // plans — the production partial-agg min(struct) + hash-keyed
+      // join-back vs the definitional row_number window — through the
+      // SHARED coverage-cut/reassembly tail. Any disagreement in span
+      // generation, first-occurrence choice, collision handling, or dup
+      // marking flips (toks_kept, toks_dropped, fp) for some doc.
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      import graft.Tables
+      val t0 = System.nanoTime()
+      val docs = Tables.documents(spark, dir)
+      val prod = Dedup.substrDedupAgg(docs, "doc_id", "text").cache()
+      val win  = Dedup.substrDedup(docs, "doc_id", "text").cache()
+      val n = prod.count()
+      val dropped = prod.agg(sum("toks_dropped")).first().getLong(0)
+      val prodOnly = prod.exceptAll(win).count()
+      val winOnly  = win.exceptAll(prod).count()
+      println(f"[substr-cert] dir=$dir docs=$n dropped_tokens=$dropped " +
+        f"prod_only=$prodOnly win_only=$winOnly ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      assert(n > 0L && dropped > 0L && prodOnly == 0L && winOnly == 0L,
+        s"substring-removal dual-plan certificate FAILED at $dir")
     } else if (args.headOption.contains("--stream-cert")) {
       // Streaming scale certificate: the 23 streaming replays stop at the
       // sf10 sweep because the EventFeed harness is driver-materialized by

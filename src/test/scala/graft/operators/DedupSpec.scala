@@ -172,6 +172,43 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("substrDedup: sliding-span keep-first removal, coverage union, both plans agree") {
+    // k=3 spans for readability (production default is 10). Layout:
+    //  doc1 "a b c d e"       — first holder of every span it has
+    //  doc2 "x a b c d y"     — contains doc1's "a b c" (pos1) and
+    //                           "b c d" (pos2): covered positions 1..4
+    //                           → kept "x y" (2 kept, 4 dropped)
+    //  doc3 "p q"             — shorter than k: untouched
+    //  doc4 "m n o m n o"     — within-doc repeat: "m n o" first at pos0,
+    //                           dup at pos3 → positions 3..5 cut → kept
+    //                           "m n o" (3 kept, 3 dropped). Middle spans
+    //                           ("n o m", "o m n") are unique.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d y"),
+      (3L, "p q"),
+      (4L, "m n o m n o")).toDF("doc_id", "text")
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    for (plan <- Seq(Dedup.substrDedup _, Dedup.substrDedupAgg _)) {
+      val out = plan(docs, "doc_id", "text", 3)
+        .orderBy("doc_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      assert(out.map(t => (t._1, t._2, t._3)) ===
+        Seq((1L, 5L, 0L), (2L, 2L, 4L), (3L, 2L, 0L), (4L, 3L, 3L)))
+      assert(out.map(_._4) === Seq(
+        md5hex("a b c d e"), md5hex("x y"), md5hex("p q"), md5hex("m n o")))
+    }
+    // the two plans are bit-identical (the --substr-cert equality, at
+    // spec scale)
+    val a = Dedup.substrDedup(docs, "doc_id", "text", 3)
+    val b = Dedup.substrDedupAgg(docs, "doc_id", "text", 3)
+    assert(a.exceptAll(b).count() === 0L)
+    assert(b.exceptAll(a).count() === 0L)
+  }
+
   test("simhash: equal text equal hash; near-dup pairs have small hamming distance") {
     val df = Seq((1, "the quick brown fox jumps over the lazy dog"),
                  (2, "the quick brown fox jumps over the lazy dog"))
