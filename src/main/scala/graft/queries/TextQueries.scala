@@ -410,6 +410,44 @@ object TextQueries {
         .limit(20)
     },
 
+    // Tokenizer-APPLY (q_bpe's other half): encode every document against
+    // the FIXED BpeTokenizer merge table — per-word sequential merge
+    // passes in rank order, the fixed-depth composition the operand
+    // invariant licenses (see BpeTokenizer scaladoc). Output pins the
+    // whole encoding, not just counts: the fp fingerprints the exact
+    // token SEQUENCE, and the oracle replays the identical fold generated
+    // from the SAME Scala merge table. n_merges = chars − tokens (each
+    // merge shrinks the stream by exactly one). Narrow per-row map —
+    // no shuffle until the presentation sort.
+    Declared(
+      "q_bpe_encode",
+      Some(
+        s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents),
+           |e AS (SELECT doc_id, ws,
+           |             flatten(list_transform(ws, wd -> ${graft.functions.BpeTokenizer.encodeSql("wd")})) AS enc
+           |      FROM w)
+           |SELECT doc_id,
+           |       CAST(len(ws) AS BIGINT) AS n_words,
+           |       CAST(len(enc) AS BIGINT) AS n_bpe_tokens,
+           |       CAST(list_aggregate(list_transform(ws, t -> len(t)), 'sum') - len(enc) AS BIGINT) AS n_merges,
+           |       md5(array_to_string(enc, ' ')) AS fp
+           |FROM e ORDER BY doc_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      import graft.functions.BpeTokenizer
+      val ws = split(col("text"), " +")
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), ws.as("ws"), BpeTokenizer.encodeDoc(col("text")).as("enc"))
+        .select(
+          col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          size(col("enc")).cast("long").as("n_bpe_tokens"),
+          (aggregate(transform(col("ws"), t => length(t).cast("long")),
+            lit(0L), (a, x) => a + x) - size(col("enc"))).cast("long").as("n_merges"),
+          md5(array_join(col("enc"), " ")).as("fp"))
+        .orderBy("doc_id")
+    },
+
     // TF-IDF vocabulary weights: smoothed idf = ln((N+1)/(df+1)) + 1 and
     // the corpus weight Σ_docs (tf/doclen)·idf per term. One wide shuffle
     // on (doc_id, term) for tf, whose doc_id partitioning is reused by the
