@@ -116,6 +116,56 @@ object TextAnalysis {
   def rollingFingerprint(text: Column): Column =
     call_function("graft_rollhash", text)
 
+  // --- hashed n-gram linear classifier (fastText shape) --------------------
+
+  /** Model-based quality scoring, the standard complement to the heuristic
+    * rules above (fastText / DSIR shape): features are HASHED word
+    * unigrams + bigrams, the model is a fixed linear weight vector over
+    * `ClfBuckets` buckets, and the score is the dot product. Everything is
+    * FIXED-POINT integer — hash via the Rabin-Karp `graft_rollhash` fold
+    * both engines replay, weights derived from the bucket by a Knuth
+    * multiplicative formula (the fixed public weight table, stored as a
+    * formula instead of 4096 literals so the oracle needs no literal
+    * blob) — so per-doc scores are EXACT longs at any scale: no float
+    * summation order to reconcile cross-engine. Swapping in trained
+    * weights = replacing [[clfWeight]]'s formula with a broadcast lookup;
+    * the plan shape (narrow per-doc HOF fold, zero shuffles) is identical.
+    */
+  val ClfBuckets: Long = 4096L
+  val ClfMult: Long    = 2654435761L // Knuth multiplicative constant
+  val ClfMod: Long     = 1000003L
+  val ClfShift: Long   = 500001L     // ≈ ClfMod/2: centers weights on 0
+
+  /** Integer weight of one n-gram: hash → bucket → fixed weight. Products
+    * stay ≤ 4095·2654435761 ≈ 1.1e13 — no overflow under ANSI. */
+  def clfWeight(ngram: Column): Column =
+    pmod(pmod(call_function("graft_rollhash", ngram), lit(ClfBuckets)) * lit(ClfMult),
+      lit(ClfMod)) - lit(ClfShift)
+
+  /** Per-document classifier score: Σ weight over unigrams + bigrams, one
+    * codegen-narrow pass, exact Long. Bigram branch is `when`-guarded —
+    * `sequence(1, 0)` counts DOWN, and index 0 would fail ANSI
+    * element_at (the shinglesHof lesson). */
+  def clfScore(text: Column): Column = {
+    val w = tokens(text)
+    val uni = aggregate(transform(w, t => clfWeight(t)), lit(0L), (a, x) => a + x)
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bi = aggregate(transform(bigrams, g => clfWeight(g)), lit(0L), (a, x) => a + x)
+    uni + bi
+  }
+
+  /** DuckDB replay of [[clfWeight]] applied to SQL expression `x` — same
+    * rollhash fold as the q_rollhash oracle, same bucket/weight formula
+    * from the same constants. */
+  def clfWeightSql(x: String): String =
+    s"((list_reduce(list_prepend(7::BIGINT, " +
+      s"list_transform(string_split($x, ''), c -> ascii(c)::BIGINT)), " +
+      s"(a, c) -> (a * 31 + c) % 1000000007) % $ClfBuckets) * $ClfMult) " +
+      s"% $ClfMod - $ClfShift"
+
   // --- PII redaction --------------------------------------------------------
 
   /** Patterns stay in the RE2 ∩ java.util.regex common subset so a DuckDB

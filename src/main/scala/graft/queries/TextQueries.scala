@@ -332,6 +332,45 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // model-based quality classifier (VERDICT r11 item 6): hashed-n-gram
+    // LINEAR scorer — the fastText-shape complement to the heuristic
+    // rules (q_quality/q_repetition/q_raregram). Features = hashed word
+    // unigrams + bigrams, weights = the fixed public vector
+    // TextAnalysis.clfWeight derives per bucket, score = exact-integer
+    // dot product per doc (see the classifier scaladoc for why
+    // fixed-point: no cross-engine float summation order). Per-lang
+    // manifest output (5 rows at any scale): doc counts, flagged
+    // (score > 0) counts, exact score sums. Plan: ONE codegen-narrow
+    // pass over the documents scan (hash + weight + fold all inside the
+    // projection), then a 5-group aggregate — zero joins, zero wide
+    // shuffles; at 100 TB this is scan-bound by construction.
+    Declared(
+      "q_classifier",
+      Some {
+        import graft.functions.TextAnalysis.clfWeightSql
+        s"""WITH d AS (SELECT lang, regexp_split_to_array(text, ' +') AS w FROM documents),
+           |s AS (SELECT lang,
+           |  coalesce(list_aggregate(list_transform(w, t -> ${clfWeightSql("t")}), 'sum'), 0)
+           |  + coalesce(list_aggregate(list_transform(
+           |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+           |      g -> ${clfWeightSql("g")}), 'sum'), 0) AS score
+           |  FROM d)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+           |       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
+           |       CAST(sum(score) AS BIGINT) AS sum_score
+           |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+      }
+    ) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("lang"), TextAnalysis.clfScore(col("text")).as("score"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).as("flagged"),
+          sum("score").as("sum_score"))
+        .orderBy("lang")
+    },
+
     // token-distribution Shannon entropy per document — the information-
     // density quality signal (low entropy = templated/repetitive text;
     // complements q_repetition's distinct-ratio rule). Token counts via

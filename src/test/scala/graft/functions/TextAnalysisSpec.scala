@@ -52,6 +52,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getLong(1) === 4L) // hello | world | 42 | foo
   }
 
+  test("classifier: exact-integer scores, bounded weights, ANSI-safe on short docs") {
+    import spark.implicits._
+    // weights live in [-ClfShift, ClfMod - 1 - ClfShift]
+    val ws = Seq("the", "a", "zz9", "", "x y").toDF("t")
+      .select(TextAnalysis.clfWeight(col("t")).as("w")).as[Long].collect()
+    assert(ws.forall(w =>
+      w >= -TextAnalysis.ClfShift && w <= TextAnalysis.ClfMod - 1 - TextAnalysis.ClfShift))
+    // deterministic: same n-gram, same weight
+    val twice = Seq("the", "the").toDF("t")
+      .select(TextAnalysis.clfWeight(col("t")).as("w")).as[Long].collect()
+    assert(twice(0) === twice(1))
+    // 0- and 1-token docs must not trip ANSI element_at in the bigram
+    // branch; a 2-token doc scores uni(a)+uni(b)+bi("a b") exactly
+    val scores = Seq("", "solo", "a b").toDF("text")
+      .select(TextAnalysis.clfScore(col("text")).as("s")).as[Long].collect()
+    val w1 = Seq(("a")).toDF("t").select(TextAnalysis.clfWeight(col("t"))).as[Long].head()
+    val w2 = Seq(("b")).toDF("t").select(TextAnalysis.clfWeight(col("t"))).as[Long].head()
+    val wb = Seq(("a b")).toDF("t").select(TextAnalysis.clfWeight(col("t"))).as[Long].head()
+    assert(scores(2) === w1 + w2 + wb)
+  }
+
   test("rolling-hash fingerprint matches the Rabin-Karp recurrence") {
     def ref(s: String): Long =
       s.codePoints().toArray.foldLeft(7L)((h, c) => (h * 31 + c) % 1000000007L)
