@@ -76,13 +76,29 @@ cd "$(dirname "$0")/.."
 DIR="${1:-/tmp/graft-sf100}"
 [ -d "$DIR" ] || { echo "no such dir: $DIR" >&2; exit 2; }
 
+# ADVICE r12: grep-for-display must not decide the exit status — an
+# assertion failure's message contains 'FAILED', grep matched it and the
+# loop kept going. Capture the output, fail on sbt's own exit status OR
+# any FAILED marker, and only then print the cert lines.
 for cert in --lsh-cert --cc-cert --windup-cert --stream-cert --sketch-cert \
             --streamjoin-cert --keep-cert --incr-cert --curate-cert \
             --semdedup-cert --substr-cert; do
-  SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" \
-  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-  SPARK_GRAFT_SF_DIR="$DIR" \
-    sbt -batch "runMain graft.tools.Probe $cert" 2>&1 |
-    grep -E "\[(lsh|cc|windup|stream|streamjoin|sketch|keep|incr|curate|semdedup|substr)-cert\]|FAILED" || exit 1
+  out=$(SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" \
+        SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+        SPARK_GRAFT_SF_DIR="$DIR" \
+        sbt -batch "runMain graft.tools.Probe $cert" 2>&1) || {
+    echo "$out" | tail -40
+    echo "scale certificates: $cert FAILED (sbt exit != 0)" >&2
+    exit 1
+  }
+  if grep -qE 'FAILED|Exception|Error:' <<<"$out"; then
+    echo "$out" | grep -E 'FAILED|Exception|Error:' | head -10
+    echo "scale certificates: $cert FAILED (failure marker in output)" >&2
+    exit 1
+  fi
+  grep -E "\[(lsh|cc|windup|stream|streamjoin|sketch|keep|incr|curate|semdedup|substr)-cert\]" <<<"$out" || {
+    echo "scale certificates: $cert produced no cert line" >&2
+    exit 1
+  }
 done
 echo "scale certificates: ALL GREEN at $DIR"

@@ -121,7 +121,12 @@ object Ann {
       emb: DataFrame, c: Int, iters: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
       fitSample: Int = 4096): Array[Array[Double]] = {
-    val n = emb.count()
+    // null-safe init (ADVICE r12): NULL embeddings belong to no cluster —
+    // semAssigned already excludes them from Lloyd iterations, so init and
+    // the count that sizes the stride must see the same null-free frame
+    // (a NULL among the c lowest ids would NPE the init collect below).
+    val nonNull = emb.filter(col(vecCol).isNotNull)
+    val n = nonNull.count()
     // the sample must GROW with c (ADVICE r11): a flat 4096-row cap under
     // SemDeDup's c ∝ n regime could land below c rows (binomial sampling)
     // and the init below would silently return fewer than c centroids —
@@ -136,8 +141,8 @@ object Ann {
     // an exact cut; quantizer fit only needs the order of magnitude.
     val stride = if (effSample > 0) n / effSample else 0L
     val train =
-      (if (stride < 2) emb
-       else emb.filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0))
+      (if (stride < 2) nonNull
+       else nonNull.filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0))
         .persist()
     try {
       var centroids: Array[Array[Double]] =
