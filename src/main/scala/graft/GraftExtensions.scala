@@ -130,6 +130,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException("graft_bloom_contains(key, bloom)")
         }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_encode"),
+      new ExpressionInfo(classOf[graft.expressions.BpeEncodeDoc].getName, "graft_bpe_encode"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        children match {
+          case Seq(text) => graft.expressions.BpeEncodeDoc(text)
+          case _ => throw new IllegalArgumentException("graft_bpe_encode(text)")
+        }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_count"),
+      new ExpressionInfo(classOf[graft.expressions.BpeTokenCount].getName, "graft_bpe_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        children match {
+          case Seq(text) => graft.expressions.BpeTokenCount(text)
+          case _ => throw new IllegalArgumentException("graft_bpe_count(text)")
+        }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountInSet].getName, "graft_count_in"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

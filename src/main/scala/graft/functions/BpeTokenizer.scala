@@ -64,7 +64,13 @@ object BpeTokenizer {
   /** One merge pass: left-to-right, non-overlapping replacement of the
     * adjacent pair (a, b) by a+b — an accumulating fold. try_element_at
     * (NULL on the empty accumulator, which fails the `when` and appends)
-    * keeps the fold ANSI-safe. */
+    * keeps the fold ANSI-safe.
+    *
+    * DEFINITIONAL form only: the fold's accumulator is rebuilt by
+    * `concat(slice(...))` per element (O(len²) per word, interpreted), so
+    * the production path is the codegen expression below — this fold is
+    * kept as the parity witness BpeTokenizerSpec pins the expression
+    * against (the cosine/winnow precedent, SURVEY §4.2). */
   private def mergePass(syms: Column, a: String, b: String): Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, x) =>
@@ -76,11 +82,26 @@ object BpeTokenizer {
   def encode(word: Column): Column =
     Merges.foldLeft(split(word, "")) { case (syms, (a, b)) => mergePass(syms, a, b) }
 
+  /** Definitional HOF document encode — the parity witness for
+    * [[encodeDoc]] (never on the production path). */
+  def encodeDocHof(text: Column): Column =
+    flatten(transform(split(text, " +"), wd => encode(wd)))
+
   /** The whole document's token stream: every word encoded, concatenated
     * in order. Symbols contain no spaces, so joining the stream with a
-    * single space is a lossless serialization of the token SEQUENCE. */
+    * single space is a lossless serialization of the token SEQUENCE.
+    * Production path: the `graft_bpe_encode` codegen expression
+    * ([[graft.expressions.BpeEncode]]), O(len·merges) per doc inside
+    * whole-stage codegen, bit-identical to [[encodeDocHof]]. */
   def encodeDoc(text: Column): Column =
-    flatten(transform(split(text, " +"), wd => encode(wd)))
+    call_function("graft_bpe_encode", text)
+
+  /** Per-document BPE token COUNT without materializing the token array —
+    * what packing/budget stages actually consume (q_pack_bpe). Equals
+    * `size(encodeDoc(text))` by construction (shared walk in
+    * [[graft.expressions.BpeEncode]]). */
+  def tokenCount(text: Column): Column =
+    call_function("graft_bpe_count", text)
 
   /** DuckDB replay of [[encode]] applied to the SQL expression `wd`,
     * generated from the SAME merge table so the two engines share one

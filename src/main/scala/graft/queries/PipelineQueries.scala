@@ -241,9 +241,11 @@ object PipelineQueries {
            |FROM off GROUP BY 1 ORDER BY 1""".stripMargin
       )
     ) { (spark, dir) =>
+      // count-only codegen expression: the packing stage needs per-doc
+      // token COUNTS, not the token arrays — no per-row array alloc
       val toks = Tables.documents(spark, dir)
         .select(col("doc_id"),
-          size(graft.functions.BpeTokenizer.encodeDoc(col("text"))).cast("long").as("n_tokens"))
+          graft.functions.BpeTokenizer.tokenCount(col("text")).cast("long").as("n_tokens"))
       Pack.assignBins(toks, "doc_id", "n_tokens", budget = 2048L)
         .groupBy("bin")
         .agg(

@@ -60,4 +60,71 @@ class BpeTokenizerSpec extends AnyFunSuite {
       known += (a + b)
     }
   }
+
+  // ------------------------------------------------------------------
+  // Codegen-expression parity (VERDICT r12 item 3): graft_bpe_encode /
+  // graft_bpe_count are the production path; the HOF fold is the
+  // definitional witness. Same precedent as cosine/winnow (SURVEY §4.2).
+  // ------------------------------------------------------------------
+
+  private val edgeTexts = Seq(
+    "",                    // empty doc: split("", " +") = [""] → one "" token
+    " ",                   // leading AND trailing empty word → ["", ""]
+    " a b ",               // leading/trailing empties around real words
+    "a  b",                // multi-space run is ONE separator
+    "the quick thing and another stone",
+    "banana and anthems standing in the ingot",
+    "ttht thh er sst",     // left-to-right non-overlapping pass shapes
+    "héllo wörld nappe😀x" // non-ASCII + surrogate pair pass-through
+  )
+
+  test("graft_bpe_encode bit-equals the definitional HOF fold") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+      .unionAll(edgeTexts.toDF("text"))
+    val diff = docs.select(
+        BpeTokenizer.encodeDoc(col("text")).as("fast"),
+        BpeTokenizer.encodeDocHof(col("text")).as("slow"))
+      .filter(not(col("fast") === col("slow")))
+      .count()
+    assert(diff === 0L, "codegen encode diverged from the HOF fold")
+  }
+
+  test("graft_bpe_count equals size(graft_bpe_encode) everywhere") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+      .unionAll(edgeTexts.toDF("text"))
+    val diff = docs.select(
+        BpeTokenizer.tokenCount(col("text")).as("n"),
+        size(BpeTokenizer.encodeDoc(col("text"))).cast("long").as("sz"))
+      .filter(col("n") =!= col("sz"))
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("graft_bpe_encode edge semantics match Spark split exactly") {
+    val e = edgeTexts.toDF("text")
+      .select(col("text"), BpeTokenizer.encodeDoc(col("text")).as("enc"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(e("") === Seq(""))
+    assert(e(" ") === Seq("", ""))
+    assert(e(" a b ") === Seq("", "a", "b", ""))
+    assert(e("a  b") === Seq("a", "b"))
+    assert(e("the quick thing and another stone") ===
+      Seq("the", "q", "u", "i", "c", "k", "th", "ing", "and",
+        "an", "o", "the", "r", "st", "on", "e"))
+  }
+
+  test("both expressions are NULL-safe and codegen-visible") {
+    val row = Seq((Option.empty[String], Some("the")))
+      .toDF("a", "b")
+      .select(
+        BpeTokenizer.encodeDoc(col("a")).as("ea"),
+        BpeTokenizer.tokenCount(col("a")).as("ca"),
+        BpeTokenizer.encodeDoc(col("b")).as("eb"))
+      .collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1))
+    assert(row.getSeq[String](2) === Seq("the"))
+  }
 }
