@@ -99,6 +99,14 @@ SUBSET=$SUBSET,q_stream_filejoin
 # build + membership join over ~0.5B bigram occurrences; 5-row output),
 # strict row-compare.
 SUBSET=$SUBSET,q_raregram
+# Round 13: the round-12 additions. q_classifier (5-row output, linear
+# hashed-feature oracle) and q_pack_bpe (small bin output; the oracle
+# replays the BPE fold per doc — linear, ~12 min at 5M docs) run strict;
+# the row-preserving 5M-row outputs go to DIGEST below.
+SUBSET=$SUBSET,q_classifier,q_pack_bpe
+# Round 13: delete-tolerant NSW maintenance (three shard-graph builds +
+# the brute-force survivor scan; the q_hnsw_incr cost class).
+SUBSET=$SUBSET,q_hnsw_del
 
 # Digest-mode names: row-preserving 20M-300M-row outputs (full-content
 # order-independent hash compare; see header).
@@ -110,6 +118,11 @@ DIGEST=$DIGEST,q_quality,q_chunk
 # Linear-oracle hash replays (per-doc list_reduce / XXH64 bit replay in
 # DuckDB — heavy but linear; row-preserving or per-doc-expanding output).
 DIGEST=$DIGEST,q_rollhash,q_simhash,q_winnow
+# Round 13: per-doc outputs of the round-12 additions (5M rows each).
+# q_bpe_encode's oracle is the same linear BPE fold as q_pack_bpe's;
+# q_substrdedup/_win replay the span window (~300M span rows) — heavy
+# but linear, and additionally factor-1000-certified by --substr-cert.
+DIGEST=$DIGEST,q_bpe_encode,q_substrdedup,q_substrdedup_win
 
 SWEEP_SUBSET="$SUBSET" \
 DIGEST_SUBSET="$DIGEST" \

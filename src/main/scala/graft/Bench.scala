@@ -57,7 +57,7 @@ object Bench {
                  "q_dedup", "q_dedup_keep", "q_dedup_rows", "q_ivf", "q_editdist",
                  "q_knn", "q_knn_lsh", "q_ann", "q_sim", "q_sql_sim",
                  "q_dedup_incr", "q_contamination", "q_dupgroups", "q_hnsw",
-                 "q_hnsw_idx", "q_ivf_idx", "q_hnsw_incr", "q_semdedup",
+                 "q_hnsw_idx", "q_ivf_idx", "q_hnsw_incr", "q_hnsw_del", "q_semdedup",
                  "q_centroids", "q_windup", "q_curate", "q_quant",
                  "q_linededup", "q_linededup_agg").contains(name)) "dedup_vector"
     else "relational"

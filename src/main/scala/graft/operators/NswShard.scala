@@ -148,4 +148,28 @@ private[operators] object NswShard {
     val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
     probeSearch(items, vecs, norms, adj.map(_.toSeq), probe, k, ef)
   }
+
+  /** [[searchPrebuilt]] over a TOMBSTONED shard graph: deleted nodes stay
+    * fully traversable (their edges keep the graph navigable — the
+    * standard mark-and-filter HNSW delete), they are only excluded from
+    * the EMITTED results. The beam explores with the same width as the
+    * unmasked search, so an all-false mask returns bit-identical rows to
+    * [[searchPrebuilt]] — which is what lets [[Ann.nswQueryIndex]] route
+    * every index through this one code path. */
+  def searchPrebuiltMasked(
+      items: Array[(Long, Array[Double])],
+      adj: Array[Array[Int]],
+      deleted: Array[Boolean],
+      probe: Array[Double],
+      k: Int, ef: Int): Seq[(Long, Double)] = {
+    val vecs  = items.map(_._2)
+    val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    val qn    = math.sqrt(probe.map(x => x * x).sum)
+    beam(adj.map(_.toSeq), vecs, norms, probe, qn,
+        bound = items.length, width = math.max(ef, k))
+      .filterNot(deleted)
+      .take(k)
+      .map(idx => (items(idx)._1, cos(vecs, norms, probe, qn, idx)))
+      .toSeq
+  }
 }

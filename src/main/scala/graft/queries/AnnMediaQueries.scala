@@ -399,6 +399,66 @@ object AnnMediaQueries {
       }
     },
 
+    // DELETE-TOLERANT index maintenance (VERDICT r11/r12 task 7), the
+    // third leg of the serving-lifecycle trio (build → q_hnsw_idx,
+    // append → q_hnsw_incr, delete → here): tombstone ~10% of the corpus
+    // (vec_id % 10 = 3 — spread across every shard) on the persisted
+    // index, serve THROUGH the tombstones (deleted nodes keep routing,
+    // stop being emitted), then compact — rebuilding ONLY the shards a
+    // tombstone actually hit — and certify the compacted index is
+    // BIT-IDENTICAL to a from-scratch build over the post-delete corpus
+    // at the same shard count, with the probe answered from it matching
+    // the fresh build-and-search rows. tomb_serve_clean pins the serve
+    // path: k rows, none deleted, recall vs the exact survivor scan ≥ 0.8.
+    Declared(
+      "q_hnsw_del",
+      Some(
+        """SELECT (SELECT count(*) FROM embeddings) AS n,
+          |       (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 3) AS n_deleted,
+          |       true AS compact_equals_rebuild, true AS query_match,
+          |       true AS tomb_serve_clean""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val n   = emb.count()
+      val isDel = col("vec_id") % 10 === 3
+      val nDel  = emb.where(isDel).count()
+      // pin the FULL corpus's shard count on both paths (the q_hnsw_incr
+      // rule): the compacted index keeps the build's layout, so the
+      // from-scratch rebuild must not re-shard by the shrunken count
+      val s   = math.max(4, ((n + 4095) / 4096).toInt)
+      val out = graft.ScratchDirs.dir("nsw-del")
+      Ann.nswBuildIndex(emb, shards = s).write.mode("overwrite").parquet(out)
+      val tombstoned = Ann.nswDeleteIndex(
+        spark.read.parquet(out), emb.where(isDel).select("vec_id")).persist()
+      val compacted = Ann.nswCompactIndex(tombstoned).persist()
+      val rebuilt   = Ann.nswBuildIndex(emb.where(!isDel), shards = s).persist()
+      try {
+        val eq = compacted.except(rebuilt).isEmpty && rebuilt.except(compacted).isEmpty
+        val probe = Ann.probeVector(emb, 0L)
+        val viaCompact = Ann.nswQueryIndex(compacted, probe, k = 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val fresh = Ann.nswTopK(emb.where(!isDel), probeId = 0L, k = 10, shards = s)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        // serve THROUGH tombstones: no deleted id may surface, and the
+        // ids must still hit the exact survivor scan at the 0.8 floor
+        val viaTomb = Ann.nswQueryIndex(tombstoned, probe, k = 10)
+          .collect().map(_.getLong(0)).toSeq
+        val exactIds = Ann.bruteForceTopK(emb.where(!isDel), probeId = 0L, k = 10)
+          .collect().map(_.getLong(0)).toSet
+        val tombClean = viaTomb.size == 10 &&
+          viaTomb.forall(_ % 10 != 3) && viaTomb.count(exactIds) >= 8
+        import spark.implicits._
+        Seq((n, nDel, eq, viaCompact == fresh, tombClean))
+          .toDF("n", "n_deleted", "compact_equals_rebuild", "query_match",
+            "tomb_serve_clean")
+      } finally {
+        tombstoned.unpersist(blocking = false)
+        compacted.unpersist(blocking = false)
+        rebuilt.unpersist(blocking = false)
+      }
+    },
+
     // batch k-NN join: exact top-5 neighbors for every probe vec_id < 10 —
     // the training-data "find similar examples per sample" shape
     Declared(
