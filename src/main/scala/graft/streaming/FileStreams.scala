@@ -171,4 +171,132 @@ object FileStreams {
     q.awaitTermination()
     (spark.read.parquet(outDir), batches)
   }
+
+  // --- LEFT OUTER stream-stream join (null-extension on watermark closure) --
+
+  /** LEFT OUTER attribution: every cohort click, with its in-window
+    * purchases when they exist and NULL (p_ts, value) when none do — the
+    * null-extension semantics whose STREAMING form can only emit an
+    * unmatched click once the watermark proves no partner can still
+    * arrive. Keyed on the click side (`c_uid`), which survives unmatched
+    * rows; the inner variant's `user_id` would be NULL there. */
+  def attributionJoinOuter(cl: DataFrame, pu: DataFrame): DataFrame =
+    cl.join(pu,
+        col("c_uid") === col("user_id") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 6 HOURS"),
+        "left_outer")
+      .select(col("c_uid"), col("c_ts"), col("p_ts"), col("value"))
+
+  /** Batch side of the outer duality, cut at the certificate horizon
+    * (only clicks at or before `horizon` are compared — the region the
+    * streaming side has provably CLOSED; see [[attributionJoinOuterStream]]). */
+  def attributionJoinOuterBatch(
+      spark: SparkSession, eventsPath: String,
+      horizon: java.sql.Timestamp): DataFrame = {
+    val (cl, pu) = attributionSides(Tables.readEvents(spark, eventsPath))
+    attributionJoinOuter(cl, pu).where(col("c_ts") <= lit(horizon))
+  }
+
+  /**
+   * Streaming side of the LEFT OUTER duality — the null-extension-on-
+   * watermark-closure path (`Probe --streamjoin-cert`'s outer leg; the
+   * inner leg above deliberately runs watermark-FREE).
+   *
+   * Watermark strategy, honest about ScaleUp arrival order: slice part
+   * files interleave event time (every file spans the whole range), so
+   * `delay` is sized to the FULL event-time span — state evicts nothing
+   * mid-stream (the inner cert's keep-all contract, same ~cohort-sized
+   * state) and the watermark's only job is the CLOSURE at the end: a
+   * SENTINEL drop ([[sentineledLanding]]) far past the real data advances
+   * both sides' watermarks beyond every real click's 6-hour partner
+   * window, and the engine's final no-data micro-batch emits the
+   * remaining unmatched clicks as null-extended rows. Rows with
+   * `c_ts <= horizon` (all real rows; the sentinel's own pair sits past
+   * it) are then final, and the certificate compares exactly that closed
+   * region against the batch plan — bit-equality, since no real click's
+   * outcome depends on the sentinel.
+   */
+  def attributionJoinOuterStream(
+      spark: SparkSession,
+      eventsPath: String,
+      filesPerTrigger: Int,
+      outDir: String,
+      delay: String,
+      horizon: java.sql.Timestamp): (DataFrame, Long) = {
+    require(filesPerTrigger > 0, s"filesPerTrigger must be positive: $filesPerTrigger")
+    val schema = spark.read.parquet(eventsPath).schema
+    def src = Tables.normalizeTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(eventsPath))
+    val (cl0, _) = attributionSides(src)
+    val (_, pu0) = attributionSides(src)
+    val cl = cl0.withWatermark("c_ts", delay)
+    val pu = pu0.withWatermark("p_ts", delay)
+    @volatile var batches = 0L
+    val q = attributionJoinOuter(cl, pu).writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        df.write.mode("append").parquet(outDir)
+        batches = id + 1
+      }
+      .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-fileouter-ckpt"))
+      .start()
+    q.awaitTermination()
+    (spark.read.parquet(outDir).where(col("c_ts") <= lit(horizon)), batches)
+  }
+
+  /**
+   * Stage a WATERMARK-CLOSABLE landing copy of an events directory:
+   * every real part file HARD-LINKED into `destDir` (zero-copy — the
+   * slice itself is never touched), plus one sentinel drop written last
+   * (latest mtime → admitted last) holding a cohort click + purchase pair
+   * `offsetSeconds` past the real maximum event time. Returns
+   * `(maxRealTs, sentinelTs)`; callers size `offsetSeconds` >
+   * delay + 6h so the final watermark (sentinelTs − delay) clears every
+   * real click's partner window, making `horizon = maxRealTs` fully
+   * closed. The sentinel row is built from the directory's OWN max-ts row
+   * (same parquet schema and timestamp encoding as the real drops).
+   */
+  def sentineledLanding(
+      spark: SparkSession, eventsPath: String, destDir: String,
+      offsetSeconds: Long): (java.sql.Timestamp, java.sql.Timestamp) = {
+    import java.nio.file.{Files, Paths}
+    val dest = Paths.get(destDir)
+    Files.createDirectories(dest)
+    val src = Paths.get(eventsPath)
+    val parts =
+      if (Files.isDirectory(src)) {
+        val s = Files.list(src)
+        try {
+          val it = s.filter(p => p.toString.endsWith(".parquet")).iterator()
+          val b  = Seq.newBuilder[java.nio.file.Path]
+          while (it.hasNext) b += it.next()
+          b.result()
+        } finally s.close()
+      } else Seq(src)
+    parts.foreach { p =>
+      val tgt = dest.resolve(p.getFileName)
+      if (!Files.exists(tgt)) Files.createLink(tgt, p)
+    }
+    // sentinel from the directory's own encoding: raw read (no ts
+    // normalization — the written file must match the real drops)
+    val raw = spark.read.parquet(eventsPath)
+    val maxRow = raw.orderBy(col("ts").desc).limit(1)
+    val base = maxRow
+      .withColumn("ts", col("ts") + expr(s"INTERVAL $offsetSeconds SECONDS"))
+      .withColumn("user_id", lit(0L).cast(raw.schema("user_id").dataType))
+    base.withColumn("event_type", lit("click"))
+      .unionByName(base.withColumn("event_type", lit("purchase")))
+      .coalesce(1)
+      .write.mode("append").parquet(destDir)
+    val maxReal = Tables.readEvents(spark, eventsPath)
+      .agg(max(col("ts"))).first().getTimestamp(0)
+    val sentinel = Tables.readEvents(spark, destDir)
+      .agg(max(col("ts"))).first().getTimestamp(0)
+    (maxReal, sentinel)
+  }
 }

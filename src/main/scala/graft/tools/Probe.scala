@@ -229,20 +229,42 @@ object Probe {
       // SHARED coverage-cut/reassembly tail. Any disagreement in span
       // generation, first-occurrence choice, collision handling, or dup
       // marking flips (toks_kept, toks_dropped, fp) for some doc.
+      //
+      // DISK-BOUNDED FORM (round 13): the cached-frames + exceptAll shape
+      // kept BOTH plans' span shuffles (~5M docs × ~140 overlapping
+      // 10-token spans each, the window plan's carrying the raw span
+      // strings) live on one box simultaneously and filled the disk on the
+      // factor-1000 slice — twice. Each plan is instead reduced ALONE to
+      // an order-independent FULL-CONTENT digest (row count + sum of
+      // xxhash64 over every output column + exact dropped-token sum — the
+      // sfN sweeps' check.py DIGEST idiom), evaluated sequentially with a
+      // GC between so at most one plan's shuffle is ever on disk. Digest
+      // equality is multiset bit-equality up to xxhash64 collision — the
+      // same contract the committed CORRECTNESS_SF100 digest rows rely on.
       import org.apache.spark.sql.functions._
       import graft.operators.Dedup
       import graft.Tables
       val t0 = System.nanoTime()
       val docs = Tables.documents(spark, dir)
-      val prod = Dedup.substrDedupAgg(docs, "doc_id", "text").cache()
-      val win  = Dedup.substrDedup(docs, "doc_id", "text").cache()
-      val n = prod.count()
-      val dropped = prod.agg(sum("toks_dropped")).first().getLong(0)
-      val prodOnly = prod.exceptAll(win).count()
-      val winOnly  = win.exceptAll(prod).count()
-      println(f"[substr-cert] dir=$dir docs=$n dropped_tokens=$dropped " +
-        f"prod_only=$prodOnly win_only=$winOnly ${(System.nanoTime() - t0) / 1e9}%6.1f s")
-      assert(n > 0L && dropped > 0L && prodOnly == 0L && winOnly == 0L,
+      def digest(df: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal, Long) = {
+        val r = df.agg(
+          count(lit(1)),
+          sum(xxhash64(col("doc_id"), col("toks_kept"), col("toks_dropped"),
+            col("fp")).cast("decimal(38,0)")),
+          sum("toks_dropped")).first()
+        (r.getLong(0), r.getDecimal(1), r.getLong(2))
+      }
+      val (nP, hP, dP) = digest(Dedup.substrDedupAgg(docs, "doc_id", "text"))
+      // the agg plan's shuffle files are cleaned once its dependencies are
+      // unreachable — nudge the ContextCleaner before the window plan runs
+      System.gc(); Thread.sleep(3000)
+      val (nW, hW, dW) = digest(Dedup.substrDedup(docs, "doc_id", "text"))
+      val mism = (if (nP != nW) 1 else 0) + (if (hP.compareTo(hW) != 0) 1 else 0) +
+        (if (dP != dW) 1 else 0)
+      println(f"[substr-cert] dir=$dir docs=$nP dropped_tokens=$dP " +
+        f"win_docs=$nW win_dropped=$dW digest_prod=$hP digest_win=$hW " +
+        f"prod_only=$mism win_only=$mism ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      assert(nP > 0L && dP > 0L && mism == 0,
         s"substring-removal dual-plan certificate FAILED at $dir")
     } else if (args.headOption.contains("--stream-cert")) {
       // Streaming scale certificate: the 23 streaming replays stop at the
@@ -694,6 +716,41 @@ object Probe {
       assert(nGot > 0 && gotOnly == 0L && expOnly == 0L &&
         (nFiles < 2 || batches >= 2),
         s"stream-stream join duality certificate FAILED at $dir")
+
+      // OUTER leg (VERDICT r12 item 7): LEFT OUTER null-extension on
+      // watermark closure at the same scale. Arrival order is fully
+      // time-unordered, so `delay` spans the whole event-time range
+      // (keep-all state, the inner leg's contract) and a sentinel drop
+      // advances the final watermark past every real click's partner
+      // window — the engine's closing no-data batch flushes the
+      // null-extended rows, and the closed region (c_ts <= maxReal) must
+      // BIT-equal the batch LEFT OUTER join over the same landing files.
+      gotC.unpersist(blocking = false)
+      expected.unpersist(blocking = false)
+      val t1 = System.nanoTime()
+      import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
+      val mm = graft.Tables.readEvents(spark, evPath)
+        .agg(fmin(col("ts")), fmax(col("ts"))).first()
+      val delaySec = (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 1000 + 3600
+      val landing = graft.ScratchDirs.dir("graft-outerjoin-landing")
+      val (maxReal, sentinel) = FileStreams.sentineledLanding(
+        spark, evPath, landing, offsetSeconds = delaySec + 8 * 3600)
+      val outO = graft.ScratchDirs.dir("graft-outerjoincert")
+      val (gotO, batchesO) = FileStreams.attributionJoinOuterStream(
+        spark, landing, fpt, outO, s"$delaySec seconds", maxReal)
+      val expO  = FileStreams.attributionJoinOuterBatch(spark, landing, maxReal).cache()
+      val gotOC = gotO.cache()
+      val nGotO = gotOC.count(); val nExpO = expO.count()
+      val nNull = expO.where(col("p_ts").isNull).count()
+      val gotOnlyO = gotOC.exceptAll(expO).count()
+      val expOnlyO = expO.exceptAll(gotOC).count()
+      println(f"[streamjoin-cert] outer dir=$dir batches=$batchesO " +
+        f"stream_rows=$nGotO batch_rows=$nExpO null_extended=$nNull " +
+        f"sentinel=$sentinel got_only=$gotOnlyO exp_only=$expOnlyO " +
+        f"${(System.nanoTime() - t1) / 1e9}%6.1f s")
+      assert(nGotO > 0 && nNull > 0 && gotOnlyO == 0L && expOnlyO == 0L &&
+        (nFiles < 2 || batchesO >= 2),
+        s"LEFT OUTER stream-stream join duality certificate FAILED at $dir")
     } else if (args.headOption.contains("--sketch-cert")) {
       // Rows-only sketch scale certificate: q_approxd / q_hll / q_approxq
       // have no SQL-portable oracle at ANY scale (engine-specific binary

@@ -32,6 +32,37 @@ class FileStreamsSpec extends AnyFunSuite {
     assert(expected.exceptAll(got).count() === 0L)
   }
 
+  test("file-source LEFT OUTER join: null-extension on watermark closure equals the batch plan") {
+    // the --streamjoin-cert OUTER leg at sf0.001 (VERDICT r12 item 7):
+    // unmatched clicks may only null-emit once the watermark proves no
+    // 6-hour partner can still arrive; the sentinel drop closes every
+    // real click's window and the engine's final no-data batch flushes
+    // the null-extended rows. Stream and batch must then agree on the
+    // ENTIRE closed region — matched pairs and null extensions alike.
+    import org.apache.spark.sql.functions.col
+    val stage = ScratchDirs.dir("graft-fileouter-spec")
+    Tables.events(spark, dir).repartition(4).write.mode("overwrite").parquet(stage)
+    val mm = Tables.readEvents(spark, stage)
+      .agg(org.apache.spark.sql.functions.min(col("ts")),
+        org.apache.spark.sql.functions.max(col("ts"))).first()
+    val delaySec = (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 1000 + 3600
+    val landing = ScratchDirs.dir("graft-fileouter-landing")
+    val (maxReal, sentinel) = FileStreams.sentineledLanding(
+      spark, stage, landing, offsetSeconds = delaySec + 8 * 3600)
+    assert(sentinel.after(maxReal))
+    val out = ScratchDirs.dir("graft-fileouter-out")
+    val (got, batches) = FileStreams.attributionJoinOuterStream(
+      spark, landing, filesPerTrigger = 1, outDir = out,
+      delay = s"$delaySec seconds", horizon = maxReal)
+    assert(batches >= 2, s"expected a multi-batch replay, got $batches")
+    val expected = FileStreams.attributionJoinOuterBatch(spark, landing, maxReal)
+    assert(expected.where(col("p_ts").isNull).count() > 0,
+      "fixture must contain genuinely unmatched clicks or the outer path is vacuous")
+    assert(got.count() > 0)
+    assert(got.exceptAll(expected).count() === 0L)
+    assert(expected.exceptAll(got).count() === 0L)
+  }
+
   test("filesPerTrigger must be positive") {
     intercept[IllegalArgumentException] {
       FileStreams.hourlyProfileStream(spark, s"$dir/events.parquet", 0, ScratchDirs.dir("x"))
