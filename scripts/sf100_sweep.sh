@@ -118,11 +118,14 @@ DIGEST=$DIGEST,q_quality,q_chunk
 # Linear-oracle hash replays (per-doc list_reduce / XXH64 bit replay in
 # DuckDB — heavy but linear; row-preserving or per-doc-expanding output).
 DIGEST=$DIGEST,q_rollhash,q_simhash,q_winnow
-# Round 13: per-doc outputs of the round-12 additions (5M rows each).
-# q_bpe_encode's oracle is the same linear BPE fold as q_pack_bpe's;
-# q_substrdedup/_win replay the span window (~300M span rows) — heavy
-# but linear, and additionally factor-1000-certified by --substr-cert.
-DIGEST=$DIGEST,q_bpe_encode,q_substrdedup,q_substrdedup_win
+# Round 13: q_bpe_encode (5M rows; oracle is the same linear BPE fold as
+# q_pack_bpe's, ~12 min). q_substrdedup/_win stay OUT: their oracle IS
+# the definitional span window over 225M raw-string span rows — the very
+# plan that does not fit one box at this scale (it joins the quadratic-
+# oracle exclusion class above); their factor-1000 witness is
+# `Probe --substr-cert` (per-span-class dual-plan marking digests, full
+# coverage, + global token conservation) and the full sf10 sweep.
+DIGEST=$DIGEST,q_bpe_encode
 
 SWEEP_SUBSET="$SUBSET" \
 DIGEST_SUBSET="$DIGEST" \

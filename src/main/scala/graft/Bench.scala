@@ -187,6 +187,28 @@ object Bench {
         try exercise(SparkEntry.queries(name), warmDir) catch { case _: Throwable => () }
       }
     }
+    // Deterministic bench-SF PRE-WARM (VERDICT r11/r12 task: the
+    // cache-warmth question): read every byte of every bench input file
+    // into the OS page cache before pass 1, so the first pass's I/O is
+    // warm-for-warm comparable with every later pass and with a
+    // back-to-back rerun — without it, whichever run touches a cold page
+    // cache first carries an unattributable I/O tail and the committed
+    // idle pair can disagree beyond noise on identical binaries. Bounded:
+    // the bench SF dirs are few hundred MB; a sequential driver-side read
+    // is cheaper than one mis-measured pass.
+    locally {
+      val buf = new Array[Byte](1 << 20)
+      def slurp(f: java.io.File): Unit = {
+        val in = new java.io.FileInputStream(f)
+        try { while (in.read(buf) >= 0) () } finally in.close()
+      }
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+        else if (f.isFile) slurp(f)
+      val t0 = System.nanoTime()
+      walk(new java.io.File(sfDir))
+      System.err.println(f"[bench] page-cache pre-warm of $sfDir: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     // Wall-clock budget for the timed passes: pass 1 always runs; a later
     // pass starts only if the previous pass's duration still fits. Guards
     // the protocol against a heavily-loaded box (a 3× slowdown must

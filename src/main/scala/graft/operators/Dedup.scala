@@ -297,7 +297,7 @@ object Dedup {
     * (stride 1 — overlapping, unlike [[lineSegments]]' disjoint cut), pos
     * 0-based. Docs shorter than k tokens emit nothing (they have no
     * k-token span to deduplicate). Narrow generator — tokens ≈ rows. */
-  private def spanRows(
+  private[graft] def spanRows(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val w = split(col(textCol), " +")
     docs.select(col(idCol), w.as("w"))
@@ -350,14 +350,36 @@ object Dedup {
    * every copy of a hot span sorts inside one partition): the certificate
    * witness, not the scale path. Production = [[substrDedupAgg]].
    */
-  def substrDedup(
-      docs: DataFrame, idCol: String, textCol: String, k: Int = 10): DataFrame = {
-    val segs = spanRows(docs, idCol, textCol, k)
+  /** Definitional dup marking: row_number over the span key. Factored out
+    * so `Probe --substr-cert` can certify the MARKING stage — the only
+    * place the two plans differ (the removal tail below is shared code) —
+    * per span class at factor 1000, where the full window sort does not
+    * fit one box's disk. Span classes (xxhash64(span) mod m) are CLOSED
+    * under marking: a span's occurrences all share its class, so per-class
+    * marking equals the global marking restricted to the class. */
+  private[graft] def markDupWin(segs: DataFrame, idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("span").orderBy(idCol, "pos")
-    removeSpans(docs,
-      segs.withColumn("__dup", row_number().over(w) > 1), idCol, textCol, k)
+    segs.withColumn("__dup", row_number().over(w) > 1)
   }
+
+  /** Production dup marking — substrDedupAgg's first-occurrence stage
+    * (see that operator's scaladoc for the skew/collision analysis). */
+  private[graft] def markDupAgg(segs0: DataFrame, idCol: String): DataFrame = {
+    val segs = segs0.withColumn("__h", xxhash64(col("span")))
+    val firsts = segs.groupBy("span")
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+      .select(xxhash64(col("span")).as("__fh"), col("span").as("__fspan"), col("__first"))
+    segs.join(firsts, col("__h") === col("__fh"))
+      .withColumn("__dup",
+        col("span") === col("__fspan") &&
+          struct(col(idCol), col("pos")) =!= col("__first"))
+  }
+
+  def substrDedup(
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 10): DataFrame =
+    removeSpans(docs,
+      markDupWin(spanRows(docs, idCol, textCol, k), idCol), idCol, textCol, k)
 
   /**
    * Skew-robust production plan of [[substrDedup]] — SAME output, same
@@ -376,17 +398,9 @@ object Dedup {
    * into the join keys.
    */
   def substrDedupAgg(
-      docs: DataFrame, idCol: String, textCol: String, k: Int = 10): DataFrame = {
-    val segs = spanRows(docs, idCol, textCol, k).withColumn("__h", xxhash64(col("span")))
-    val firsts = segs.groupBy("span")
-      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
-      .select(xxhash64(col("span")).as("__fh"), col("span").as("__fspan"), col("__first"))
-    val marked = segs.join(firsts, col("__h") === col("__fh"))
-      .withColumn("__dup",
-        col("span") === col("__fspan") &&
-          struct(col(idCol), col("pos")) =!= col("__first"))
-    removeSpans(docs, marked, idCol, textCol, k)
-  }
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 10): DataFrame =
+    removeSpans(docs,
+      markDupAgg(spanRows(docs, idCol, textCol, k), idCol), idCol, textCol, k)
 
   /**
    * Incremental dedup: near-dup pairs BETWEEN two corpora (`incoming` da ×

@@ -230,41 +230,69 @@ object Probe {
       // generation, first-occurrence choice, collision handling, or dup
       // marking flips (toks_kept, toks_dropped, fp) for some doc.
       //
-      // DISK-BOUNDED FORM (round 13): the cached-frames + exceptAll shape
-      // kept BOTH plans' span shuffles (~5M docs × ~140 overlapping
-      // 10-token spans each, the window plan's carrying the raw span
-      // strings) live on one box simultaneously and filled the disk on the
-      // factor-1000 slice — twice. Each plan is instead reduced ALONE to
-      // an order-independent FULL-CONTENT digest (row count + sum of
-      // xxhash64 over every output column + exact dropped-token sum — the
-      // sfN sweeps' check.py DIGEST idiom), evaluated sequentially with a
-      // GC between so at most one plan's shuffle is ever on disk. Digest
-      // equality is multiset bit-equality up to xxhash64 collision — the
-      // same contract the committed CORRECTNESS_SF100 digest rows rely on.
+      // DISK-BOUNDED FORM (round 13): the full definitional window plan
+      // does not fit one box at factor 1000 — 225M span rows carrying raw
+      // 10-token strings through ONE row_number sort spilled past the
+      // disk, twice. The two plans differ ONLY in the dup-MARKING stage
+      // (removeSpans is literally shared code), and span classes
+      // (xxhash64(span) mod 16) are CLOSED under marking — a span's
+      // occurrences all share its class — so the window marking runs as
+      // 16 SEQUENTIAL class-restricted jobs (each sort ~1/16 the spill)
+      // whose dup-row digests SUM to the global window digest. Equality
+      // with the production agg marking's one global digest over the same
+      // (id, pos) dup multiset ⇒ identical removeSpans input ⇒ identical
+      // q_substrdedup output at factor 1000, full coverage, bounded disk.
+      // Digests are the check.py DIGEST idiom: count + sum(xxhash64),
+      // multiset bit-equality up to xxhash64 collision. A final
+      // production-plan full run pins global token conservation.
       import org.apache.spark.sql.functions._
       import graft.operators.Dedup
       import graft.Tables
       val t0 = System.nanoTime()
+      def secs = f"${(System.nanoTime() - t0) / 1e9}%7.1f s"
       val docs = Tables.documents(spark, dir)
-      def digest(df: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal, Long) = {
-        val r = df.agg(
+      def dupDigest(marked: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
+        val r = marked.where(col("__dup")).agg(
           count(lit(1)),
-          sum(xxhash64(col("doc_id"), col("toks_kept"), col("toks_dropped"),
-            col("fp")).cast("decimal(38,0)")),
-          sum("toks_dropped")).first()
-        (r.getLong(0), r.getDecimal(1), r.getLong(2))
+          coalesce(sum(xxhash64(col("doc_id"), col("pos")).cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO))).first()
+        (r.getLong(0), r.getDecimal(1))
       }
-      val (nP, hP, dP) = digest(Dedup.substrDedupAgg(docs, "doc_id", "text"))
-      // the agg plan's shuffle files are cleaned once its dependencies are
-      // unreachable — nudge the ContextCleaner before the window plan runs
-      System.gc(); Thread.sleep(3000)
-      val (nW, hW, dW) = digest(Dedup.substrDedup(docs, "doc_id", "text"))
-      val mism = (if (nP != nW) 1 else 0) + (if (hP.compareTo(hW) != 0) 1 else 0) +
-        (if (dP != dW) 1 else 0)
-      println(f"[substr-cert] dir=$dir docs=$nP dropped_tokens=$dP " +
-        f"win_docs=$nW win_dropped=$dW digest_prod=$hP digest_win=$hW " +
-        f"prod_only=$mism win_only=$mism ${(System.nanoTime() - t0) / 1e9}%6.1f s")
-      assert(nP > 0L && dP > 0L && mism == 0,
+      // each leg's shuffle files are reclaimed by the ContextCleaner only
+      // after its RDDs are GC'd — on a barely-pressured 64 GB heap that
+      // never happens naturally, and the legs' accumulated shuffles
+      // overflowed the box twice; nudge between legs
+      def reclaim(): Unit = { System.gc(); Thread.sleep(4000) }
+      val segsAll = Dedup.spanRows(docs, "doc_id", "text", 10)
+      val (nA, hA) = dupDigest(Dedup.markDupAgg(segsAll, "doc_id"))
+      println(f"[substr-cert] agg-marking dups=$nA $secs")
+      reclaim()
+      val classes = 16
+      var nW = 0L
+      var hW = java.math.BigDecimal.ZERO
+      for (cls <- 0 until classes) {
+        val segs = segsAll.where(pmod(xxhash64(col("span")), lit(classes)) === cls)
+        val (n, h) = dupDigest(Dedup.markDupWin(segs, "doc_id"))
+        nW += n
+        hW = hW.add(h)
+        println(f"[substr-cert] win-marking class $cls%2d/$classes dups=$n $secs")
+        reclaim()
+      }
+      val markOk = nA == nW && hA.compareTo(hW) == 0
+      reclaim()
+      // production plan, full run at this scale: per-doc bookkeeping must
+      // conserve the corpus token count exactly, and real drops must exist
+      val prod = Dedup.substrDedupAgg(docs, "doc_id", "text")
+        .agg(count(lit(1)), sum(expr("toks_kept + toks_dropped")), sum("toks_dropped"))
+        .first()
+      val toksIndep = docs.select(size(split(col("text"), " +")).cast("long").as("t"))
+        .agg(sum("t")).first().getLong(0)
+      val conserved = prod.getLong(1) == toksIndep
+      println(f"[substr-cert] dir=$dir docs=${prod.getLong(0)} " +
+        f"dropped_tokens=${prod.getLong(2)} corpus_tokens=$toksIndep " +
+        f"conserved=$conserved agg_dups=$nA win_dups=$nW " +
+        f"prod_only=${if (markOk) 0 else 1} win_only=${if (markOk) 0 else 1} $secs")
+      assert(nA > 0L && markOk && conserved && prod.getLong(2) > 0L,
         s"substring-removal dual-plan certificate FAILED at $dir")
     } else if (args.headOption.contains("--stream-cert")) {
       // Streaming scale certificate: the 23 streaming replays stop at the
