@@ -50,11 +50,15 @@
 #                  prefix-sum-vs-window packing, two final agg paths),
 #                  each stage consuming the previous stage's certified
 #                  output.
-#   --substr-cert  q_substrdedup/q_substrdedup_win removal output: the
-#                  production partial-agg min(struct) + hash-join-back
-#                  first-occurrence plan vs the definitional row_number
-#                  window plan, through the shared coverage-cut tail —
-#                  bit-equality of (doc, toks_kept, toks_dropped, fp).
+#   --substr-cert  q_substrdedup/q_substrdedup_win removal output: the two
+#                  plans differ only in dup-MARKING (the removal tail is
+#                  shared code), so the witness is marking equality at
+#                  FULL slice coverage — the production agg marking's
+#                  global dup digest vs the sum of 16 span-class-
+#                  restricted window markings (classes are closed under
+#                  marking; per-class sorts bound the disk the full
+#                  window sort cannot) — plus a full production run
+#                  pinning exact corpus token conservation.
 #   --semdedup-cert  q_semdedup at SemDeDup's published scale regime
 #                  (c ∝ n, the literal-centroid oracle replay is out of
 #                  envelope): assignment duality at c=64 (inline-

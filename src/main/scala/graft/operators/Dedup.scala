@@ -363,17 +363,35 @@ object Dedup {
     segs.withColumn("__dup", row_number().over(w) > 1)
   }
 
+  /** Span positions per doc are bounded by this shift: (id, pos) packs
+    * into ONE long as id·2²⁰ + pos, and the lexicographic (id, pos) min
+    * equals the packed numeric min whenever pos < 2²⁰ — i.e. docs under
+    * ~1M tokens, far above any real document (and above the corpus
+    * generator's bound). The packing is what makes the first-occurrence
+    * aggregate a PRIMITIVE min. */
+  private val PosShift = 1L << 20
+
   /** Production dup marking — substrDedupAgg's first-occurrence stage
-    * (see that operator's scaladoc for the skew/collision analysis). */
+    * (see that operator's scaladoc for the skew/collision analysis).
+    *
+    * First occurrence = min of the PACKED (id, pos) long, not
+    * `min(struct(id, pos))`: struct aggregation buffers are not
+    * UnsafeRow-mutable, so Catalyst plans a struct-min as a SortAggregate
+    * — a full sort of every span row, which is exactly the window plan's
+    * cost this operator exists to avoid (the assignCentroidJoin lesson;
+    * the factor-1000 cert run caught it as a disk-filling spill). The
+    * primitive min hash-aggregates with REAL map-side partials: a hot
+    * boilerplate span's copies collapse to one candidate per map
+    * partition before the shuffle, as the scale contract claims. */
   private[graft] def markDupAgg(segs0: DataFrame, idCol: String): DataFrame = {
-    val segs = segs0.withColumn("__h", xxhash64(col("span")))
+    val segs   = segs0.withColumn("__h", xxhash64(col("span")))
+    val packed = col(idCol).cast("long") * PosShift + col("pos")
     val firsts = segs.groupBy("span")
-      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+      .agg(min(packed).as("__first"))
       .select(xxhash64(col("span")).as("__fh"), col("span").as("__fspan"), col("__first"))
     segs.join(firsts, col("__h") === col("__fh"))
       .withColumn("__dup",
-        col("span") === col("__fspan") &&
-          struct(col(idCol), col("pos")) =!= col("__first"))
+        col("span") === col("__fspan") && packed =!= col("__first"))
   }
 
   def substrDedup(
