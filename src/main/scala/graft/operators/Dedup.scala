@@ -389,7 +389,13 @@ object Dedup {
     val firsts = segs.groupBy("span")
       .agg(min(packed).as("__first"))
       .select(xxhash64(col("span")).as("__fh"), col("span").as("__fspan"), col("__first"))
-    segs.join(firsts, col("__h") === col("__fh"))
+    // shuffled-HASH join, not sort-merge: SMJ would re-SORT every span row
+    // (the cost the packed-min aggregate just eliminated — at factor 1000
+    // that sort spill overflowed the box); the build side is the
+    // unique-span firsts (corpus spans / duplication factor), bounded per
+    // partition, and the segs side streams. AQE's skew-join splitting
+    // handles SHJ too, so the hot-span analysis above is unchanged.
+    segs.join(firsts.hint("shuffle_hash"), col("__h") === col("__fh"))
       .withColumn("__dup",
         col("span") === col("__fspan") && packed =!= col("__first"))
   }

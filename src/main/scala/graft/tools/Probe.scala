@@ -278,7 +278,14 @@ object Probe {
         println(f"[substr-cert] win-marking class $cls%2d/$classes dups=$n $secs")
         reclaim()
       }
+      // adjudicate the marking duality IMMEDIATELY — the conservation leg
+      // below is a separate witness and must not gate this one's verdict
       val markOk = nA == nW && hA.compareTo(hW) == 0
+      println(f"[substr-cert] marking-duality agg_dups=$nA win_dups=$nW " +
+        f"digest_agg=$hA digest_win=$hW prod_only=${if (markOk) 0 else 1} " +
+        f"win_only=${if (markOk) 0 else 1} $secs")
+      assert(nA > 0L && markOk,
+        s"substring-removal dual-plan MARKING certificate FAILED at $dir")
       reclaim()
       // production plan, full run at this scale: per-doc bookkeeping must
       // conserve the corpus token count exactly, and real drops must exist
@@ -290,10 +297,9 @@ object Probe {
       val conserved = prod.getLong(1) == toksIndep
       println(f"[substr-cert] dir=$dir docs=${prod.getLong(0)} " +
         f"dropped_tokens=${prod.getLong(2)} corpus_tokens=$toksIndep " +
-        f"conserved=$conserved agg_dups=$nA win_dups=$nW " +
-        f"prod_only=${if (markOk) 0 else 1} win_only=${if (markOk) 0 else 1} $secs")
-      assert(nA > 0L && markOk && conserved && prod.getLong(2) > 0L,
-        s"substring-removal dual-plan certificate FAILED at $dir")
+        f"conserved=$conserved $secs")
+      assert(conserved && prod.getLong(2) > 0L,
+        s"substring-removal conservation certificate FAILED at $dir")
     } else if (args.headOption.contains("--stream-cert")) {
       // Streaming scale certificate: the 23 streaming replays stop at the
       // sf10 sweep because the EventFeed harness is driver-materialized by
