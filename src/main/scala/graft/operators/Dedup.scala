@@ -386,16 +386,26 @@ object Dedup {
   private[graft] def markDupAgg(segs0: DataFrame, idCol: String): DataFrame = {
     val segs   = segs0.withColumn("__h", xxhash64(col("span")))
     val packed = col(idCol).cast("long") * PosShift + col("pos")
+    // join back ONLY the spans that can mark a dup (count > 1): on a
+    // lightly-duplicated corpus the unique-span firsts frame is nearly as
+    // large as the span stream itself (factor 1000: 215M of 225M spans
+    // unique), and joining segs against it planned as either a sort-merge
+    // (re-sorting every span row — the disk-filling cost the packed-min
+    // aggregate just eliminated) or a shuffled-hash with ~20 GB of build
+    // maps. The __n > 1 filter shrinks the build side to the DUP-span set
+    // (~the duplicate count), which AQE then broadcasts — the 225M-row
+    // segs side never shuffles for the join at all; a pathologically
+    // duplicated corpus degrades to a shuffled-hash/skew-split join on a
+    // side that is small RELATIVE to segs by exactly its duplication.
+    // Rows joining nothing are __dup=false by absence: removeSpans only
+    // consumes `when(__dup, pos)`, and its docs LEFT join re-admits every
+    // document, so dropping non-dup span rows here is semantics-free
+    // (the marking-digest certificate compares __dup rows only).
     val firsts = segs.groupBy("span")
-      .agg(min(packed).as("__first"))
+      .agg(min(packed).as("__first"), count(lit(1)).as("__n"))
+      .where(col("__n") > 1)
       .select(xxhash64(col("span")).as("__fh"), col("span").as("__fspan"), col("__first"))
-    // shuffled-HASH join, not sort-merge: SMJ would re-SORT every span row
-    // (the cost the packed-min aggregate just eliminated — at factor 1000
-    // that sort spill overflowed the box); the build side is the
-    // unique-span firsts (corpus spans / duplication factor), bounded per
-    // partition, and the segs side streams. AQE's skew-join splitting
-    // handles SHJ too, so the hot-span analysis above is unchanged.
-    segs.join(firsts.hint("shuffle_hash"), col("__h") === col("__fh"))
+    segs.join(firsts, col("__h") === col("__fh"))
       .withColumn("__dup",
         col("span") === col("__fspan") && packed =!= col("__first"))
   }
