@@ -146,6 +146,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException("graft_bpe_count(text)")
         }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_hashed_score"),
+      new ExpressionInfo(classOf[graft.expressions.HashedNgramScore].getName, "graft_hashed_score"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def dblTable(e: org.apache.spark.sql.catalyst.expressions.Expression): IndexedSeq[Double] =
+          e.eval() match {
+            case a: ArrayData =>
+              a.toDoubleArray().toIndexedSeq
+            case other => throw new IllegalArgumentException(
+              s"graft_hashed_score: weight table must be a non-null literal ARRAY<DOUBLE>, got ${
+                if (other == null) "NULL" else other}")
+          }
+        children match {
+          case Seq(text, u, b) if u.foldable && b.foldable =>
+            graft.expressions.HashedNgramScore(text, dblTable(u), dblTable(b))
+          case _ => throw new IllegalArgumentException(
+            "graft_hashed_score(text, uni_weights, bi_weights) — weight tables must be literal arrays")
+        }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_clf_score"),
+      new ExpressionInfo(classOf[graft.expressions.ClfScoreExpr].getName, "graft_clf_score"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        children match {
+          case Seq(text) => graft.expressions.ClfScoreExpr(text)
+          case _ => throw new IllegalArgumentException("graft_clf_score(text)")
+        }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountInSet].getName, "graft_count_in"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

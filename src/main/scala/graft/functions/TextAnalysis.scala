@@ -143,10 +143,18 @@ object TextAnalysis {
       lit(ClfMod)) - lit(ClfShift)
 
   /** Per-document classifier score: Σ weight over unigrams + bigrams, one
-    * codegen-narrow pass, exact Long. Bigram branch is `when`-guarded —
-    * `sequence(1, 0)` counts DOWN, and index 0 would fail ANSI
-    * element_at (the shinglesHof lesson). */
-  def clfScore(text: Column): Column = {
+    * codegen-narrow pass, exact Long — routed through the compiled
+    * `graft_clf_score` ([[graft.expressions.ClfScoreExpr]]); the
+    * interpreted HOF form below is kept for the spec cross-check (the
+    * markerHits / BPE-encode precedent: HOF is the definitional witness,
+    * the expression is the production path). */
+  def clfScore(text: Column): Column =
+    call_function("graft_clf_score", text)
+
+  /** Definitional HOF fold of the same score — spec cross-check only.
+    * Bigram branch is `when`-guarded — `sequence(1, 0)` counts DOWN, and
+    * index 0 would fail ANSI element_at (the shinglesHof lesson). */
+  private[graft] def clfScoreHof(text: Column): Column = {
     val w = tokens(text)
     val uni = aggregate(transform(w, t => clfWeight(t)), lit(0L), (a, x) => a + x)
     val bigrams = when(size(w) >= 2,
@@ -157,14 +165,20 @@ object TextAnalysis {
     uni + bi
   }
 
+  /** DuckDB replay of the Rabin-Karp rollhash fold over SQL expression
+    * `x` — the same recurrence as `graft_rollhash` (seed 7, base 31,
+    * mod 1e9+7, over codepoints). Shared by every oracle that hashes
+    * n-grams (classifier weights, DSIR/perplexity bucket tables). */
+  def rollhashSql(x: String): String =
+    s"list_reduce(list_prepend(7::BIGINT, " +
+      s"list_transform(string_split($x, ''), c -> ascii(c)::BIGINT)), " +
+      s"(a, c) -> (a * 31 + c) % 1000000007)"
+
   /** DuckDB replay of [[clfWeight]] applied to SQL expression `x` — same
     * rollhash fold as the q_rollhash oracle, same bucket/weight formula
     * from the same constants. */
   def clfWeightSql(x: String): String =
-    s"((list_reduce(list_prepend(7::BIGINT, " +
-      s"list_transform(string_split($x, ''), c -> ascii(c)::BIGINT)), " +
-      s"(a, c) -> (a * 31 + c) % 1000000007) % $ClfBuckets) * $ClfMult) " +
-      s"% $ClfMod - $ClfShift"
+    s"((${rollhashSql(x)} % $ClfBuckets) * $ClfMult) % $ClfMod - $ClfShift"
 
   // --- PII redaction --------------------------------------------------------
 

@@ -360,6 +360,68 @@ object PipelineQueries {
           sum("n_tokens").as("tokens"),
           countDistinct(col("bin")).as("bins"))
         .orderBy("split")
+    },
+
+    // temperature-scaled source mixing (the multilingual/multi-source
+    // data-mix standard: sample source s with probability ∝ p_s^α,
+    // α = 0.7 — mT5/XLM-R's rate schedule): per-source mix rates for a
+    // half-corpus budget, materialized as a DETERMINISTIC per-doc keep
+    // decision so a retry recomputes the identical subset (no random()).
+    // The keep rule is exact once the rate is fixed: rate rounds to 4
+    // decimals on BOTH sides, the threshold is floor(rate·65536) as a
+    // 4-hex-digit string, and a doc is kept iff its md5(doc_id) prefix
+    // sorts below it (the q_split band mechanism — 'g' sorts above every
+    // hex digit, so rate 1.0 keeps all). Plan: per-source counts are one
+    // partial-agg (≤|sources| rows), the rate/threshold frame broadcasts
+    // into a narrow filter pass, and the kept aggregate re-groups by
+    // source — at 100 TB this is scan-bound with two tiny shuffles.
+    Declared(
+      "q_tempmix",
+      Some(
+        """WITH c AS (SELECT source, count(*) AS docs FROM documents GROUP BY 1),
+          |t AS (SELECT CAST(sum(docs) AS BIGINT) AS n FROM c),
+          |w AS (SELECT source, docs, pow(docs / t.n, 0.7) AS pw FROM c, t),
+          |z AS (SELECT sum(pw) AS z FROM w),
+          |r AS (SELECT source, docs,
+          |        round(least(1.0, (t.n / 2) * (pw / z.z) / docs), 4) AS mix_rate
+          |      FROM w, z, t),
+          |h AS (SELECT source, docs, mix_rate,
+          |        CASE WHEN floor(mix_rate * 65536) >= 65536 THEN 'g'
+          |             ELSE printf('%04x', CAST(floor(mix_rate * 65536) AS INTEGER)) END AS hx
+          |      FROM r),
+          |k AS (SELECT d.source, count(*) AS kept_docs, CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+          |      FROM documents d JOIN h USING (source)
+          |      WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < h.hx
+          |      GROUP BY 1)
+          |SELECT h.source, h.docs, h.mix_rate,
+          |       COALESCE(k.kept_docs, 0) AS kept_docs,
+          |       COALESCE(k.kept_chars, 0) AS kept_chars
+          |FROM h LEFT JOIN k USING (source) ORDER BY source""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val c    = docs.groupBy("source").agg(count(lit(1)).as("docs"))
+      val t    = c.agg(sum("docs").as("n"))
+      val w = c.crossJoin(broadcast(t))
+        .withColumn("pw", pow(col("docs").cast("double") / col("n"), lit(0.7)))
+      val z = w.agg(sum("pw").as("z"))
+      val r = w.crossJoin(broadcast(z))
+        .withColumn("mix_rate",
+          round(least(lit(1.0),
+            (col("n").cast("double") / 2) * (col("pw") / col("z")) / col("docs")), 4))
+      val h = r.withColumn("hx",
+        when(floor(col("mix_rate") * 65536) >= 65536, lit("g"))
+          .otherwise(lpad(lower(hex(floor(col("mix_rate") * 65536).cast("int"))), 4, "0")))
+        .select("source", "docs", "mix_rate", "hx")
+      val kept = docs.join(broadcast(h.select("source", "hx")), "source")
+        .where(substring(md5(col("doc_id").cast("string")), 1, 4) < col("hx"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept_docs"), sum("n_chars").as("kept_chars"))
+      h.join(kept, Seq("source"), "left")
+        .select(col("source"), col("docs"), col("mix_rate"),
+          coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+          coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
+        .orderBy("source")
     }
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.TextAnalysis
+import graft.functions.{HashedLm, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /**
@@ -580,6 +580,87 @@ object TextQueries {
             (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
         .groupBy("doc_id")
         .agg(round(sum("score"), 4).as("bm25"))
+        .orderBy("doc_id")
+    },
+
+    // DSIR importance weights (Xie et al., NeurIPS 2023): per-doc
+    // log-likelihood ratio of a hashed unigram+bigram LM fit on the
+    // TARGET slice (lang='en', the target-domain proxy) vs the RAW
+    // corpus — the score a data-selection run resamples by. Plan: the fit
+    // is ONE explode + 4096-bucket hash aggregate per n-gram order
+    // (map-side combine caps the shuffle at B×partitions rows at any
+    // corpus size) whose ≤B-row result embeds into the compiled
+    // graft_hashed_score as a literal table; scoring is then a narrow
+    // whole-stage-codegen pass — zero joins, zero shuffles, no per-doc
+    // explode. The oracle replays the same numbers through the
+    // fully-relational explode+join+sum form (structurally independent
+    // derivation). Float exposure is the cosine class: ln() sums rounded
+    // to 4 on both sides.
+    Declared(
+      "q_dsir",
+      Some {
+        val rh = (x: String) => TextAnalysis.rollhashSql(x)
+        val B  = HashedLm.Buckets
+        s"""WITH d AS (SELECT doc_id, lang, regexp_split_to_array(text, ' +') AS w FROM documents),
+           |g AS (
+           |  SELECT doc_id, lang, 0 AS k, unnest(list_transform(w, t -> ${rh("t")} % $B)) AS bkt
+           |  FROM d
+           |  UNION ALL
+           |  SELECT doc_id, lang, 1 AS k,
+           |         unnest(list_transform(range(1, len(w)), i -> ${rh("(w[i] || ' ' || w[i+1])")} % $B)) AS bkt
+           |  FROM d WHERE len(w) >= 2),
+           |cnt AS (SELECT k, bkt, count(*) AS cr,
+           |               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+           |        FROM g GROUP BY 1, 2),
+           |tot AS (SELECT k, CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt
+           |        FROM cnt GROUP BY 1),
+           |sc AS (SELECT g.doc_id, g.lang,
+           |              sum(ln((cnt.ct + 1) / (tot.tt + $B)) - ln((cnt.cr + 1) / (tot.tr + $B))) AS s
+           |       FROM g JOIN cnt USING (k, bkt) JOIN tot USING (k)
+           |       GROUP BY 1, 2)
+           |SELECT doc_id, lang, round(s, 4) AS dsir_w FROM sc ORDER BY doc_id""".stripMargin
+      }
+    ) { (spark, dir) =>
+      val docs     = Tables.documents(spark, dir)
+      val isTarget = col("lang") === "en"
+      val uniT     = HashedLm.dsirTable(HashedLm.uniGrams(docs), isTarget)
+      val biT      = HashedLm.dsirTable(HashedLm.biGrams(docs), isTarget)
+      docs.select(col("doc_id"), col("lang"),
+          round(HashedLm.score(col("text"), uniT, biT), 4).as("dsir_w"))
+        .orderBy("doc_id")
+    },
+
+    // hashed unigram-LM cross-entropy (the CCNet perplexity-filter shape,
+    // Wenzek et al., LREC 2020): per-doc mean negative log-prob under the
+    // corpus LM — low = fluent/common, high = noise/outlier; a curation
+    // run buckets the corpus into head/middle/tail by this signal (the
+    // tercile split lives in HashedLmSpec — per-doc tercile LABELS are
+    // rank-derived and would put cross-engine float ordering inside the
+    // hash compare; the per-doc score itself rounds safely). Same
+    // fit/score split as q_dsir: one B-bucket aggregate, ≤B-row model
+    // frame, narrow codegen scoring pass.
+    Declared(
+      "q_perplexity",
+      Some {
+        val rh = (x: String) => TextAnalysis.rollhashSql(x)
+        val B  = HashedLm.Buckets
+        s"""WITH d AS (SELECT doc_id, lang, regexp_split_to_array(text, ' +') AS w FROM documents),
+           |g AS (SELECT doc_id, unnest(list_transform(w, t -> ${rh("t")} % $B)) AS bkt FROM d),
+           |cnt AS (SELECT bkt, count(*) AS c FROM g GROUP BY 1),
+           |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+           |sc AS (SELECT g.doc_id, sum(-ln((cnt.c + 1) / (tot.t + $B))) AS s
+           |       FROM g JOIN cnt USING (bkt) CROSS JOIN tot GROUP BY 1)
+           |SELECT d.doc_id, d.lang, CAST(len(d.w) AS BIGINT) AS tokens,
+           |       round(sc.s / len(d.w), 4) AS xent
+           |FROM d JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin
+      }
+    ) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val nlp  = HashedLm.nlogpTable(HashedLm.uniGrams(docs))
+      val nTok = size(split(col("text"), " +"))
+      docs.select(col("doc_id"), col("lang"),
+          nTok.cast("long").as("tokens"),
+          round(HashedLm.score(col("text"), nlp, Array.empty[Double]) / nTok, 4).as("xent"))
         .orderBy("doc_id")
     }
   )

@@ -73,6 +73,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scores(2) === w1 + w2 + wb)
   }
 
+  test("compiled graft_clf_score matches the interpreted HOF fold (corpus + edges)") {
+    // full sf0.001 corpus: every doc's compiled score equals the
+    // definitional aggregate(transform(...)) fold
+    val corpus = Tables.documents(spark, dir)
+      .select(
+        TextAnalysis.clfScore(col("text")).as("gen"),
+        TextAnalysis.clfScoreHof(col("text")).as("hof"))
+      .filter(col("gen") =!= col("hof")).count()
+    assert(corpus === 0L)
+    // edge literals: empty doc, leading/trailing/multi-space runs (empty
+    // split tokens), 1-token doc, surrogate pair, NULL
+    val edges = Seq("", " ", "  a", "a  ", "a   b  c", "solo", "a 😀 b")
+    val edgeParity = edges.toDF("text")
+      .select(
+        TextAnalysis.clfScore(col("text")).as("gen"),
+        TextAnalysis.clfScoreHof(col("text")).as("hof"))
+      .filter(col("gen") =!= col("hof")).count()
+    assert(edgeParity === 0L)
+    val nullScore = Seq[Option[String]](None).toDF("text")
+      .select(TextAnalysis.clfScore(col("text"))).head()
+    assert(nullScore.isNullAt(0))
+  }
+
   test("rolling-hash fingerprint matches the Rabin-Karp recurrence") {
     def ref(s: String): Long =
       s.codePoints().toArray.foldLeft(7L)((h, c) => (h * 31 + c) % 1000000007L)
