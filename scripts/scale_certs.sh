@@ -100,9 +100,17 @@ for cert in --lsh-cert --cc-cert --windup-cert --stream-cert --sketch-cert \
     echo "scale certificates: $cert FAILED (failure marker in output)" >&2
     exit 1
   fi
-  grep -E "\[(lsh|cc|windup|stream|streamjoin|sketch|keep|incr|curate|semdedup|substr)-cert\]" <<<"$out" || {
+  lines=$(grep -E "\[(lsh|cc|windup|stream|streamjoin|sketch|keep|incr|curate|semdedup|substr)-cert\]" <<<"$out") || {
     echo "scale certificates: $cert produced no cert line" >&2
     exit 1
   }
+  echo "$lines"
+  # CERT_LOG: committable artifact of the cert lines (round 13 lesson —
+  # the factor-1000 cert output lived only in /tmp logs and a reboot ate
+  # it; EVIDENCE_*.md had to quote from memory of the run).
+  if [ -n "${CERT_LOG:-}" ]; then printf '%s\n' "$lines" >> "$CERT_LOG"; fi
 done
 echo "scale certificates: ALL GREEN at $DIR"
+if [ -n "${CERT_LOG:-}" ]; then
+  echo "scale certificates: ALL GREEN at $DIR" >> "$CERT_LOG"
+fi

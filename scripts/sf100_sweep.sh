@@ -107,6 +107,9 @@ SUBSET=$SUBSET,q_classifier,q_pack_bpe
 # Round 13: delete-tolerant NSW maintenance (three shard-graph builds +
 # the brute-force survivor scan; the q_hnsw_incr cost class).
 SUBSET=$SUBSET,q_hnsw_del
+# Round 13: temperature-scaled source mixing (20-row output; oracle is
+# one md5 band test per doc — linear, the q_split cost class).
+SUBSET=$SUBSET,q_tempmix
 
 # Digest-mode names: row-preserving 20M-300M-row outputs (full-content
 # order-independent hash compare; see header).
@@ -118,6 +121,11 @@ DIGEST=$DIGEST,q_quality,q_chunk
 # Linear-oracle hash replays (per-doc list_reduce / XXH64 bit replay in
 # DuckDB — heavy but linear; row-preserving or per-doc-expanding output).
 DIGEST=$DIGEST,q_rollhash,q_simhash,q_winnow
+# Round 13: the trained hashed-n-gram scorers (5M-row per-doc outputs;
+# oracles replay the rollhash fold per n-gram in DuckDB — linear like
+# q_simhash/q_winnow's ~25 min class; q_dsir pays it twice, unigrams +
+# bigrams).
+DIGEST=$DIGEST,q_dsir,q_perplexity
 # Round 13: q_bpe_encode (5M rows; oracle is the same linear BPE fold as
 # q_pack_bpe's, ~12 min). q_substrdedup/_win stay OUT: their oracle IS
 # the definitional span window over 225M raw-string span rows — the very

@@ -56,9 +56,29 @@ object HashedLm {
         .as("g"))
       .select(col("lang"), bucket(col("g")).as("bkt"))
 
-  /** DSIR log-likelihood-ratio table over one n-gram order: target counts
-    * come from the rows matching `targetPred`, raw counts from ALL rows —
-    * one ≤B-row aggregate (never two corpus passes), collected. */
+  /** Micro-nat fixed-point quantum. Weight tables are QUANTIZED to exact
+    * integers (stored in the double array the expression sums): per-doc
+    * scores become exact integer sums — the q_classifier fixed-point
+    * discipline — instead of float sums whose summation ORDER differs
+    * between the narrow Spark fold (token order) and the oracle's
+    * join-group aggregation. |w|·1e6 ≤ ~2e7 per n-gram and ≤ ~1e11 per
+    * document — far inside the 2^53 exact-integer double range, so the
+    * expression's double accumulator is exact and the final long cast is
+    * lossless. The ln() boundary exposure collapses from 5M docs × sum
+    * ordering to 4096 buckets × round-half quantization (measure-zero). */
+  val Quantum: Double = 1e6
+
+  /** Round half AWAY FROM ZERO — DuckDB's round() convention, which
+    * Scala's math.round (half-up: toward +∞) disagrees with on exact-.5
+    * NEGATIVE inputs. The disagreement set is measure-zero for ln
+    * products, but matching conventions costs one line. */
+  private def qround(x: Double): Double =
+    if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
+
+  /** DSIR log-likelihood-ratio table over one n-gram order, in micro-nats:
+    * target counts come from the rows matching `targetPred`, raw counts
+    * from ALL rows — one ≤B-row aggregate (never two corpus passes),
+    * collected. */
   def dsirTable(grams: DataFrame, targetPred: Column): Array[Double] = {
     val cr = new Array[Long](Buckets)
     val ct = new Array[Long](Buckets)
@@ -72,17 +92,20 @@ object HashedLm {
     val tr = cr.sum
     val tt = ct.sum
     Array.tabulate(Buckets)(b =>
-      math.log((ct(b) + 1).toDouble / (tt + Buckets)) -
-        math.log((cr(b) + 1).toDouble / (tr + Buckets)))
+      qround((math.log((ct(b) + 1).toDouble / (tt + Buckets)) -
+        math.log((cr(b) + 1).toDouble / (tr + Buckets))) * Quantum))
   }
 
-  /** Laplace-smoothed negative log-prob table of one n-gram order. */
+  /** Laplace-smoothed negative log-prob table of one n-gram order, in
+    * micro-nats (positive, so round-half-up == round-half-away and the
+    * Scala/DuckDB round conventions agree everywhere). */
   def nlogpTable(grams: DataFrame): Array[Double] = {
     val c = new Array[Long](Buckets)
     grams.groupBy("bkt").agg(count(lit(1)).as("c")).collect()
       .foreach(r => c(r.getLong(0).toInt) = r.getLong(1))
     val t = c.sum
-    Array.tabulate(Buckets)(b => -math.log((c(b) + 1).toDouble / (t + Buckets)))
+    Array.tabulate(Buckets)(b =>
+      qround(-math.log((c(b) + 1).toDouble / (t + Buckets)) * Quantum))
   }
 
   /** Per-document trained-table score: the compiled narrow pass. An empty

@@ -594,13 +594,18 @@ object TextQueries {
     // whole-stage-codegen pass — zero joins, zero shuffles, no per-doc
     // explode. The oracle replays the same numbers through the
     // fully-relational explode+join+sum form (structurally independent
-    // derivation). Float exposure is the cosine class: ln() sums rounded
-    // to 4 on both sides.
+    // derivation). EXACTNESS: the per-bucket ln-ratio is QUANTIZED to
+    // integer micro-nats on both sides (HashedLm.Quantum), so per-doc
+    // scores are exact integer sums — no cross-engine float summation
+    // order (the q_classifier fixed-point discipline; the only float
+    // step is the per-bucket round: 4096 measure-zero boundaries instead
+    // of 5M float doc-sums at factor 1000).
     Declared(
       "q_dsir",
       Some {
         val rh = (x: String) => TextAnalysis.rollhashSql(x)
         val B  = HashedLm.Buckets
+        val Q  = HashedLm.Quantum.toLong
         s"""WITH d AS (SELECT doc_id, lang, regexp_split_to_array(text, ' +') AS w FROM documents),
            |g AS (
            |  SELECT doc_id, lang, 0 AS k, unnest(list_transform(w, t -> ${rh("t")} % $B)) AS bkt
@@ -615,10 +620,11 @@ object TextQueries {
            |tot AS (SELECT k, CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt
            |        FROM cnt GROUP BY 1),
            |sc AS (SELECT g.doc_id, g.lang,
-           |              sum(ln((cnt.ct + 1) / (tot.tt + $B)) - ln((cnt.cr + 1) / (tot.tr + $B))) AS s
+           |              CAST(sum(CAST(round((ln((cnt.ct + 1) / (tot.tt + $B))
+           |                            - ln((cnt.cr + 1) / (tot.tr + $B))) * $Q) AS BIGINT)) AS BIGINT) AS s
            |       FROM g JOIN cnt USING (k, bkt) JOIN tot USING (k)
            |       GROUP BY 1, 2)
-           |SELECT doc_id, lang, round(s, 4) AS dsir_w FROM sc ORDER BY doc_id""".stripMargin
+           |SELECT doc_id, lang, s AS dsir_w FROM sc ORDER BY doc_id""".stripMargin
       }
     ) { (spark, dir) =>
       val docs     = Tables.documents(spark, dir)
@@ -626,7 +632,7 @@ object TextQueries {
       val uniT     = HashedLm.dsirTable(HashedLm.uniGrams(docs), isTarget)
       val biT      = HashedLm.dsirTable(HashedLm.biGrams(docs), isTarget)
       docs.select(col("doc_id"), col("lang"),
-          round(HashedLm.score(col("text"), uniT, biT), 4).as("dsir_w"))
+          HashedLm.score(col("text"), uniT, biT).cast("long").as("dsir_w"))
         .orderBy("doc_id")
     },
 
@@ -636,22 +642,26 @@ object TextQueries {
     // run buckets the corpus into head/middle/tail by this signal (the
     // tercile split lives in HashedLmSpec — per-doc tercile LABELS are
     // rank-derived and would put cross-engine float ordering inside the
-    // hash compare; the per-doc score itself rounds safely). Same
-    // fit/score split as q_dsir: one B-bucket aggregate, ≤B-row model
-    // frame, narrow codegen scoring pass.
+    // hash compare). Same fit/score split as q_dsir: one B-bucket
+    // aggregate, ≤B-row model frame, narrow codegen scoring pass; same
+    // micro-nat quantization, so xent ships as the EXACT-integer-ratio
+    // double (micro-nats per token — IEEE division of identical longs is
+    // bit-identical cross-engine, the documented unrounded-safe class).
     Declared(
       "q_perplexity",
       Some {
         val rh = (x: String) => TextAnalysis.rollhashSql(x)
         val B  = HashedLm.Buckets
+        val Q  = HashedLm.Quantum.toLong
         s"""WITH d AS (SELECT doc_id, lang, regexp_split_to_array(text, ' +') AS w FROM documents),
            |g AS (SELECT doc_id, unnest(list_transform(w, t -> ${rh("t")} % $B)) AS bkt FROM d),
            |cnt AS (SELECT bkt, count(*) AS c FROM g GROUP BY 1),
            |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
-           |sc AS (SELECT g.doc_id, sum(-ln((cnt.c + 1) / (tot.t + $B))) AS s
+           |sc AS (SELECT g.doc_id,
+           |              sum(CAST(round(-ln((cnt.c + 1) / (tot.t + $B)) * $Q) AS BIGINT)) AS s
            |       FROM g JOIN cnt USING (bkt) CROSS JOIN tot GROUP BY 1)
            |SELECT d.doc_id, d.lang, CAST(len(d.w) AS BIGINT) AS tokens,
-           |       round(sc.s / len(d.w), 4) AS xent
+           |       sc.s / len(d.w) AS xent
            |FROM d JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin
       }
     ) { (spark, dir) =>
@@ -660,7 +670,8 @@ object TextQueries {
       val nTok = size(split(col("text"), " +"))
       docs.select(col("doc_id"), col("lang"),
           nTok.cast("long").as("tokens"),
-          round(HashedLm.score(col("text"), nlp, Array.empty[Double]) / nTok, 4).as("xent"))
+          (HashedLm.score(col("text"), nlp, Array.empty[Double]).cast("long") /
+            nTok.cast("long")).as("xent"))
         .orderBy("doc_id")
     }
   )

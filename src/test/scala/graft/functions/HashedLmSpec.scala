@@ -100,9 +100,8 @@ class HashedLmSpec extends AnyFunSuite {
     val docs = out1.map(_.getLong(1)).sum
     val kept = out1.map(_.getLong(3)).sum
     assert(kept > 0 && kept < docs)
-    // α=0.7 up-samples small sources: every source's rate must be at
-    // least the uniform half-corpus rate (0.5) minus rounding, and the
-    // SMALLEST source must get the LARGEST rate
+    // α=0.7 up-samples small sources: the smallest source's rate must be
+    // at least the largest source's rate
     val bySize = out1.sortBy(_.getLong(1))
     assert(bySize.head.getDouble(2) >= bySize.last.getDouble(2))
     out1.foreach(r => assert(r.getLong(3) <= r.getLong(1)))
