@@ -399,25 +399,34 @@ object PipelineQueries {
           |FROM h LEFT JOIN k USING (source) ORDER BY source""".stripMargin
       )
     ) { (spark, dir) =>
+      // FIT: one per-source count aggregate, collected as the bounded
+      // ≤|sources|-row model frame (the documented collect class) — the
+      // rate/threshold math is driver-side scalar work, so the corpus is
+      // scanned exactly TWICE at any scale (once to fit, once to filter),
+      // not once per cross-joined scalar the relational form re-derives.
+      // Math.pow IS what Spark's POWER codegen calls, and the 4-decimal
+      // round below is Spark's own round (BigDecimal HALF_UP) — identical
+      // float path to an in-plan expression.
       val docs = Tables.documents(spark, dir)
-      val c    = docs.groupBy("source").agg(count(lit(1)).as("docs"))
-      val t    = c.agg(sum("docs").as("n"))
-      val w = c.crossJoin(broadcast(t))
-        .withColumn("pw", pow(col("docs").cast("double") / col("n"), lit(0.7)))
-      val z = w.agg(sum("pw").as("z"))
-      val r = w.crossJoin(broadcast(z))
-        .withColumn("mix_rate",
-          round(least(lit(1.0),
-            (col("n").cast("double") / 2) * (col("pw") / col("z")) / col("docs")), 4))
-      val h = r.withColumn("hx",
-        when(floor(col("mix_rate") * 65536) >= 65536, lit("g"))
-          .otherwise(lpad(lower(hex(floor(col("mix_rate") * 65536).cast("int"))), 4, "0")))
-        .select("source", "docs", "mix_rate", "hx")
+      val perSrc = docs.groupBy("source").agg(count(lit(1)).as("docs"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val n  = perSrc.map(_._2).sum
+      val pw = perSrc.map { case (_, c) => math.pow(c.toDouble / n, 0.7) }
+      val z  = pw.sum
+      val rows = perSrc.zip(pw).map { case ((src, c), p) =>
+        val rate = BigDecimal(math.min(1.0, (n.toDouble / 2) * (p / z) / c))
+          .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        val t  = math.floor(rate * 65536).toLong
+        val hx = if (t >= 65536) "g" else f"$t%04x"
+        (src, c, rate, hx)
+      }
+      import spark.implicits._
+      val h = rows.toSeq.toDF("source", "docs", "mix_rate", "hx")
       val kept = docs.join(broadcast(h.select("source", "hx")), "source")
         .where(substring(md5(col("doc_id").cast("string")), 1, 4) < col("hx"))
         .groupBy("source")
         .agg(count(lit(1)).as("kept_docs"), sum("n_chars").as("kept_chars"))
-      h.join(kept, Seq("source"), "left")
+      h.join(broadcast(kept), Seq("source"), "left")
         .select(col("source"), col("docs"), col("mix_rate"),
           coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
           coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))

@@ -214,6 +214,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"no join belongs in the packed tail:\n$p")
   }
 
+  test("q_classifier: compiled scorer in a narrow pass — no joins, partial agg") {
+    val p = plan("q_classifier")
+    assert(p.toLowerCase.contains("clfscoreexpr"),
+      s"expected the compiled graft_clf_score, not the HOF fold:\n$p")
+    assert(!p.contains("Join"), s"classifier scoring must not join:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial agg:\n$p")
+  }
+
+  test("q_dsir / q_perplexity: scoring stage is narrow codegen, zero joins") {
+    // the FIT aggregates run (bounded ≤B-row collects) while the lambda
+    // constructs the table; the plan under test is the SCORING stage —
+    // the pass a 100 TB corpus actually pays per document
+    for (name <- Seq("q_dsir", "q_perplexity")) {
+      val p = plan(name)
+      assert(p.toLowerCase.contains("hashedngramscore"),
+        s"$name: expected the compiled graft_hashed_score:\n$p")
+      assert(!p.contains("Join"), s"$name: scoring must not join or explode:\n$p")
+      assert(!p.contains("Generate"), s"$name: no per-doc n-gram explode:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+        s"$name: scoring must be shuffle-free up to the final sort:\n$p")
+    }
+  }
+
+  test("q_tempmix: threshold frame broadcasts; corpus never sort-merges") {
+    val p = plan("q_tempmix")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast thresholds:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle on source:\n$p")
+  }
+
   test("no declared batch query plans a CartesianProduct") {
     // the one plan shape that is ALWAYS wrong at 100 TB: every declared
     // subquery/probe/cross pattern must come out as a broadcast (1-row
