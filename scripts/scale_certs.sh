@@ -59,6 +59,12 @@
 #                  marking; per-class sorts bound the disk the full
 #                  window sort cannot) — plus a full production run
 #                  pinning exact corpus token conservation.
+#   --prune128-cert  the g >= 128 coarse level of assignCentroidPruned
+#                  (the compiled CoarsePruneExpr path past the inline-
+#                  expression codegen cliff at c ~ 16k): (vec_id, cid)
+#                  bit-equality vs the flat broadcast-frame join plan at
+#                  c = 65,536 (g = 256) over a deterministic subsample,
+#                  both wall timings + a full-corpus pruned timing.
 #   --semdedup-cert  q_semdedup at SemDeDup's published scale regime
 #                  (c ∝ n, the literal-centroid oracle replay is out of
 #                  envelope): assignment duality at c=64 (inline-
@@ -86,7 +92,7 @@ DIR="${1:-/tmp/graft-sf100}"
 # any FAILED marker, and only then print the cert lines.
 for cert in --lsh-cert --cc-cert --windup-cert --stream-cert --sketch-cert \
             --streamjoin-cert --keep-cert --incr-cert --curate-cert \
-            --semdedup-cert --substr-cert; do
+            --semdedup-cert --substr-cert --prune128-cert; do
   out=$(SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" \
         SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
         SPARK_GRAFT_SF_DIR="$DIR" \
@@ -100,7 +106,7 @@ for cert in --lsh-cert --cc-cert --windup-cert --stream-cert --sketch-cert \
     echo "scale certificates: $cert FAILED (failure marker in output)" >&2
     exit 1
   fi
-  lines=$(grep -E "\[(lsh|cc|windup|stream|streamjoin|sketch|keep|incr|curate|semdedup|substr)-cert\]" <<<"$out") || {
+  lines=$(grep -E "\[(lsh|cc|windup|stream|streamjoin|sketch|keep|incr|curate|semdedup|substr|prune128)-cert\]" <<<"$out") || {
     echo "scale certificates: $cert produced no cert line" >&2
     exit 1
   }

@@ -152,6 +152,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         def dblTable(e: org.apache.spark.sql.catalyst.expressions.Expression): IndexedSeq[Double] =
           e.eval() match {
             case a: ArrayData =>
+              // ADVICE r13: toDoubleArray() on an array with a NULL element
+              // throws a raw NPE/assertion — route it to the typed error.
+              var i = 0
+              while (i < a.numElements()) {
+                if (a.isNullAt(i)) throw new IllegalArgumentException(
+                  s"graft_hashed_score: weight table must be a non-null literal ARRAY<DOUBLE>, " +
+                    s"but element $i is NULL")
+                i += 1
+              }
               a.toDoubleArray().toIndexedSeq
             case other => throw new IllegalArgumentException(
               s"graft_hashed_score: weight table must be a non-null literal ARRAY<DOUBLE>, got ${
@@ -162,6 +171,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             graft.expressions.HashedNgramScore(text, dblTable(u), dblTable(b))
           case _ => throw new IllegalArgumentException(
             "graft_hashed_score(text, uni_weights, bi_weights) — weight tables must be literal arrays")
+        }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_coarse_prune"),
+      new ExpressionInfo(classOf[graft.expressions.CoarsePruneExpr].getName, "graft_coarse_prune"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // model artifacts arrive as foldable ARRAY<DOUBLE> literals (the
+        // graft_hashed_score pattern): flattened g×dim coarse centers,
+        // per-group ‖g‖², slack-inflated radii
+        def dblLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): IndexedSeq[Double] =
+          e.eval() match {
+            case a: ArrayData =>
+              var i = 0
+              while (i < a.numElements()) {
+                if (a.isNullAt(i)) throw new IllegalArgumentException(
+                  s"graft_coarse_prune: $what must be a non-null literal ARRAY<DOUBLE>, " +
+                    s"but element $i is NULL")
+                i += 1
+              }
+              a.toDoubleArray().toIndexedSeq
+            case other => throw new IllegalArgumentException(
+              s"graft_coarse_prune: $what must be a non-null literal ARRAY<DOUBLE>, got ${
+                if (other == null) "NULL" else other}")
+          }
+        children match {
+          case Seq(vec, cs, gg, rs) if cs.foldable && gg.foldable && rs.foldable =>
+            graft.expressions.CoarsePruneExpr(vec,
+              dblLit(cs, "flat centers"), dblLit(gg, "group norms"), dblLit(rs, "radii"))
+          case _ => throw new IllegalArgumentException(
+            "graft_coarse_prune(vec, flat_centers, group_norms, radii) — model args must be literal arrays")
         }
       }))
     ext.injectFunction((

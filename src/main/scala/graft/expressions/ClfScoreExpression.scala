@@ -38,17 +38,10 @@ object ClfScore {
 
   private val Ws = java.util.regex.Pattern.compile(" +")
 
-  /** Continue the Rabin-Karp fold over `s` from accumulator `h`. */
-  private def hashCont(h0: Long, s: String): Long = {
-    var h = h0
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      h = (h * RollingHash.Base + cp) % RollingHash.Mod
-      i += Character.charCount(cp)
-    }
-    h
-  }
+  // The Rabin-Karp continuation fold lives ONCE on RollingHash (ADVICE
+  // r13: this was duplicated verbatim here and in HashedScore — a future
+  // constant change in one would silently diverge the other).
+  private def hashCont(h0: Long, s: String): Long = RollingHash.hashCont(h0, s)
 
   private def weight(hash: Long): Long =
     (hash % Buckets) * Mult % Mod - Shift

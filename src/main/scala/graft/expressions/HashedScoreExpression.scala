@@ -35,17 +35,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * hash — no n-gram string is materialized.
  */
 object HashedScore {
-  /** Continue the Rabin-Karp fold over `s` from accumulator `h`. */
-  private def hashCont(h0: Long, s: String): Long = {
-    var h = h0
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      h = (h * RollingHash.Base + cp) % RollingHash.Mod
-      i += Character.charCount(cp)
-    }
-    h
-  }
+  // Single source of truth for the continuation fold: RollingHash.hashCont
+  // (ADVICE r13 — was duplicated verbatim here and in ClfScore).
+  private def hashCont(h0: Long, s: String): Long = RollingHash.hashCont(h0, s)
 
   private val Ws = java.util.regex.Pattern.compile(" +")
 

@@ -21,18 +21,24 @@ object RollingHash {
   val Base: Long = 31L
   val Mod: Long  = 1000000007L
 
-  /** Shared by eval and generated code (one call per row; the loop JITs). */
-  def hash(s: UTF8String): Long = {
-    val str = s.toString
-    var h   = Seed
-    var i   = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
+  /** Continue the polynomial fold over `s`'s codepoints from accumulator
+    * `h0`. THE single definition of the Rabin-Karp recurrence — the
+    * bigram-continuation trick in [[ClfScore]]/[[HashedScore]] and the
+    * doc fingerprint here must stay the same fold, or their "hash(a⧺' '⧺b)
+    * = fold(fold(hash(a),' '),b)" identity silently breaks (ADVICE r13). */
+  def hashCont(h0: Long, s: String): Long = {
+    var h = h0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
       h = (h * Base + cp) % Mod
       i += Character.charCount(cp)
     }
     h
   }
+
+  /** Shared by eval and generated code (one call per row; the loop JITs). */
+  def hash(s: UTF8String): Long = hashCont(Seed, s.toString)
 }
 
 /** STRING → LONG rolling-hash fingerprint (codegen'd). */

@@ -896,12 +896,21 @@ object Ann {
    * fold and the identical two-pass dmin/lowest-cid tie rule as the flat
    * plans — bit-equality certified by `Probe --semdedup-cert` legs 2–4.
    *
-   * Plan shape: the coarse level is g < 128 INLINE expressions (the
-   * codegen-viable regime [[assignCentroid]] is pinned to — that is what
-   * makes √c the right g), so pruning is a narrow per-row map with no
-   * shuffle and no interpreted HOF; the fine level is a broadcast hash
-   * join on gid over only the surviving groups' members. Per-row work
-   * drops from c dot products (twice) to g + (surviving members) ≈
+   * Plan shape: the coarse level has two physical forms with identical
+   * semantics — g < 128 INLINE expressions (the codegen-viable regime
+   * [[assignCentroid]] is pinned to), and past that cliff (c ≳ 16k ⇒
+   * g = √c ≥ 128, VERDICT r13 item 2) ONE compiled loop
+   * ([[graft.expressions.CoarsePruneExpr]], `graft_coarse_prune`) whose
+   * per-row cost is the same O(g·dim) without the 3·g-wide expression
+   * trees, so g is bounded only by the broadcastable model size. Either
+   * way pruning is a narrow per-row map with no shuffle and no
+   * interpreted HOF; coarse FP differences between the two forms are
+   * absorbed by the slack folded into r (pruning can only widen), and
+   * the fine level re-scores survivors exactly, so the assignment is
+   * bit-identical across both (`Probe --semdedup-cert` leg 5 pins the
+   * g ≥ 128 form against the flat plan). The fine level is a broadcast
+   * hash join on gid over only the surviving groups' members. Per-row
+   * work drops from c dot products (twice) to g + (surviving members) ≈
    * O(√c) for a well-spread quantizer; worst case (all centroids
    * coincident) degrades to the flat sweep, never below it in accuracy.
    */
@@ -932,13 +941,20 @@ object Ann {
 
     // per-row coarse distances (g inline codegen dot products), ub, and
     // the surviving-group set — all narrow, no shuffle
-    val v2 = Similarity.dotProduct(col(vecCol), col(vecCol))
-    val dbExprs = centers.map { gc =>
+    lazy val v2 = Similarity.dotProduct(col(vecCol), col(vecCol))
+    lazy val dbExprs = centers.map { gc =>
       val gg = gc.map(x => x * x).sum
       sqrt(greatest(lit(0.0), v2 - lit(2.0) * dotLit(col(vecCol), gc.toSeq) + lit(gg)))
     }
     def withCands(df: DataFrame): DataFrame =
-      df.withColumn("dbs", array(dbExprs.toIndexedSeq: _*))
+      if (centers.length >= 128) {
+        // past the inline-expression codegen cliff: the identical bound
+        // math as ONE compiled loop emitting the survivor array directly
+        val flat = centers.flatten.toSeq
+        val ggs  = centers.map(gc => gc.map(x => x * x).sum).toSeq
+        df.withColumn("gid", explode(call_function("graft_coarse_prune",
+          col(vecCol), typedLit(flat), typedLit(ggs), typedLit(radii.toSeq))))
+      } else df.withColumn("dbs", array(dbExprs.toIndexedSeq: _*))
         .withColumn("ub", array_min(array(
           centers.indices.map(i => element_at(col("dbs"), i + 1) + lit(radii(i))): _*)))
         .withColumn("gid", explode(array(

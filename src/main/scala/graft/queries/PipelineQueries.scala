@@ -367,11 +367,19 @@ object PipelineQueries {
     // α = 0.7 — mT5/XLM-R's rate schedule): per-source mix rates for a
     // half-corpus budget, materialized as a DETERMINISTIC per-doc keep
     // decision so a retry recomputes the identical subset (no random()).
-    // The keep rule is exact once the rate is fixed: rate rounds to 4
-    // decimals on BOTH sides, the threshold is floor(rate·65536) as a
-    // 4-hex-digit string, and a doc is kept iff its md5(doc_id) prefix
-    // sorts below it (the q_split band mechanism — 'g' sorts above every
-    // hex digit, so rate 1.0 keeps all). Plan: per-source counts are one
+    // The keep rule is exact once the rate is fixed: the raw p^0.7 rate is
+    // quantized ONCE by t = floor(rate·65536) (ADVICE r13: the previous
+    // round-to-4-decimals-then-floor double-rounding rode a float tie —
+    // BigDecimal HALF_UP vs DuckDB round could flip the 4th decimal), the
+    // emitted mix_rate is t/65536 (exact in binary — a power-of-two
+    // denominator), the threshold is t as a 4-hex-digit string, and a doc
+    // is kept iff its md5(doc_id) prefix sorts below it (the q_split band
+    // mechanism — 'g' sorts above every hex digit, so rate 1.0 keeps all).
+    // z's summation order is pinned on both sides (Scala left-fold over
+    // source-sorted counts; DuckDB list_reduce over list(... ORDER BY
+    // source)) so the one remaining float surface is pow() itself, whose
+    // ≤1-ulp cross-engine skew sits ~5 orders of magnitude below the
+    // 1/65536 quantization grid. Plan: per-source counts are one
     // partial-agg (≤|sources| rows), the rate/threshold frame broadcasts
     // into a narrow filter pass, and the kept aggregate re-groups by
     // source — at 100 TB this is scan-bound with two tiny shuffles.
@@ -381,13 +389,13 @@ object PipelineQueries {
         """WITH c AS (SELECT source, count(*) AS docs FROM documents GROUP BY 1),
           |t AS (SELECT CAST(sum(docs) AS BIGINT) AS n FROM c),
           |w AS (SELECT source, docs, pow(docs / t.n, 0.7) AS pw FROM c, t),
-          |z AS (SELECT sum(pw) AS z FROM w),
+          |z AS (SELECT list_reduce(list(pw ORDER BY source), (a, b) -> a + b) AS z FROM w),
           |r AS (SELECT source, docs,
-          |        round(least(1.0, (t.n / 2) * (pw / z.z) / docs), 4) AS mix_rate
+          |        CAST(floor(least(1.0, (t.n / 2) * (pw / z.z) / docs) * 65536) AS BIGINT) AS tq
           |      FROM w, z, t),
-          |h AS (SELECT source, docs, mix_rate,
-          |        CASE WHEN floor(mix_rate * 65536) >= 65536 THEN 'g'
-          |             ELSE printf('%04x', CAST(floor(mix_rate * 65536) AS INTEGER)) END AS hx
+          |h AS (SELECT source, docs, tq / 65536.0 AS mix_rate,
+          |        CASE WHEN tq >= 65536 THEN 'g'
+          |             ELSE printf('%04x', CAST(tq AS INTEGER)) END AS hx
           |      FROM r),
           |k AS (SELECT d.source, count(*) AS kept_docs, CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
           |      FROM documents d JOIN h USING (source)
@@ -404,9 +412,10 @@ object PipelineQueries {
       // rate/threshold math is driver-side scalar work, so the corpus is
       // scanned exactly TWICE at any scale (once to fit, once to filter),
       // not once per cross-joined scalar the relational form re-derives.
-      // Math.pow IS what Spark's POWER codegen calls, and the 4-decimal
-      // round below is Spark's own round (BigDecimal HALF_UP) — identical
-      // float path to an in-plan expression.
+      // Math.pow IS what Spark's POWER codegen calls; the single floor
+      // onto the 1/65536 grid is the only quantization step (ADVICE r13 —
+      // no intermediate decimal round), and z left-folds in source order,
+      // mirroring the oracle's list_reduce(list(... ORDER BY source)).
       val docs = Tables.documents(spark, dir)
       val perSrc = docs.groupBy("source").agg(count(lit(1)).as("docs"))
         .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
@@ -414,11 +423,9 @@ object PipelineQueries {
       val pw = perSrc.map { case (_, c) => math.pow(c.toDouble / n, 0.7) }
       val z  = pw.sum
       val rows = perSrc.zip(pw).map { case ((src, c), p) =>
-        val rate = BigDecimal(math.min(1.0, (n.toDouble / 2) * (p / z) / c))
-          .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-        val t  = math.floor(rate * 65536).toLong
+        val t  = math.floor(math.min(1.0, (n.toDouble / 2) * (p / z) / c) * 65536).toLong
         val hx = if (t >= 65536) "g" else f"$t%04x"
-        (src, c, rate, hx)
+        (src, c, t / 65536.0, hx)
       }
       import spark.implicits._
       val h = rows.toSeq.toDF("source", "docs", "mix_rate", "hx")

@@ -673,6 +673,63 @@ object Probe {
         f"flat_s=$flatS%.1f pruned_s=$prunedS%.1f $secs")
       assert(nFlat == nPruned && prunedOnly == 0L && flatOnly == 0L,
         s"two-level assignment duality FAILED at $dir")
+    } else if (args.headOption.contains("--prune128-cert")) {
+      // g ≥ 128 coarse-level certificate (VERDICT r13 item 2, leg 5 of
+      // the semdedup family): past c ≈ 16k, assignCentroidPruned's coarse
+      // level switches from √c inline expressions to the ONE-compiled-
+      // loop CoarsePruneExpr (`graft_coarse_prune`) — this cert pins that
+      // regime. Model: c = 65,536 deterministic corpus vectors (k-means++
+      // -style sampled centroids; quantizer QUALITY is irrelevant to the
+      // equality, only g = ⌈√c⌉ = 256 ≥ 128 matters), vectors cast to
+      // ARRAY<DOUBLE> so both plans fold identical element types.
+      // Equality: (vec_id, cid) exceptAll BOTH ways between the pruned
+      // two-level plan and the flat broadcast-frame join plan over a
+      // deterministic 1/32 subsample (the flat plan is n_sub × c scored
+      // rows TWICE by construction — the full corpus at c = 65,536 is
+      // exactly the regime the pruned path exists to make feasible), with
+      // both wall timings recorded. A full-corpus pruned run is timed as
+      // well: the production-regime number the flat plan cannot produce.
+      import org.apache.spark.sql.functions._
+      import graft.operators.Ann
+      import graft.Tables
+      val t0 = System.nanoTime()
+      def secs = f"${(System.nanoTime() - t0) / 1e9}%7.1f s"
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .cache()
+      val n = emb.count()
+      // both assignment plans emit no row for a NULL vector — compare
+      // against the non-null count, not n
+      val nVec = emb.where(col("embedding").isNotNull).count()
+      val cs = emb.where(col("vec_id") % 25 === 0)
+        .orderBy("vec_id")
+        .limit(65536)
+        .select("embedding")
+        .collect().map(_.getSeq[Double](0).toArray)
+      val c = cs.length
+      val g = math.ceil(math.sqrt(c.toDouble)).toInt
+      assert(g >= 128,
+        s"prune128 cert needs g >= 128 (got c=$c, g=$g) — run it on the factor-1000 slice")
+      val sub = emb.where(col("vec_id") % 32 === 0).cache()
+      val nSub = sub.count()
+      val tF0 = System.nanoTime()
+      val flatAsg = Ann.assignCentroidJoin(sub, Ann.semModelDF(spark, cs)).cache()
+      val nFlat = flatAsg.count()
+      val flatS = (System.nanoTime() - tF0) / 1e9
+      val tP0 = System.nanoTime()
+      val prunedAsg = Ann.assignCentroidPruned(sub, cs).cache()
+      val nPruned = prunedAsg.count()
+      val prunedS = (System.nanoTime() - tP0) / 1e9
+      val prunedOnly = prunedAsg.exceptAll(flatAsg).count()
+      val flatOnly   = flatAsg.exceptAll(prunedAsg).count()
+      val tW0 = System.nanoTime()
+      val nFull = Ann.assignCentroidPruned(emb, cs).count()
+      val fullS = (System.nanoTime() - tW0) / 1e9
+      println(f"[prune128-cert] dir=$dir c=$c g=$g n=$n n_vec=$nVec n_sub=$nSub " +
+        f"n_flat=$nFlat n_pruned=$nPruned pruned_only=$prunedOnly flat_only=$flatOnly " +
+        f"flat_s=$flatS%.1f pruned_s=$prunedS%.1f full_pruned_rows=$nFull full_pruned_s=$fullS%.1f $secs")
+      assert(nFlat == nPruned && prunedOnly == 0L && flatOnly == 0L && nFull == nVec,
+        s"g>=128 two-level assignment duality FAILED at $dir")
     } else if (args.headOption.contains("--nsw-serve")) {
       // Build-vs-serve split for the ANN graph path (VERDICT r10 item 5):
       // q_hnsw's bench number deliberately pays the O(n·m·ef·d) graph

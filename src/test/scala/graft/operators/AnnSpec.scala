@@ -395,6 +395,24 @@ class AnnSpec extends AnyFunSuite {
     assert(got.count() === emb.count())
   }
 
+  test("g >= 128 compiled coarse level is bit-identical to the flat join plan") {
+    // VERDICT r13 item 2 at spec scale: past c ≈ 16k the coarse level is
+    // the ONE-compiled-loop CoarsePruneExpr (graft_coarse_prune) instead
+    // of √c inline expressions. c = 16,384 ⇒ g = 128 routes through the
+    // compiled branch; quantizer quality is irrelevant to the equality
+    // (deterministic Gaussian centroids), only the regime switch is.
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir).where(col("vec_id") < 500)
+    val dim = emb.selectExpr("size(embedding)").first().getInt(0)
+    val rnd = new scala.util.Random(7L)
+    val centroids = Array.fill(16384)(Array.fill(dim)(rnd.nextGaussian()))
+    val flatPlan   = Ann.assignCentroidJoin(emb, Ann.semModelDF(spark, centroids))
+    val prunedPlan = Ann.assignCentroidPruned(emb, centroids)
+    assert(prunedPlan.exceptAll(flatPlan).count() === 0L)
+    assert(flatPlan.exceptAll(prunedPlan).count() === 0L)
+    assert(prunedPlan.count() === 500L)
+  }
+
   test("tombstoned deletes: masked serve excludes them; compaction equals a from-scratch rebuild") {
     // VERDICT r12 item 6 at spec scale: delete a third of the corpus,
     // serve through the tombstones (no deleted id emitted; all-false-mask
