@@ -174,6 +174,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_pairs"),
+      new ExpressionInfo(classOf[graft.expressions.BpePairsUnder].getName, "graft_bpe_pairs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // the learned merge table arrives as a foldable ARRAY<STRING> of
+        // space-joined "left right" entries in rank order (symbols never
+        // contain a space, so the join is lossless)
+        def mergeTable(e: org.apache.spark.sql.catalyst.expressions.Expression): IndexedSeq[(String, String)] =
+          e.eval() match {
+            case a: ArrayData =>
+              (0 until a.numElements()).map { i =>
+                if (a.isNullAt(i)) throw new IllegalArgumentException(
+                  s"graft_bpe_pairs: merge table element $i is NULL")
+                val parts = a.getUTF8String(i).toString.split(' ')
+                if (parts.length != 2 || parts.exists(_.isEmpty))
+                  throw new IllegalArgumentException(
+                    s"graft_bpe_pairs: merge entry $i must be 'left right', got '${a.getUTF8String(i)}'")
+                (parts(0), parts(1))
+              }
+            case other => throw new IllegalArgumentException(
+              s"graft_bpe_pairs: merge table must be a non-null literal ARRAY<STRING>, got ${
+                if (other == null) "NULL" else other}")
+          }
+        children match {
+          case Seq(word, t) if t.foldable =>
+            graft.expressions.BpePairsUnder(word, mergeTable(t))
+          case _ => throw new IllegalArgumentException(
+            "graft_bpe_pairs(word, merges) — merge table must be a literal array")
+        }
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_coarse_prune"),
       new ExpressionInfo(classOf[graft.expressions.CoarsePruneExpr].getName, "graft_coarse_prune"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -46,15 +46,16 @@ object BpeEncode {
   private val merges: Array[(String, String, String)] =
     graft.functions.BpeTokenizer.Merges.map { case (a, b) => (a, b, a + b) }.toArray
 
-  /** Encode chars [start, end) of `s` (one word). Appends the BPE symbols
-    * to `out` when non-null; always returns the token count. */
-  private def encodeWord(
+  /** Symbol sequence of chars [start, end) of `s` (one word) under
+    * `table`: split per code point, then each merge applied as one
+    * left-to-right non-overlapping in-place pass. Returns (syms, n) —
+    * the live prefix length n, the backing array may be longer. The
+    * table is a parameter so BPE TRAINING ([[BpePairsUnder]]) can walk
+    * the same loop under its growing learned table; the fixed-table
+    * apply path passes [[merges]] and is bit-unchanged. */
+  private[expressions] def wordSymbols(
       s: String, start: Int, end: Int,
-      out: java.util.ArrayList[UTF8String]): Int = {
-    if (start == end) { // split("", "") = [""]: one empty-string token
-      if (out != null) out.add(UTF8String.EMPTY_UTF8)
-      return 1
-    }
+      table: Array[(String, String, String)]): (Array[String], Int) = {
     // split(word, "") — one symbol per code point
     val syms = new Array[String](end - start)
     var n = 0
@@ -66,8 +67,8 @@ object BpeEncode {
       i += cc
     }
     var m = 0
-    while (m < merges.length) {
-      val (a, b, ab) = merges(m)
+    while (m < table.length) {
+      val (a, b, ab) = table(m)
       var w = 0
       var r = 0
       while (r < n) {
@@ -78,6 +79,19 @@ object BpeEncode {
       n = w
       m += 1
     }
+    (syms, n)
+  }
+
+  /** Encode chars [start, end) of `s` (one word). Appends the BPE symbols
+    * to `out` when non-null; always returns the token count. */
+  private def encodeWord(
+      s: String, start: Int, end: Int,
+      out: java.util.ArrayList[UTF8String]): Int = {
+    if (start == end) { // split("", "") = [""]: one empty-string token
+      if (out != null) out.add(UTF8String.EMPTY_UTF8)
+      return 1
+    }
+    val (syms, n) = wordSymbols(s, start, end, merges)
     if (out != null) {
       var j = 0
       while (j < n) { out.add(UTF8String.fromString(syms(j))); j += 1 }
@@ -115,6 +129,62 @@ object BpeEncode {
 
   /** STRING document → BIGINT token count (no output array materialized). */
   def tokenCount(text: UTF8String): Long = walk(text, null)
+}
+
+/**
+ * STRING word → ARRAY<STRING> of adjacent symbol pairs ("left right",
+ * space-joined — symbols never contain a space, words being split on
+ * runs of them, so the join is lossless) after encoding the word under a
+ * LEARNED merge table that rides along as an expression reference. One
+ * pair per adjacent POSITION — overlapping occurrences count, e.g.
+ * "aaa" → [(a,a), (a,a)] — which is the Sennrich et al. 2016 `get_stats`
+ * definition BPE training maximizes over. SQL name `graft_bpe_pairs`;
+ * the per-iteration scoring pass of [[graft.functions.BpeTrain]].
+ *
+ * Input is a single WORD (the trainer's word-frequency table), not a
+ * document — doc→word splitting happened once, in the fit's only
+ * corpus-scale pass.
+ */
+case class BpePairsUnder(child: Expression, table: IndexedSeq[(String, String)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_pairs expects a STRING word, got ${child.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val tableArr: Array[(String, String, String)] =
+    table.map { case (a, b) => (a, b, a + b) }.toArray
+
+  /** Public for generated code. */
+  def pairsRow(word: UTF8String): ArrayData = {
+    val s = word.toString
+    if (s.isEmpty) return new GenericArrayData(Array.empty[AnyRef])
+    val (syms, n) = BpeEncode.wordSymbols(s, 0, s.length, tableArr)
+    if (n < 2) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = UTF8String.fromString(syms(i) + " " + syms(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    pairsRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpePairs", this, classOf[BpePairsUnder].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.pairsRow($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** STRING → ARRAY<STRING>: the document's BPE token stream under the fixed

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Pins the assumptions scripts/check_counts.sh builds on: unique names,
   * the dynamic-oracle list naming real registry entries that are indeed
   * oracle-less when cold, and the rows-only remainder being exactly the
-  * three declared SQL-inexpressible sketches. A registry edit that breaks
+  * declared SQL-inexpressible set (sketch trio + BPE trainer). A registry edit that breaks
   * any of these would silently skew the doc-count gate's arithmetic. */
 class RegistryCountsSpec extends AnyFunSuite {
 
@@ -27,13 +27,13 @@ class RegistryCountsSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only remainder is exactly the declared sketch trio") {
+  test("rows-only remainder is exactly the declared sketch trio + BPE trainer") {
     val static  = reg.filter(_.oracle.isDefined).map(_.name).toSet
     val rowsOnly = reg.map(_.name)
       .filterNot(static)
       .filterNot(AnnMediaQueries.dynamicOracleNames.contains)
       .toSet
-    assert(rowsOnly == Set("q_approxd", "q_approxq", "q_hll"),
+    assert(rowsOnly == Set("q_approxd", "q_approxq", "q_hll", "q_bpe_train"),
       s"rows-only set drifted: $rowsOnly")
   }
 
