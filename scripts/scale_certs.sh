@@ -59,6 +59,12 @@
 #                  marking; per-class sorts bound the disk the full
 #                  window sort cannot) — plus a full production run
 #                  pinning exact corpus token conservation.
+#   --bpe-cert     q_bpe_train (no SQL oracle by declared contract — the
+#                  iterated data-dependent argmax): the distributed
+#                  trainer vs the definitional single-node Sennrich loop
+#                  run driver-side over the COLLECTED word-frequency
+#                  table (vocabulary-bounded at any corpus scale) —
+#                  exact table equality: ranks, pairs, summed counts.
 #   --prune128-cert  the g >= 128 coarse level of assignCentroidPruned
 #                  (the compiled CoarsePruneExpr path past the inline-
 #                  expression codegen cliff at c ~ 16k): (vec_id, cid)
@@ -92,7 +98,7 @@ DIR="${1:-/tmp/graft-sf100}"
 # any FAILED marker, and only then print the cert lines.
 for cert in --lsh-cert --cc-cert --windup-cert --stream-cert --sketch-cert \
             --streamjoin-cert --keep-cert --incr-cert --curate-cert \
-            --semdedup-cert --substr-cert --prune128-cert; do
+            --semdedup-cert --substr-cert --prune128-cert --bpe-cert; do
   out=$(SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" \
         SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
         SPARK_GRAFT_SF_DIR="$DIR" \
@@ -106,7 +112,7 @@ for cert in --lsh-cert --cc-cert --windup-cert --stream-cert --sketch-cert \
     echo "scale certificates: $cert FAILED (failure marker in output)" >&2
     exit 1
   fi
-  lines=$(grep -E "\[(lsh|cc|windup|stream|streamjoin|sketch|keep|incr|curate|semdedup|substr|prune128)-cert\]" <<<"$out") || {
+  lines=$(grep -E "\[(lsh|cc|windup|stream|streamjoin|sketch|keep|incr|curate|semdedup|substr|prune128|bpe)-cert\]" <<<"$out") || {
     echo "scale certificates: $cert produced no cert line" >&2
     exit 1
   }

@@ -110,6 +110,17 @@ SUBSET=$SUBSET,q_hnsw_del
 # Round 13: temperature-scaled source mixing (20-row output; oracle is
 # one md5 band test per doc — linear, the q_split cost class).
 SUBSET=$SUBSET,q_tempmix
+# Round 14: perceptual dHash of every asset (5M-row output, linear
+# byte-replay oracle — the q_media_resize cost class), strict
+# row-compare. q_mediadup itself joins the quadratic-oracle exclusion
+# class (its oracle is the definitional all-pairs EXISTS at 5M assets);
+# its factor-1000 correctness is carried by q_phash here (the hashes the
+# banding consumes, checked corpus-wide) + the banding-duality and
+# pigeonhole-closure specs (MultimodalSpec). q_bpe_train has no SQL
+# oracle by declared contract; its factor-1000 witness is
+# `Probe --bpe-cert` (distributed trainer vs the definitional
+# single-node loop over the collected word-frequency table).
+SUBSET=$SUBSET,q_phash
 
 # Digest-mode names: row-preserving 20M-300M-row outputs (full-content
 # order-independent hash compare; see header).

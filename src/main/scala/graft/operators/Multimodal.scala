@@ -127,6 +127,52 @@ object Multimodal {
     Array.tabulate(m)(i => payload((i.toLong * n / m).toInt))
   }
 
+  /**
+   * Perceptual difference-hash (dHash) of a media payload — the image
+   * near-dup fingerprint (VERDICT r13 item 4: the raw-media analog of
+   * MinHash/SimHash). Real dHash resizes the decoded image to a 9×8
+   * luminance grid and sets one bit per horizontal gradient
+   * (pixel[i] > pixel[i+1]); with the codec stubbed (this container has
+   * no image libraries), the decode+resize stands in as the SAME
+   * even-stride byte downsample the resize stage uses
+   * ([[strideSample]] to 64 bytes), and each bit is the byte gradient
+   * `sample[i] > sample[i+1]` — bit i of the result, LSB-first. At most
+   * 63 bits are set (64-byte sample → 63 gradients), which keeps the
+   * hash — and the DuckDB oracle's Σ 2^i replay — inside non-negative
+   * BIGINT range. The construction is deterministic byte math end to
+   * end, so q_mediadup is hash-checked by a full SQL oracle rather than
+   * a literal-table replay. Payloads shorter than the grid hash their
+   * m−1 gradients; empty/1-byte payloads hash to 0.
+   *
+   * The dHash property that makes banding sound survives the stub: a
+   * LOCAL payload perturbation moves few sampled bytes, so few gradient
+   * bits flip — Hamming distance is the right near-dup metric on it.
+   */
+  def dHash(payload: Array[Byte], gridBytes: Int = 64): Long = {
+    val s = strideSample(payload, gridBytes)
+    var h = 0L
+    var i = 0
+    while (i < s.length - 1) {
+      if ((s(i) & 0xFF) > (s(i + 1) & 0xFF)) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** One perceptual-hash row per asset. */
+  case class PerceptualHash(asset_id: Long, dhash: Long)
+
+  /** Partition-wise batched perceptual hashing — the decode→hash stage in
+    * the same mapPartitions batch shape as [[decodeFeatures]] (codec
+    * state once per partition; narrow, no shuffle). */
+  def perceptualHashes(spark: SparkSession, media: DataFrame): Dataset[PerceptualHash] = {
+    import spark.implicits._
+    media.select("asset_id", "media")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map(r => PerceptualHash(r.getLong(0), dHash(r.getAs[Array[Byte]](1))))
+      }
+  }
+
   def resizeAssets(spark: SparkSession, media: DataFrame, targetBytes: Int = 256): Dataset[ResizedAsset] = {
     import spark.implicits._
     media.select("asset_id", "media")

@@ -612,6 +612,86 @@ object AnnMediaQueries {
         .orderBy("asset_id")
     },
 
+    // Perceptual hash (dHash) of every media payload — the raw-media
+    // fingerprint q_mediadup's banding consumes, pinned row-for-row on
+    // the WHOLE corpus (q_mediadup's keep-first output only surfaces the
+    // near-dup tail, which is sparse on a distinct-text corpus — this
+    // query is what makes the hash replay itself fully hash-checked).
+    // Narrow mapPartitions batch map, zero shuffles before the
+    // presentation sort.
+    Declared(
+      "q_phash",
+      Some(
+        """SELECT doc_id AS asset_id,
+          |       coalesce(CAST(list_sum(list_transform(range(least(len(text), 64) - 1),
+          |         i -> CASE WHEN ascii(text[CAST(i * len(text) // least(len(text), 64) AS INT) + 1])
+          |                      > ascii(text[CAST((i + 1) * len(text) // least(len(text), 64) AS INT) + 1])
+          |                   THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT), 0) AS dhash
+          |FROM documents ORDER BY asset_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val media = Multimodal.mediaFrame(Tables.documents(spark, dir))
+      Multimodal.perceptualHashes(spark, media).toDF().orderBy("asset_id")
+    },
+
+    // Perceptual-hash media NEAR-dup (VERDICT r13 item 4 — the raw-media
+    // analog of MinHash-LSH): dHash every payload (mapPartitions batched
+    // stub codec, Multimodal.dHash — stride-sample to the 64-byte grid,
+    // one bit per byte gradient), then find assets with an EARLIER asset
+    // within Hamming distance 3 — keep-first drop semantics, like every
+    // dedup stage here. Plan: the 63-bit hash splits into 4 disjoint
+    // 16-bit bands; candidates must share a band (ONE shuffle keyed on
+    // (band, value)), and the exact Hamming verify rides IN the left-semi
+    // join condition, so no pair set materializes and a probe row stops
+    // at its first qualifying partner (the semDedupDropped shape — on
+    // ScaleUp slices every asset has factor× identical copies and a pair
+    // formulation would shuffle copies² rows). BUCKET CLOSURE: banding is
+    // LOSSLESS at tau = 3 by pigeonhole — 4 disjoint bands and <= 3
+    // differing bits leave >= 1 band bit-identical, so every qualifying
+    // pair shares a bucket and the exact verify inside the bucket makes
+    // the plan equal to the all-pairs definition. The oracle IS that
+    // definition: an O(n²) EXISTS over SQL-replayed hashes (deterministic
+    // byte math, ASCII corpus — the q_media_resize byte-oracle technique),
+    // which is why this query joins the declared quadratic-oracle family
+    // (sf100 sweep exclusion; the banding plan itself is linear in
+    // corpus + bucket-local work).
+    Declared(
+      "q_mediadup",
+      Some(
+        """WITH h AS (
+          |  SELECT doc_id AS asset_id,
+          |         coalesce(CAST(list_sum(list_transform(range(least(len(text), 64) - 1),
+          |           i -> CASE WHEN ascii(text[CAST(i * len(text) // least(len(text), 64) AS INT) + 1])
+          |                        > ascii(text[CAST((i + 1) * len(text) // least(len(text), 64) AS INT) + 1])
+          |                     THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT), 0) AS dhash
+          |  FROM documents)
+          |SELECT b.asset_id, b.dhash FROM h b
+          |WHERE EXISTS (SELECT 1 FROM h a
+          |              WHERE a.asset_id < b.asset_id
+          |                AND bit_count(xor(a.dhash, b.dhash)) <= 3)
+          |ORDER BY asset_id""".stripMargin
+      )
+    ) { (spark, dir) =>
+      val media  = Multimodal.mediaFrame(Tables.documents(spark, dir))
+      val hashes = Multimodal.perceptualHashes(spark, media).toDF()
+      val bands = hashes.select(col("asset_id"), col("dhash"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bval"))): _*)).as("bb"))
+        .select(col("asset_id"), col("dhash"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+      val earlier = bands.select(
+        col("band").as("band_a"), col("bval").as("bval_a"),
+        col("asset_id").as("aid"), col("dhash").as("ha"))
+      bands.join(earlier,
+          col("band") === col("band_a") && col("bval") === col("bval_a") &&
+            col("aid") < col("asset_id") &&
+            expr("bit_count(dhash ^ ha) <= 3"),
+          "left_semi")
+        .select("asset_id", "dhash")
+        .distinct()
+        .orderBy("asset_id")
+    },
+
     // per-label embedding centroids (the k-means E-step / class-prototype
     // computation): posexplode to (label, dim, component), partial-agg mean
     // per (label, dim), then fold dims back into the centroid L2 norm. Two

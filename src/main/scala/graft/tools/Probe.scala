@@ -673,6 +673,71 @@ object Probe {
         f"flat_s=$flatS%.1f pruned_s=$prunedS%.1f $secs")
       assert(nFlat == nPruned && prunedOnly == 0L && flatOnly == 0L,
         s"two-level assignment duality FAILED at $dir")
+    } else if (args.headOption.contains("--bpe-cert")) {
+      // q_bpe_train factor-scale certificate: the distributed trainer
+      // (corpus pass → word-frequency table → N compiled pair-count →
+      // argmax iterations) vs the DEFINITIONAL single-node Sennrich loop
+      // run driver-side over the COLLECTED word-frequency table — the
+      // fit's own model-artifact class (vocabulary-bounded at any corpus
+      // scale; the corpus itself never leaves the cluster). Equality is
+      // exact: ranks, pairs, AND summed pair counts, which pins the
+      // whole-corpus aggregation (the 5M-doc word-count pass) and the
+      // distributed argmax/tie path in one check.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.unsafe.types.UTF8String
+      import graft.Tables
+      val t0 = System.nanoTime()
+      def secs = f"${(System.nanoTime() - t0) / 1e9}%7.1f s"
+      val docs = Tables.documents(spark, dir)
+      val got  = graft.functions.BpeTrain.fitMerges(docs, "text", 12)
+      val gotS = (System.nanoTime() - t0) / 1e9
+      val wf = docs.select(explode(split(col("text"), " +")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val vocab = wf.length
+      // definitional loop (mirrors BpeTrainSpec.referenceFit, from freqs)
+      val freq = scala.collection.mutable.Map.empty[List[String], Long]
+      wf.foreach { case (w, f) =>
+        val syms = w.codePoints().toArray.toList.map(Character.toChars(_).mkString)
+        freq(syms) = freq.getOrElse(syms, 0L) + f
+      }
+      def binLt(a: String, b: String): Boolean =
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+      val want = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+      var k = 1
+      var done = false
+      while (k <= 12 && !done) {
+        val stats = scala.collection.mutable.Map.empty[(String, String), Long]
+        freq.foreach { case (syms, f) =>
+          syms.zip(syms.drop(1)).foreach(p => stats(p) = stats.getOrElse(p, 0L) + f)
+        }
+        if (stats.isEmpty) done = true
+        else {
+          val (bl, br) = stats.keys.reduceLeft { (p, q) =>
+            val (cp, cq) = (stats(p), stats(q))
+            if (cp > cq) p else if (cq > cp) q
+            else if (binLt(p._1, q._1)) p else if (binLt(q._1, p._1)) q
+            else if (binLt(p._2, q._2)) p else q
+          }
+          want += ((k, bl, br, stats((bl, br))))
+          val merged = freq.toSeq.map { case (syms, f) =>
+            val buf = scala.collection.mutable.ListBuffer.empty[String]
+            syms.foreach { s =>
+              if (buf.nonEmpty && buf.last == bl && s == br) { buf.remove(buf.length - 1); buf += (bl + br) }
+              else buf += s
+            }
+            (buf.toList, f)
+          }
+          freq.clear()
+          merged.foreach { case (syms, f) => freq(syms) = freq.getOrElse(syms, 0L) + f }
+          k += 1
+        }
+      }
+      val eq = got == want.toList
+      println(f"[bpe-cert] dir=$dir vocab=$vocab merges=${got.length} " +
+        f"table_equal=$eq dist_s=$gotS%.1f top=${got.headOption.map(m => s"${m._2}+${m._3}:${m._4}").getOrElse("-")} $secs")
+      assert(eq, s"BPE trainer vs definitional loop FAILED at $dir:\n got=$got\nwant=${want.toList}")
     } else if (args.headOption.contains("--prune128-cert")) {
       // g ≥ 128 coarse-level certificate (VERDICT r13 item 2, leg 5 of
       // the semdedup family): past c ≈ 16k, assignCentroidPruned's coarse

@@ -69,6 +69,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(big.out_bytes === n)
   }
 
+  test("dHash: exact copies collide; a local byte edit stays within the Hamming band") {
+    val base = Array.tabulate(640)(i => ((i * 37 + 11) % 251).toByte)
+    val copy = base.clone()
+    assert(Multimodal.dHash(base) === Multimodal.dHash(copy))
+    // one flipped payload byte moves at most one sampled grid byte, which
+    // touches at most its two adjacent gradients — the locality that makes
+    // Hamming the right near-dup metric on the hash
+    val edited = base.clone(); edited(300) = (edited(300) ^ 0x7f).toByte
+    val d = java.lang.Long.bitCount(Multimodal.dHash(base) ^ Multimodal.dHash(edited))
+    assert(d <= 2, s"local edit flipped $d hash bits")
+    assert((Multimodal.dHash(base) & (1L << 63)) === 0L, "bit 63 must stay clear (oracle BIGINT range)")
+  }
+
+  test("pigeonhole closure: any pair within Hamming 3 shares one of the 4 16-bit bands") {
+    // the q_mediadup banding-losslessness argument, checked exhaustively
+    // over random hashes with <= 3 planted bit flips
+    val rnd = new scala.util.Random(11L)
+    (1 to 500).foreach { _ =>
+      val h1 = rnd.nextLong() & ((1L << 63) - 1)
+      var h2 = h1
+      (1 to rnd.nextInt(4)).foreach(_ => h2 ^= 1L << rnd.nextInt(63))
+      val shares = (0 until 4).exists(b => ((h1 >> (b * 16)) & 0xFFFF) == ((h2 >> (b * 16)) & 0xFFFF))
+      assert(shares, f"pair at Hamming ${java.lang.Long.bitCount(h1 ^ h2)} shares no band: $h1%x vs $h2%x")
+    }
+  }
+
+  test("mediadup keep-first drops planted near-dups (exact copy + local edit) and spares the far asset") {
+    import spark.implicits._
+    // classes: {1,2,3} exact copies, 4 = one-char edit of the same text
+    // (a local perturbation, so within the Hamming band), 5 far
+    val a   = "the quick brown fox jumps over the lazy dog " * 8
+    val b   = a.updated(100, 'Q')
+    val far = "zyxw" * 90
+    val docs = Seq((1L, a), (2L, a), (3L, a), (4L, b), (5L, far))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val hashes = Multimodal.perceptualHashes(spark, Multimodal.mediaFrame(docs))
+      .collect().map(p => p.asset_id -> p.dhash).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val dropped = hashes.keys
+      .filter(id => hashes.keys.exists(o => o < id && ham(hashes(o), hashes(id)) <= 3)).toSet
+    assert(dropped === Set(2L, 3L, 4L))
+  }
+
+  test("q_mediadup's banded plan equals the definitional all-pairs drop set on the corpus") {
+    // banding duality at spec scale: the declared plan (4×16-bit band
+    // buckets + in-join Hamming verify, left-semi) vs a driver-side
+    // brute-force over the same hashes — must agree exactly (the
+    // pigeonhole test above is WHY; this is THAT it does)
+    val media = Multimodal.mediaFrame(Tables.documents(spark, dir))
+    val hs = Multimodal.perceptualHashes(spark, media)
+      .collect().map(p => p.asset_id -> p.dhash).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val want = hs.keys
+      .filter(id => hs.keys.exists(o => o < id && ham(hs(o), hs(id)) <= 3)).toSet
+    val got = graft.SparkEntry.queries("q_mediadup")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === want)
+  }
+
   test("metadata predicates prune without touching payloads") {
     val media  = Multimodal.mediaFrame(Tables.documents(spark, dir))
     val images = media.filter(col("meta.kind") === "image").select("asset_id", "meta.n_bytes")
