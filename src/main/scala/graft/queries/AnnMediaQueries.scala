@@ -649,12 +649,16 @@ object AnnMediaQueries {
     // LOSSLESS at tau = 3 by pigeonhole — 4 disjoint bands and <= 3
     // differing bits leave >= 1 band bit-identical, so every qualifying
     // pair shares a bucket and the exact verify inside the bucket makes
-    // the plan equal to the all-pairs definition. The oracle IS that
-    // definition: an O(n²) EXISTS over SQL-replayed hashes (deterministic
-    // byte math, ASCII corpus — the q_media_resize byte-oracle technique),
-    // which is why this query joins the declared quadratic-oracle family
-    // (sf100 sweep exclusion; the banding plan itself is linear in
-    // corpus + bucket-local work).
+    // the plan equal to the all-pairs definition. The oracle replays the
+    // hash from raw bytes (deterministic byte math, ASCII corpus — the
+    // q_media_resize technique) and the SAME banded candidate cut — an
+    // equi join, so the oracle runs at every sweep scale where the
+    // definitional all-pairs EXISTS (no equi key) is O(n²) in any engine.
+    // The pigeonhole equivalence the banded oracle leans on is NOT taken
+    // on faith: MultimodalSpec checks closure exhaustively over planted
+    // <= 3-bit flips AND runs the banded plan against a driver-side
+    // brute-force all-pairs drop set; q_phash hash-checks the fingerprint
+    // itself corpus-wide at every scale.
     Declared(
       "q_mediadup",
       Some(
@@ -664,12 +668,15 @@ object AnnMediaQueries {
           |           i -> CASE WHEN ascii(text[CAST(i * len(text) // least(len(text), 64) AS INT) + 1])
           |                        > ascii(text[CAST((i + 1) * len(text) // least(len(text), 64) AS INT) + 1])
           |                     THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT), 0) AS dhash
-          |  FROM documents)
-          |SELECT b.asset_id, b.dhash FROM h b
-          |WHERE EXISTS (SELECT 1 FROM h a
-          |              WHERE a.asset_id < b.asset_id
-          |                AND bit_count(xor(a.dhash, b.dhash)) <= 3)
-          |ORDER BY asset_id""".stripMargin
+          |  FROM documents),
+          |bands AS (
+          |  SELECT asset_id, dhash, band, (dhash >> (band * 16)) & 65535 AS bval
+          |  FROM h, (SELECT unnest(range(4)) AS band))
+          |SELECT DISTINCT b.asset_id AS asset_id, b.dhash AS dhash
+          |FROM bands b JOIN bands a
+          |  ON a.band = b.band AND a.bval = b.bval AND a.asset_id < b.asset_id
+          | AND bit_count(xor(a.dhash, b.dhash)) <= 3
+          |ORDER BY b.asset_id""".stripMargin
       )
     ) { (spark, dir) =>
       val media  = Multimodal.mediaFrame(Tables.documents(spark, dir))
