@@ -286,6 +286,138 @@ object Ann {
       .limit(k)
   }
 
+  // ----- product quantization (PQ) -----------------------------------------
+
+  /**
+   * Product-quantization codebooks (Jégou, Douze, Schmid, "Product
+   * Quantization for Nearest Neighbor Search", TPAMI 2011 — public): split
+   * the D-dim space into `m` contiguous subspaces of D/m dims and fit an
+   * independent `ksub`-centroid quantizer per subspace, so a vector
+   * compresses to `m` small codes (m·log₂ksub bits instead of D·32) while
+   * distances remain computable in the COMPRESSED domain via per-subspace
+   * lookup tables ([[pqTopK]]). This is the 100 TB embedding-serving
+   * shape: a 2M×64-float corpus becomes 2M×m bytes — the scan that ranks
+   * candidates reads codes only, never raw vectors.
+   *
+   * Each subspace fit REUSES [[ivfFit]] verbatim on the sliced subvector
+   * column — deterministic lowest-id init, bounded `fitSample`, Lloyd on
+   * the sample — so determinism, null handling, and the fit-cost bound are
+   * the certified IVF properties, m times. (The m fits each pay ivfFit's
+   * count + sample scan; at fit time that is m bounded passes, not m×iters
+   * corpus passes — quantizer quality saturates on the sample.)
+   *
+   * Returns `codebooks(s)(j)` = the j-th centroid of subspace s.
+   */
+  def pqFit(
+      emb: DataFrame, m: Int, ksub: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      fitSample: Int = 4096): Array[Array[Array[Double]]] = {
+    val dim = firstVectorDim(emb, vecCol)
+    require(dim % m == 0, s"PQ m=$m must divide the vector dim $dim")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      ivfFit(
+        emb.select(col(idCol),
+          slice(col(vecCol), s * dsub + 1, dsub).as(vecCol)),
+        c = ksub, iters = iters, idCol = idCol, vecCol = vecCol,
+        fitSample = fitSample)
+    }
+  }
+
+  /** Dimensionality of the first non-null vector (pushed-limit 1-row scan). */
+  private def firstVectorDim(emb: DataFrame, vecCol: String): Int =
+    emb.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot infer PQ dims: column '$vecCol' has no non-null vectors"))
+
+  /**
+   * PQ-encode every vector: adds `codes ARRAY<INT>` (length m), where
+   * `codes(s)` = argmin over the subspace-s codebook of the squared L2
+   * distance to the vector's s-th subvector, ties to the LOWEST code.
+   *
+   * The per-subspace distance is the same left-to-right double fold as
+   * [[Similarity.squaredL2Distance]] and the codebook rides as a literal
+   * array — both replayable term-for-term in DuckDB (`list_transform` +
+   * left-fold `list_reduce`), which is what lets q_pq hash-check the whole
+   * compressed-domain path from centroid literals. Null vectors encode to
+   * null codes (the [[semAssigned]] convention: they belong to no cell).
+   * Narrow map, no shuffle — embarrassingly parallel at any scale.
+   */
+  def pqEncode(
+      emb: DataFrame, codebooks: Array[Array[Array[Double]]],
+      vecCol: String = "embedding"): DataFrame = {
+    val m    = codebooks.length
+    val dsub = codebooks.head.head.length
+    val codeCols = (0 until m).map { s =>
+      val sub = slice(col(vecCol), s * dsub + 1, dsub)
+      val ds  = array(codebooks(s).map(cb =>
+        Similarity.squaredL2Distance(sub, typedLit(cb.toSeq))).toIndexedSeq: _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }
+    emb.withColumn("codes",
+      when(col(vecCol).isNotNull, array(codeCols: _*)))
+  }
+
+  /** The asymmetric-distance lookup table for `probeVec`: `tab(s)(j)` =
+    * ‖probe_s − codebook(s)(j)‖² with the SAME left-to-right Scala fold
+    * the encode distances use — driver-side math on the m×ksub model, so
+    * ADC scoring needs no vector arithmetic at all. */
+  def pqAdcTable(
+      codebooks: Array[Array[Array[Double]]],
+      probeVec: Array[Double]): Array[Array[Double]] = {
+    val dsub = codebooks.head.head.length
+    codebooks.zipWithIndex.map { case (book, s) =>
+      book.map { cb =>
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { val t = probeVec(s * dsub + i) - cb(i); d += t * t; i += 1 }
+        d
+      }
+    }
+  }
+
+  /**
+   * PQ approximate top-k with exact rerank: rank the WHOLE corpus by the
+   * asymmetric compressed-domain distance — `adc = Σ_s tab(s)(codes(s))`,
+   * an m-term lookup sum over the codes column, zero vector math — keep
+   * the best `shortlist` ids, then exact-cosine rerank only those against
+   * the probe. Output schema `(vec_id, adc, sim)`, top-k by exact sim.
+   *
+   * The ADC scan is the scale story: at 100 TB the ranking pass reads
+   * m bytes per row (the codes column — parquet prunes the raw vectors
+   * away) and the exact rerank touches `shortlist` rows, so recall is the
+   * only thing the compression trades; the certified IVF cell pruning
+   * composes in front of this scan unchanged (filter nprobe cells, then
+   * ADC-rank inside them) when even the code scan must be pruned.
+   */
+  def pqTopK(
+      emb: DataFrame, probeId: Long, k: Int,
+      codebooks: Array[Array[Array[Double]]],
+      shortlist: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probeVec = probeVector(emb, probeId, idCol, vecCol)
+    val tab      = pqAdcTable(codebooks, probeVec)
+    // zip_with pairs codes(s) with tab(s); the left-fold sum matches the
+    // oracle's list_reduce order (m float adds, same sequence both engines)
+    val adc = aggregate(
+      zip_with(col("codes"), typedLit(tab.map(_.toSeq).toSeq),
+        (c, row) => element_at(row, c + 1)),
+      lit(0.0d), (acc, x) => acc + x)
+    val probeLit = array(probeVec.toIndexedSeq.map(lit): _*)
+    pqEncode(emb, codebooks, vecCol)
+      .where(col("codes").isNotNull)
+      .select(col(idCol), adc.as("adc"), col(vecCol))
+      .orderBy(col("adc"), col(idCol))
+      .limit(shortlist)
+      .select(col(idCol), round(col("adc"), 4).as("adc"),
+        round(Similarity.cosineSimilarity(col(vecCol).cast("array<double>"), probeLit), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /**
    * Batch k-NN join: exact top-k cosine neighbors for EVERY probe in
    * `probes` (self-matches excluded) — broadcast the probe set, one fused

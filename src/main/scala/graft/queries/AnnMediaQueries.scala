@@ -40,6 +40,9 @@ object AnnMediaQueries {
   /** q_semdedup's recorded fit (same mechanism). */
   @volatile private var semCentroids: Option[Array[Array[Double]]] = None
 
+  /** q_pq's recorded codebooks + probe ADC table (same mechanism). */
+  @volatile private var pqModel: Option[(Array[Array[Array[Double]]], Array[Array[Double]])] = None
+
   /** q_semdedup's parameters, defined ONCE and interpolated into both the
     * engine call and the generated oracle SQL (ADVICE r11: a tau literal
     * hardcoded in the SQL next to a separate tau literal in the call site
@@ -48,6 +51,13 @@ object AnnMediaQueries {
     * exact double the engine compares against. */
   private val SemTau: Double = 0.45
   private val SemC: Int      = 16
+
+  /** q_pq's parameters (same single-definition discipline as SemTau/SemC):
+    * 8 subspaces × 16 codes over the 64-dim corpus → 8 codes/vector, and a
+    * 50-row ADC shortlist in front of the exact top-10 rerank. */
+  private val PqM: Int         = 8
+  private val PqKsub: Int      = 16
+  private val PqShortlist: Int = 50
 
   /** DuckDB replay of [[graft.operators.Ann.ivfTopK]] from literal
     * centroids — mirrors each engine-side computation at matching
@@ -95,6 +105,49 @@ object AnnMediaQueries {
        |SELECT per.cid, CAST(per.n_vecs AS BIGINT) AS n_vecs,
        |       CAST(coalesce(dc.n_dropped, 0) AS BIGINT) AS n_dropped
        |FROM per LEFT JOIN dc USING (cid) ORDER BY per.cid""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Ann.pqEncode]] + [[Ann.pqTopK]]
+    * from literal codebooks + the literal probe ADC table: per-subspace
+    * distances as the same left-to-right fold over the sliced subvector
+    * (list_aggregate 'sum' ≡ Spark's 0.0-seeded left fold — the seed add
+    * is exact on the non-negative squared terms), argmin ties to the
+    * LOWEST code on both engines (list_position / array_position = first
+    * match), the m-term ADC lookup sum in subspace order, the unrounded-
+    * adc shortlist cut, and the exact-cosine rerank — so the whole
+    * compressed-domain path downstream of the fit is hash-checked
+    * bit-for-bit (the fit itself: AnnSpec determinism + recall). */
+  private def pqOracleSql: Option[String] = pqModel.map { case (books, tab) =>
+    val m    = books.length
+    val dsub = books.head.head.length
+    val dsCols = (0 until m).map { s =>
+      val bookLit = books(s).map(cb => planeLit(cb.toSeq)).mkString("[", ",\n      ", "]")
+      s"""list_transform(CAST($bookLit AS DOUBLE[][]), cb ->
+         |    list_aggregate(list_transform(range(1, ${dsub + 1}),
+         |      i -> (v[${s * dsub} + i] - cb[i]) * (v[${s * dsub} + i] - cb[i])),
+         |      'sum')) AS ds_$s""".stripMargin
+    }.mkString(",\n  ")
+    val codes = (0 until m)
+      .map(s => s"CAST(list_position(ds_$s, list_aggregate(ds_$s, 'min')) - 1 AS INT)")
+      .mkString("[", ", ", "]")
+    val tabLit = tab.map(r => planeLit(r.toSeq)).mkString("[", ",\n    ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |enc AS (SELECT vec_id, v,
+       |  $dsCols
+       |  FROM e),
+       |cod AS (SELECT vec_id, v, $codes AS codes FROM enc),
+       |a AS (SELECT vec_id, v,
+       |  list_aggregate(list_transform(range(1, ${m + 1}),
+       |    s -> (CAST($tabLit AS DOUBLE[][]))[s][codes[s] + 1]), 'sum') AS adc
+       |  FROM cod),
+       |sl AS (SELECT vec_id, adc, v FROM a ORDER BY adc, vec_id LIMIT $PqShortlist),
+       |p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+       |SELECT sl.vec_id AS vec_id, round(sl.adc, 4) AS adc,
+       |       round(list_dot_product(sl.v, p.pv)
+       |         / nullif(sqrt(list_dot_product(sl.v, sl.v))
+       |                  * sqrt(list_dot_product(p.pv, p.pv)), 0), 4) AS sim
+       |FROM sl, p ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
   }
 
   private def ivfReplaySql(cs: Array[Array[Double]]): String = {
@@ -145,7 +198,7 @@ object AnnMediaQueries {
     * literal-centroid SQL after the query executes), so a cold registry
     * shows them oracle-less. The doc-count gate (scripts/check_counts.sh)
     * counts these as oracle-checked, matching the driver's view. */
-  val dynamicOracleNames: Seq[String] = Seq("q_ivf", "q_ivf_idx", "q_semdedup")
+  val dynamicOracleNames: Seq[String] = Seq("q_ivf", "q_ivf_idx", "q_semdedup", "q_pq")
 
   /** `def`, not `val`: q_ivf's oracle is assembled from the model the run
     * records, so the registry must be re-materialized when Verify asks for
@@ -242,6 +295,27 @@ object AnnMediaQueries {
       val model = Ann.centroidsFromDF(spark.read.parquet(s"$out/model"))
       Ann.ivfQueryIndex(spark.read.parquet(s"$out/cells"), model,
         Ann.probeVector(emb, 0L), k = 10, nprobe = 4)
+    },
+
+    // Product-quantization ANN (Jégou et al., TPAMI 2011): fit m=8
+    // independent 16-centroid subspace quantizers (each fit IS ivfFit on
+    // the sliced subvector — deterministic, sample-bounded), encode every
+    // vector to 8 small codes, rank the WHOLE corpus by the asymmetric
+    // compressed-domain distance (an 8-term lookup sum — zero vector math
+    // in the scan), exact-cosine rerank only the 50-row shortlist. The
+    // run records codebooks + the probe's ADC table; the oracle replays
+    // encode/ADC/shortlist/rerank from the literals term-for-term (same
+    // left-to-right folds, argmin ties to the lowest code on both
+    // engines) → full hash check downstream of the fit, like q_ivf. At
+    // 100 TB the ranking pass reads m bytes/row (parquet prunes the raw
+    // vectors), and the certified IVF cell pruning composes in front
+    // unchanged — this is the scan-side compression half of the classic
+    // IVFADC serving pair.
+    Declared("q_pq", pqOracleSql) { (spark, dir) =>
+      val emb   = Tables.embeddings(spark, dir)
+      val books = Ann.pqFit(emb, m = PqM, ksub = PqKsub, iters = 3)
+      pqModel = Some((books, Ann.pqAdcTable(books, Ann.probeVector(emb, 0L))))
+      Ann.pqTopK(emb, probeId = 0L, k = 10, books, shortlist = PqShortlist)
     },
 
     // SemDeDup semantic dedup (Abbas et al. 2023): deterministic k-means

@@ -471,4 +471,103 @@ class AnnSpec extends AnyFunSuite {
     assert(cent1.map(_.toSeq).toSeq === cent2.map(_.toSeq).toSeq)
     assert(g1.forall(g => g >= 0 && g < cent1.length))
   }
+
+  // ----- product quantization -----------------------------------------------
+
+  test("pqFit is deterministic with the declared shape; bad m fails loud") {
+    val emb = Tables.embeddings(spark, dir)
+    val b1  = Ann.pqFit(emb, m = 8, ksub = 16, iters = 2)
+    val b2  = Ann.pqFit(emb, m = 8, ksub = 16, iters = 2)
+    assert(b1.length === 8)
+    assert(b1.forall(book => book.length === 16 && book.forall(_.length === 8)))
+    assert(b1.map(_.map(_.toSeq).toSeq).toSeq === b2.map(_.map(_.toSeq).toSeq).toSeq)
+    val e = intercept[IllegalArgumentException](Ann.pqFit(emb, m = 7, ksub = 16))
+    assert(e.getMessage.contains("must divide"))
+  }
+
+  test("pqEncode matches a driver-side argmin replay; null vectors get null codes") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val emb   = Tables.embeddings(spark, dir)
+    val books = Ann.pqFit(emb, m = 8, ksub = 16, iters = 2)
+    val dsub  = 8
+    val got = Ann.pqEncode(emb, books)
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("codes"))
+      .collect()
+    assert(got.length === emb.count())
+    got.foreach { r =>
+      val v     = r.getSeq[Double](1).toArray
+      val codes = r.getSeq[Int](2)
+      val want = (0 until 8).map { s =>
+        // same left-to-right fold and first-min tie rule as the column plan
+        val ds = books(s).map { cb =>
+          var d = 0.0
+          var i = 0
+          while (i < dsub) { val t = v(s * dsub + i) - cb(i); d += t * t; i += 1 }
+          d
+        }
+        ds.indexOf(ds.min)
+      }
+      assert(codes === want, s"vec ${r.getLong(0)}")
+    }
+    // null vector → null codes, and pqTopK never surfaces it
+    val withNull = Seq((9999L, Option.empty[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+      .unionByName(emb.select(col("vec_id"), col("embedding")))
+    val encoded = Ann.pqEncode(withNull, books).where(col("vec_id") === 9999L).collect()
+    assert(encoded.length === 1 && encoded.head.isNullAt(1))
+    val top = Ann.pqTopK(withNull, probeId = 0L, k = 10, books).collect()
+    assert(!top.exists(_.getLong(0) === 9999L))
+  }
+
+  test("ADC equals the exact distance when vectors are codebook-reconstructible") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // integer-valued corpus drawn exactly from 2 subspaces × 4 codewords:
+    // encode→decode is lossless, so adc = ‖q − x‖² exactly (all arithmetic
+    // on small integers — no rounding anywhere in either fold order)
+    val words = Array(Array(0.0, 0.0), Array(1.0, 3.0), Array(4.0, 2.0), Array(7.0, 5.0))
+    val books = Array(words, words.map(_.map(_ + 1.0)))
+    val rows = for {
+      i <- 0 until 4; j <- 0 until 4
+    } yield ((i * 4 + j).toLong, (words(i) ++ books(1)(j)).map(_.toFloat).toSeq)
+    val emb   = rows.toDF("vec_id", "embedding")
+    val probe = Array(2.0, 1.0, 3.0, 6.0)
+    val tab   = Ann.pqAdcTable(books, probe)
+    val got = Ann.pqEncode(emb, books)
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("codes"))
+      .collect()
+    got.foreach { r =>
+      val v     = r.getSeq[Double](1).toArray
+      val codes = r.getSeq[Int](2)
+      val adc   = codes.zipWithIndex.map { case (c, s) => tab(s)(c) }.sum
+      val exact = v.zip(probe).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(adc === exact, s"vec ${r.getLong(0)}: adc $adc != exact $exact")
+    }
+  }
+
+  test("PQ top-k recovers planted clusters through the compressed-domain scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      c <- 0 until 20
+      center = Array.fill(64)(rnd.nextGaussian().toFloat)
+      m <- 0 until 10
+    } yield ((c * 10 + m).toLong, center.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq)
+    val emb   = rows.toDF("vec_id", "embedding")
+    val books = Ann.pqFit(emb, m = 8, ksub = 16, iters = 3)
+    val recalls = Seq(0L, 55L, 111L, 190L).map { p =>
+      val exact  = Ann.bruteForceTopK(emb, p, 10).collect().map(_.getLong(0)).toSet
+      val approx = Ann.pqTopK(emb, p, 10, books).collect().map(_.getLong(0)).toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 $mean (per-probe: $recalls)")
+    // schema + ordering contract on the real corpus
+    val top = Ann.pqTopK(Tables.embeddings(spark, dir), 0L, 10,
+      Ann.pqFit(Tables.embeddings(spark, dir), m = 8, ksub = 16, iters = 2)).collect()
+    assert(top.length === 10)
+    val sims = top.map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
 }
