@@ -92,6 +92,13 @@ cd "$(dirname "$0")/.."
 DIR="${1:-/tmp/graft-sf100}"
 [ -d "$DIR" ] || { echo "no such dir: $DIR" >&2; exit 2; }
 
+# Compile ONCE up front, then run each cert via plain java
+# (scripts/run_main.sh): the multi-hour cert runs no longer hold the sbt
+# lock, so compiles/tests can proceed in parallel, and a mid-suite source
+# edit can't be silently picked up by a later cert (the classes are fixed
+# at suite start unless someone recompiles).
+sbt -batch compile
+
 # ADVICE r12: grep-for-display must not decide the exit status — an
 # assertion failure's message contains 'FAILED', grep matched it and the
 # loop kept going. Capture the output, fail on sbt's own exit status OR
@@ -102,9 +109,9 @@ for cert in --lsh-cert --cc-cert --windup-cert --stream-cert --sketch-cert \
   out=$(SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" \
         SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
         SPARK_GRAFT_SF_DIR="$DIR" \
-        sbt -batch "runMain graft.tools.Probe $cert" 2>&1) || {
+        "$(dirname "$0")/run_main.sh" graft.tools.Probe "$cert" 2>&1) || {
     echo "$out" | tail -40
-    echo "scale certificates: $cert FAILED (sbt exit != 0)" >&2
+    echo "scale certificates: $cert FAILED (JVM exit != 0)" >&2
     exit 1
   }
   if grep -qE 'FAILED|Exception|Error:' <<<"$out"; then

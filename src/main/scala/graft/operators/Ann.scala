@@ -419,6 +419,95 @@ object Ann {
   }
 
   /**
+   * Persist half of the PQ serving pair: encode every vector once and emit
+   * `(idCol, codes)` — the whole corpus at m·4 bytes of code payload per
+   * row (vs D·4 for the raw floats). [[pqQueryIndex]] ranks from THIS
+   * frame alone; raw vectors are touched only for the shortlist rerank.
+   * The m×ksub×dsub model travels via [[pqCodebooksToDF]]/
+   * [[pqCodebooksFromDF]]; together the two frames are the whole index —
+   * rebuildable, diffable, readable by any parquet consumer.
+   */
+  def pqBuildIndex(
+      emb: DataFrame, codebooks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqEncode(emb, codebooks, vecCol).select(col(idCol), col("codes"))
+
+  /** The fitted codebooks as a 3-column frame `(sub, code, centroid)`. */
+  def pqCodebooksToDF(spark: org.apache.spark.sql.SparkSession,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    (for {
+      (book, s) <- codebooks.zipWithIndex
+      (cv, j)   <- book.zipWithIndex
+    } yield (s, j, cv.toSeq)).toSeq.toDF("sub", "code", "centroid")
+  }
+
+  /** Inverse of [[pqCodebooksToDF]]; fails loud on a gapped/duplicated
+    * (sub, code) grid or ragged centroid widths — positional indexing in
+    * the ADC table would otherwise silently misattribute every codeword
+    * after the gap. */
+  def pqCodebooksFromDF(df: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = df.select(col("sub").cast("int"), col("code").cast("int"),
+        col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+    val bySub = rows.groupBy(_._1._1)
+    val m = bySub.size
+    require(bySub.keySet == (0 until m).toSet,
+      s"codebook frame subs must be dense 0..${m - 1}, got ${bySub.keySet.toSeq.sorted}")
+    val books = (0 until m).map { s =>
+      val entries = bySub(s).sortBy(_._1._2)
+      val codes   = entries.map(_._1._2).toSeq
+      require(codes == (0 until entries.length),
+        s"subspace $s codes must be dense 0..${entries.length - 1}, got $codes")
+      entries.map(_._2)
+    }
+    val widths = books.flatMap(_.map(_.length)).distinct
+    require(widths.size == 1, s"ragged centroid widths across the grid: $widths")
+    books.map(_.toArray).toArray
+  }
+
+  /**
+   * Probe a prebuilt [[pqBuildIndex]] index: rank every row by the ADC
+   * lookup sum over the CODES FRAME ALONE (the raw-vector column never
+   * enters the ranking scan — at 100 TB that pass reads m·4 bytes/row),
+   * collect the ≤`shortlist` winning ids (bounded, the probe-result
+   * class of driver collect), and exact-cosine rerank them against
+   * `corpus` through a pushed `In(id, …)` point filter — parquet
+   * row-group pruning, not a scan. With the same model and corpus this
+   * reproduces [[pqTopK]]'s rows exactly: same unrounded-adc shortlist
+   * cut, same tie rule, same rerank fold.
+   */
+  def pqQueryIndex(
+      index: DataFrame, corpus: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      probeVec: Array[Double], k: Int, shortlist: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val tab = pqAdcTable(codebooks, probeVec)
+    val adc = aggregate(
+      zip_with(col("codes"), typedLit(tab.map(_.toSeq).toSeq),
+        (c, row) => element_at(row, c + 1)),
+      lit(0.0d), (acc, x) => acc + x)
+    val sl = index
+      .where(col("codes").isNotNull)
+      .select(col(idCol), adc.as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(shortlist)
+      .collect()
+    val adcById  = sl.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val probeLit = array(probeVec.toIndexedSeq.map(lit): _*)
+    val lookupAdc = typedLit(adcById)
+    corpus
+      .where(col(idCol).isin(sl.map(_.getLong(0)).toIndexedSeq: _*))
+      .select(col(idCol),
+        round(element_at(lookupAdc, col(idCol)), 4).as("adc"),
+        round(Similarity.cosineSimilarity(col(vecCol).cast("array<double>"), probeLit), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
    * Batch k-NN join: exact top-k cosine neighbors for EVERY probe in
    * `probes` (self-matches excluded) — broadcast the probe set, one fused
    * cosine per (row, probe) pair, per-probe ranking window. The shuffle is

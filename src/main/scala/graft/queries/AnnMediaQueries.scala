@@ -43,6 +43,9 @@ object AnnMediaQueries {
   /** q_pq's recorded codebooks + probe ADC table (same mechanism). */
   @volatile private var pqModel: Option[(Array[Array[Array[Double]]], Array[Array[Double]])] = None
 
+  /** q_pq_idx's recorded fit (separate slot, like ivfIdxCentroids). */
+  @volatile private var pqIdxModel: Option[(Array[Array[Array[Double]]], Array[Array[Double]])] = None
+
   /** q_semdedup's parameters, defined ONCE and interpolated into both the
     * engine call and the generated oracle SQL (ADVICE r11: a tau literal
     * hardcoded in the SQL next to a separate tau literal in the call site
@@ -117,7 +120,15 @@ object AnnMediaQueries {
     * adc shortlist cut, and the exact-cosine rerank — so the whole
     * compressed-domain path downstream of the fit is hash-checked
     * bit-for-bit (the fit itself: AnnSpec determinism + recall). */
-  private def pqOracleSql: Option[String] = pqModel.map { case (books, tab) =>
+  private def pqOracleSql: Option[String] = pqModel.map(pqReplaySql)
+
+  /** q_pq_idx replays to the SAME SQL (the persisted path must reproduce
+    * q_pq's rows — parquet round-trips and the point-lookup rerank are
+    * plan choices, not semantics), from its own run's recorded fit. */
+  private def pqIdxOracleSql: Option[String] = pqIdxModel.map(pqReplaySql)
+
+  private def pqReplaySql(model: (Array[Array[Array[Double]]], Array[Array[Double]])): String = {
+    val (books, tab) = model
     val m    = books.length
     val dsub = books.head.head.length
     val dsCols = (0 until m).map { s =>
@@ -198,7 +209,8 @@ object AnnMediaQueries {
     * literal-centroid SQL after the query executes), so a cold registry
     * shows them oracle-less. The doc-count gate (scripts/check_counts.sh)
     * counts these as oracle-checked, matching the driver's view. */
-  val dynamicOracleNames: Seq[String] = Seq("q_ivf", "q_ivf_idx", "q_semdedup", "q_pq")
+  val dynamicOracleNames: Seq[String] =
+    Seq("q_ivf", "q_ivf_idx", "q_semdedup", "q_pq", "q_pq_idx")
 
   /** `def`, not `val`: q_ivf's oracle is assembled from the model the run
     * records, so the registry must be re-materialized when Verify asks for
@@ -316,6 +328,30 @@ object AnnMediaQueries {
       val books = Ann.pqFit(emb, m = PqM, ksub = PqKsub, iters = 3)
       pqModel = Some((books, Ann.pqAdcTable(books, Ann.probeVector(emb, 0L))))
       Ann.pqTopK(emb, probeId = 0L, k = 10, books, shortlist = PqShortlist)
+    },
+
+    // Persisted-PQ serving pair (build once / query many): encode the
+    // corpus ONCE into a codes frame (m·4 bytes of code payload per row),
+    // write it + the codebook frame to parquet, reload both, and answer
+    // the probe from the RELOADED index — the ranking scan reads the
+    // codes frame alone (raw vectors enter only through the ≤50-id pushed
+    // In() rerank lookup). Reproduces q_pq's rows exactly (same shortlist
+    // cut, tie rule, and rerank fold), and the oracle is the same
+    // literal-codebook replay recorded from THIS query's fit — so the
+    // whole persisted path (encode, parquet round-trip of codes + model,
+    // ADC ranking, point-lookup rerank) is hash-checked bit-for-bit.
+    Declared("q_pq_idx", pqIdxOracleSql) { (spark, dir) =>
+      val emb   = Tables.embeddings(spark, dir)
+      val books = Ann.pqFit(emb, m = PqM, ksub = PqKsub, iters = 3)
+      pqIdxModel = Some((books, Ann.pqAdcTable(books, Ann.probeVector(emb, 0L))))
+      val out = graft.ScratchDirs.dir("pq-idx")
+      Ann.pqBuildIndex(emb, books)
+        .write.mode("overwrite").parquet(s"$out/codes")
+      Ann.pqCodebooksToDF(spark, books)
+        .write.mode("overwrite").parquet(s"$out/model")
+      val model = Ann.pqCodebooksFromDF(spark.read.parquet(s"$out/model"))
+      Ann.pqQueryIndex(spark.read.parquet(s"$out/codes"), emb, model,
+        Ann.probeVector(emb, 0L), k = 10, shortlist = PqShortlist)
     },
 
     // SemDeDup semantic dedup (Abbas et al. 2023): deterministic k-means

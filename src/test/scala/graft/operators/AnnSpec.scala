@@ -546,6 +546,25 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ index: codes+model parquet round-trip reproduces pqTopK exactly") {
+    import org.apache.spark.sql.functions.col
+    val emb   = Tables.embeddings(spark, dir)
+    val books = Ann.pqFit(emb, m = 8, ksub = 16, iters = 2)
+    val out   = graft.ScratchDirs.dir("pq-idx-spec")
+    Ann.pqBuildIndex(emb, books).write.mode("overwrite").parquet(s"$out/codes")
+    Ann.pqCodebooksToDF(spark, books).write.mode("overwrite").parquet(s"$out/model")
+    val model = Ann.pqCodebooksFromDF(spark.read.parquet(s"$out/model"))
+    assert(model.map(_.map(_.toSeq).toSeq).toSeq === books.map(_.map(_.toSeq).toSeq).toSeq)
+    val fresh  = Ann.pqTopK(emb, 0L, 10, books).collect().map(_.toSeq)
+    val served = Ann.pqQueryIndex(spark.read.parquet(s"$out/codes"), emb, model,
+      Ann.probeVector(emb, 0L), k = 10).collect().map(_.toSeq)
+    assert(served.toSeq === fresh.toSeq)
+    // a gapped model frame fails loud, never misattributes codewords
+    val gapped = Ann.pqCodebooksToDF(spark, books).where(col("code") =!= 3)
+    val e = intercept[IllegalArgumentException](Ann.pqCodebooksFromDF(gapped))
+    assert(e.getMessage.contains("dense"))
+  }
+
   test("PQ top-k recovers planted clusters through the compressed-domain scan") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
