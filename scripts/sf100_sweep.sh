@@ -121,11 +121,11 @@ SUBSET=$SUBSET,q_tempmix
 # `Probe --bpe-cert` (distributed trainer vs the definitional
 # single-node loop over the collected word-frequency table).
 SUBSET=$SUBSET,q_phash
-# Round 14: product-quantization ANN + its persisted serving pair (10-row
-# outputs; each oracle replays the m×ksub encode argmin per vector —
-# linear, ~1k flops/row over the 2M-vector slice, well inside the one-box
-# envelope), strict row-compare.
-SUBSET=$SUBSET,q_pq,q_pq_idx
+# Round 14: product-quantization ANN, its persisted serving pair, and the
+# IVFADC composition (10-row outputs; each oracle replays the m×ksub
+# encode argmin per vector — linear, ~1k flops/row over the 2M-vector
+# slice, well inside the one-box envelope), strict row-compare.
+SUBSET=$SUBSET,q_pq,q_pq_idx,q_ivfpq
 
 # Digest-mode names: row-preserving 20M-300M-row outputs (full-content
 # order-independent hash compare; see header).

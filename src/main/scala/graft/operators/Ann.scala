@@ -392,6 +392,18 @@ object Ann {
    * composes in front of this scan unchanged (filter nprobe cells, then
    * ADC-rank inside them) when even the code scan must be pruned.
    */
+  /** The ADC sum `Σ_s tab(s)(codes(s))` over a `codes` column: zip_with
+    * pairs codes(s) with tab(s); the 0.0-seeded left fold matches the
+    * oracle's list_aggregate order (m float adds, same sequence both
+    * engines). ONE shared definition for [[pqTopK]] / [[pqQueryIndex]] /
+    * [[ivfPqTopK]] — the literal-codebook replay depends on this exact
+    * float-op order, so the three paths must not drift apart. */
+  private def adcColumn(tab: Array[Array[Double]]): Column =
+    aggregate(
+      zip_with(col("codes"), typedLit(tab.map(_.toSeq).toSeq),
+        (c, row) => element_at(row, c + 1)),
+      lit(0.0d), (acc, x) => acc + x)
+
   def pqTopK(
       emb: DataFrame, probeId: Long, k: Int,
       codebooks: Array[Array[Array[Double]]],
@@ -399,16 +411,46 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val probeVec = probeVector(emb, probeId, idCol, vecCol)
     val tab      = pqAdcTable(codebooks, probeVec)
-    // zip_with pairs codes(s) with tab(s); the left-fold sum matches the
-    // oracle's list_reduce order (m float adds, same sequence both engines)
-    val adc = aggregate(
-      zip_with(col("codes"), typedLit(tab.map(_.toSeq).toSeq),
-        (c, row) => element_at(row, c + 1)),
-      lit(0.0d), (acc, x) => acc + x)
     val probeLit = array(probeVec.toIndexedSeq.map(lit): _*)
     pqEncode(emb, codebooks, vecCol)
       .where(col("codes").isNotNull)
-      .select(col(idCol), adc.as("adc"), col(vecCol))
+      .select(col(idCol), adcColumn(tab).as("adc"), col(vecCol))
+      .orderBy(col("adc"), col(idCol))
+      .limit(shortlist)
+      .select(col(idCol), round(col("adc"), 4).as("adc"),
+        round(Similarity.cosineSimilarity(col(vecCol).cast("array<double>"), probeLit), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * IVFADC — the classic serving pair assembled (Jégou et al. 2011 §IV):
+   * the coarse quantizer prunes the scan to the `nprobe` inverted lists
+   * nearest the probe ([[ivfTopK]]'s cell filter — partition pruning when
+   * the corpus is laid out `partitionBy("cid")`), and INSIDE those lists
+   * ranking is the compressed-domain ADC sum ([[pqTopK]]'s lookup scan),
+   * with the exact-cosine rerank only on the `shortlist` winners. I/O at
+   * scale: (nprobe/C of the corpus) × (m code bytes per row) for the
+   * ranking pass, `shortlist` raw vectors for the rerank. Same output
+   * schema and tie rules as [[pqTopK]]; both quantizers stay independent
+   * (codes are of RAW vectors, not residuals — the residual refinement is
+   * a documented variant, not implemented, because it would couple the
+   * two fits and break the per-model literal oracle replay).
+   */
+  def ivfPqTopK(
+      emb: DataFrame, probeId: Long, k: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nprobe: Int = 4, shortlist: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probeVec = probeVector(emb, probeId, idCol, vecCol)
+    val nearCids = nearestCells(centroids, probeVec, nprobe)
+    val tab      = pqAdcTable(codebooks, probeVec)
+    val probeLit = array(probeVec.toIndexedSeq.map(lit): _*)
+    pqEncode(assignCentroid(emb, centroids, vecCol), codebooks, vecCol)
+      .where(col("cid").isin(nearCids.toIndexedSeq: _*)) // null cid (null vec) never matches
+      .select(col(idCol), adcColumn(tab).as("adc"), col(vecCol))
       .orderBy(col("adc"), col(idCol))
       .limit(shortlist)
       .select(col(idCol), round(col("adc"), 4).as("adc"),
@@ -484,13 +526,9 @@ object Ann {
       probeVec: Array[Double], k: Int, shortlist: Int = 50,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val tab = pqAdcTable(codebooks, probeVec)
-    val adc = aggregate(
-      zip_with(col("codes"), typedLit(tab.map(_.toSeq).toSeq),
-        (c, row) => element_at(row, c + 1)),
-      lit(0.0d), (acc, x) => acc + x)
     val sl = index
       .where(col("codes").isNotNull)
-      .select(col(idCol), adc.as("adc"))
+      .select(col(idCol), adcColumn(tab).as("adc"))
       .orderBy(col("adc"), col(idCol))
       .limit(shortlist)
       .collect()

@@ -46,6 +46,9 @@ object AnnMediaQueries {
   /** q_pq_idx's recorded fit (separate slot, like ivfIdxCentroids). */
   @volatile private var pqIdxModel: Option[(Array[Array[Array[Double]]], Array[Array[Double]])] = None
 
+  /** q_ivfpq's recorded fits: coarse centroids + codebooks + probe table. */
+  @volatile private var ivfpqModel: Option[(Array[Array[Double]], Array[Array[Array[Double]]], Array[Array[Double]])] = None
+
   /** q_semdedup's parameters, defined ONCE and interpolated into both the
     * engine call and the generated oracle SQL (ADVICE r11: a tau literal
     * hardcoded in the SQL next to a separate tau literal in the call site
@@ -61,6 +64,9 @@ object AnnMediaQueries {
   private val PqM: Int         = 8
   private val PqKsub: Int      = 16
   private val PqShortlist: Int = 50
+
+  /** q_ivfpq's coarse-level fan-out (the q_ivf nprobe). */
+  private val IvfPqNprobe: Int = 4
 
   /** DuckDB replay of [[graft.operators.Ann.ivfTopK]] from literal
     * centroids — mirrors each engine-side computation at matching
@@ -127,8 +133,11 @@ object AnnMediaQueries {
     * plan choices, not semantics), from its own run's recorded fit. */
   private def pqIdxOracleSql: Option[String] = pqIdxModel.map(pqReplaySql)
 
-  private def pqReplaySql(model: (Array[Array[Array[Double]]], Array[Array[Double]])): String = {
-    val (books, tab) = model
+  /** The per-subspace distance-array column list (`ds_0 … ds_{m-1}`) with
+    * the codebooks inlined as literals, and the codes-array expression
+    * (first-min argmin per subspace). Shared by the q_pq/q_pq_idx replay
+    * and the q_ivfpq replay so the encode SQL cannot drift between them. */
+  private def pqEncFragments(books: Array[Array[Array[Double]]]): (String, String) = {
     val m    = books.length
     val dsub = books.head.head.length
     val dsCols = (0 until m).map { s =>
@@ -141,16 +150,29 @@ object AnnMediaQueries {
     val codes = (0 until m)
       .map(s => s"CAST(list_position(ds_$s, list_aggregate(ds_$s, 'min')) - 1 AS INT)")
       .mkString("[", ", ", "]")
+    (dsCols, codes)
+  }
+
+  /** The ADC lookup-sum expression over a `codes` column, table inlined. */
+  private def pqAdcSql(tab: Array[Array[Double]]): String = {
     val tabLit = tab.map(r => planeLit(r.toSeq)).mkString("[", ",\n    ", "]")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |           WHERE embedding IS NOT NULL),
-       |enc AS (SELECT vec_id, v,
+    s"""list_aggregate(list_transform(range(1, ${tab.length + 1}),
+       |    s -> (CAST($tabLit AS DOUBLE[][]))[s][codes[s] + 1]), 'sum')""".stripMargin
+  }
+
+  /** The shared PQ tail: encode → codes → ADC → unrounded-adc shortlist →
+    * exact-cosine rerank, starting from a CTE named `f(vec_id, v)` (the
+    * candidate set — the whole corpus for q_pq, the nprobe cells for
+    * q_ivfpq). Expects an `e(vec_id, v)` CTE in scope for the probe. */
+  private def pqTailSql(books: Array[Array[Array[Double]]],
+      tab: Array[Array[Double]]): String = {
+    val (dsCols, codes) = pqEncFragments(books)
+    s"""enc AS (SELECT vec_id, v,
        |  $dsCols
-       |  FROM e),
+       |  FROM f),
        |cod AS (SELECT vec_id, v, $codes AS codes FROM enc),
        |a AS (SELECT vec_id, v,
-       |  list_aggregate(list_transform(range(1, ${m + 1}),
-       |    s -> (CAST($tabLit AS DOUBLE[][]))[s][codes[s] + 1]), 'sum') AS adc
+       |  ${pqAdcSql(tab)} AS adc
        |  FROM cod),
        |sl AS (SELECT vec_id, adc, v FROM a ORDER BY adc, vec_id LIMIT $PqShortlist),
        |p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
@@ -159,6 +181,43 @@ object AnnMediaQueries {
        |         / nullif(sqrt(list_dot_product(sl.v, sl.v))
        |                  * sqrt(list_dot_product(p.pv, p.pv)), 0), 4) AS sim
        |FROM sl, p ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  private def pqReplaySql(model: (Array[Array[Array[Double]]], Array[Array[Double]])): String = {
+    val (books, tab) = model
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |f AS (SELECT vec_id, v FROM e),
+       |${pqTailSql(books, tab)}""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Ann.ivfPqTopK]] — the IVFADC
+    * composition: the q_ivf replay's literal-centroid assignment + nprobe
+    * cell cut feeding the q_pq replay's encode/ADC/shortlist/rerank tail.
+    * Both models ride as literals recorded from the run's fits. */
+  private def ivfpqOracleSql: Option[String] = ivfpqModel.map { case (cs, books, tab) =>
+    val values = cs.zipWithIndex.map { case (cv, cid) =>
+      val cc = cv.map(x => x * x).sum
+      s"($cid, CAST(${planeLit(cv.toSeq)} AS DOUBLE[]), ${cc.toString})"
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |c(cid, cv, cc) AS (VALUES
+       |  $values),
+       |asg AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cc, c.cid) AS rn
+       |    FROM e CROSS JOIN c)
+       |  WHERE rn = 1),
+       |pp AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+       |np AS (SELECT c.cid FROM c, pp
+       |       ORDER BY list_aggregate(list_transform(range(1, 1 + len(c.cv)),
+       |                  i -> (c.cv[i] - pp.pv[i]) * (c.cv[i] - pp.pv[i])), 'sum'), c.cid
+       |       LIMIT $IvfPqNprobe),
+       |f AS (SELECT vec_id, v FROM asg WHERE cid IN (SELECT cid FROM np)),
+       |${pqTailSql(books, tab)}""".stripMargin
   }
 
   private def ivfReplaySql(cs: Array[Array[Double]]): String = {
@@ -210,7 +269,7 @@ object AnnMediaQueries {
     * shows them oracle-less. The doc-count gate (scripts/check_counts.sh)
     * counts these as oracle-checked, matching the driver's view. */
   val dynamicOracleNames: Seq[String] =
-    Seq("q_ivf", "q_ivf_idx", "q_semdedup", "q_pq", "q_pq_idx")
+    Seq("q_ivf", "q_ivf_idx", "q_semdedup", "q_pq", "q_pq_idx", "q_ivfpq")
 
   /** `def`, not `val`: q_ivf's oracle is assembled from the model the run
     * records, so the registry must be re-materialized when Verify asks for
@@ -352,6 +411,24 @@ object AnnMediaQueries {
       val model = Ann.pqCodebooksFromDF(spark.read.parquet(s"$out/model"))
       Ann.pqQueryIndex(spark.read.parquet(s"$out/codes"), emb, model,
         Ann.probeVector(emb, 0L), k = 10, shortlist = PqShortlist)
+    },
+
+    // IVFADC — the classic composition (Jégou et al. 2011 §IV): the IVF
+    // coarse quantizer prunes the scan to nprobe inverted lists
+    // (partition pruning under a cid layout), and INSIDE those lists the
+    // ranking is q_pq's compressed-domain ADC lookup sum, exact-cosine
+    // rerank on the shortlist. At 100 TB the ranking pass reads
+    // (nprobe/C of the corpus) × m code bytes per row. The oracle chains
+    // the q_ivf replay's literal-centroid assignment + cell cut into the
+    // q_pq replay's encode/ADC/rerank tail — both fits recorded from the
+    // run, everything downstream hash-checked bit-for-bit.
+    Declared("q_ivfpq", ivfpqOracleSql) { (spark, dir) =>
+      val emb   = Tables.embeddings(spark, dir)
+      val cents = Ann.ivfFit(emb, c = 16, iters = 3)
+      val books = Ann.pqFit(emb, m = PqM, ksub = PqKsub, iters = 3)
+      ivfpqModel = Some((cents, books, Ann.pqAdcTable(books, Ann.probeVector(emb, 0L))))
+      Ann.ivfPqTopK(emb, probeId = 0L, k = 10, cents, books,
+        nprobe = IvfPqNprobe, shortlist = PqShortlist)
     },
 
     // SemDeDup semantic dedup (Abbas et al. 2023): deterministic k-means

@@ -565,6 +565,30 @@ class AnnSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dense"))
   }
 
+  test("IVFADC: every result comes from the nprobe nearest cells; contract holds") {
+    import org.apache.spark.sql.functions.col
+    val emb   = Tables.embeddings(spark, dir)
+    val cents = Ann.ivfFit(emb, c = 16, iters = 3)
+    val books = Ann.pqFit(emb, m = 8, ksub = 16, iters = 2)
+    val top = Ann.ivfPqTopK(emb, 0L, 10, cents, books, nprobe = 4).collect()
+    assert(top.length === 10)
+    val sims = top.map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    // the definitional nprobe cut: replicate nearestCells' fold driver-side
+    val probe = Ann.probeVector(emb, 0L)
+    val near = cents.zipWithIndex.map { case (cj, j) =>
+      var d = 0.0; var i = 0
+      while (i < cj.length) { val t = cj(i) - probe(i); d += t * t; i += 1 }
+      (j, d)
+    }.sortBy { case (j, d) => (d, j) }.take(4).map(_._1).toSet
+    val ids = top.map(_.getLong(0)).toIndexedSeq
+    val cellsOfResults = Ann.assignCentroid(emb, cents)
+      .where(col("vec_id").isin(ids: _*))
+      .select(col("cid")).collect().map(_.getInt(0)).toSet
+    assert(cellsOfResults.subsetOf(near),
+      s"results from cells $cellsOfResults outside nprobe set $near")
+  }
+
   test("PQ top-k recovers planted clusters through the compressed-domain scan") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
