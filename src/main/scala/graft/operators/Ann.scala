@@ -1155,23 +1155,24 @@ object Ann {
    * fold and the identical two-pass dmin/lowest-cid tie rule as the flat
    * plans — bit-equality certified by `Probe --semdedup-cert` legs 2–4.
    *
-   * Plan shape: the coarse level has two physical forms with identical
-   * semantics — g < 128 INLINE expressions (the codegen-viable regime
-   * [[assignCentroid]] is pinned to), and past that cliff (c ≳ 16k ⇒
-   * g = √c ≥ 128, VERDICT r13 item 2) ONE compiled loop
-   * ([[graft.expressions.CoarsePruneExpr]], `graft_coarse_prune`) whose
-   * per-row cost is the same O(g·dim) without the 3·g-wide expression
-   * trees, so g is bounded only by the broadcastable model size. Either
-   * way pruning is a narrow per-row map with no shuffle and no
-   * interpreted HOF; coarse FP differences between the two forms are
-   * absorbed by the slack folded into r (pruning can only widen), and
-   * the fine level re-scores survivors exactly, so the assignment is
-   * bit-identical across both (`Probe --semdedup-cert` leg 5 pins the
-   * g ≥ 128 form against the flat plan). The fine level is a broadcast
-   * hash join on gid over only the surviving groups' members. Per-row
-   * work drops from c dot products (twice) to g + (surviving members) ≈
-   * O(√c) for a well-spread quantizer; worst case (all centroids
-   * coincident) degrades to the flat sweep, never below it in accuracy.
+   * Plan shape: the coarse level is ONE compiled loop at every g
+   * ([[graft.expressions.CoarsePruneExpr]], `graft_coarse_prune`) — a
+   * narrow per-row map with no shuffle, no interpreted HOF, and no
+   * g-wide expression trees, so g is bounded only by the broadcastable
+   * model size. An inline-expression form existed for g < 128 on the
+   * theory that it was "the codegen-viable regime"; round 14's
+   * factor-1000 certificate run measured the opposite — the generated
+   * whole-stage methods crossed HotSpot's JIT size ceiling and the
+   * stage ran interpreted bytecode, 40× slower than Volcano mode — so
+   * the compiled loop is now the only form (see withCands below for the
+   * numbers). The fine level re-scores survivors exactly, so the
+   * assignment is bit-identical to the flat plans regardless of coarse
+   * form (`Probe --semdedup-cert` legs 2–4; `--prune128-cert` at
+   * g = 256). The fine level is a broadcast hash join on gid over only
+   * the surviving groups' members. Per-row work drops from c dot
+   * products (twice) to g + (surviving members) ≈ O(√c) for a
+   * well-spread quantizer; worst case (all centroids coincident)
+   * degrades to the flat sweep, never below it in accuracy.
    */
   def assignCentroidPruned(
       emb: DataFrame, centroids: Array[Array[Double]],
@@ -1198,30 +1199,25 @@ object Ann {
       .map { case (cv, cid) => (gids(cid), cid, cv.toSeq, cv.map(x => x * x).sum) }.toSeq
       .toDF("gid", "cid", "centroid", "cc")
 
-    // per-row coarse distances (g inline codegen dot products), ub, and
-    // the surviving-group set — all narrow, no shuffle
-    lazy val v2 = Similarity.dotProduct(col(vecCol), col(vecCol))
-    lazy val dbExprs = centers.map { gc =>
-      val gg = gc.map(x => x * x).sum
-      sqrt(greatest(lit(0.0), v2 - lit(2.0) * dotLit(col(vecCol), gc.toSeq) + lit(gg)))
+    // Per-row coarse bound + surviving-group set: ONE compiled loop at
+    // EVERY g (graft_coarse_prune), narrow, no shuffle. Round 14 finding
+    // (measured on the factor-1000 slice, 50k rows, c = 3906 / g = 63):
+    // the former g < 128 inline form — 63 dot-product expressions + an
+    // array_min ub + 63 CASE WHENs — generated whole-stage methods past
+    // HotSpot's JIT size ceiling (DontCompileHugeMethods, 8 KB bytecode),
+    // so the stage ran in the BYTECODE INTERPRETER: 243 s vs 5.7 s with
+    // wholestage codegen disabled — "codegen-viable" was exactly wrong.
+    // The compiled loop is one small JIT-hot method at any g, emitting
+    // the survivor-gid array directly from the identical bound math; the
+    // fine level re-scores survivors exactly, so assignment stays
+    // bit-identical to the flat plans (AnnSpec pruned-vs-flat equalities,
+    // `Probe --semdedup-cert` legs 2-4, `--prune128-cert` at g = 256).
+    def withCands(df: DataFrame): DataFrame = {
+      val flat = centers.flatten.toSeq
+      val ggs  = centers.map(gc => gc.map(x => x * x).sum).toSeq
+      df.withColumn("gid", explode(call_function("graft_coarse_prune",
+        col(vecCol), typedLit(flat), typedLit(ggs), typedLit(radii.toSeq))))
     }
-    def withCands(df: DataFrame): DataFrame =
-      if (centers.length >= 128) {
-        // past the inline-expression codegen cliff: the identical bound
-        // math as ONE compiled loop emitting the survivor array directly
-        val flat = centers.flatten.toSeq
-        val ggs  = centers.map(gc => gc.map(x => x * x).sum).toSeq
-        df.withColumn("gid", explode(call_function("graft_coarse_prune",
-          col(vecCol), typedLit(flat), typedLit(ggs), typedLit(radii.toSeq))))
-      } else df.withColumn("dbs", array(dbExprs.toIndexedSeq: _*))
-        .withColumn("ub", array_min(array(
-          centers.indices.map(i => element_at(col("dbs"), i + 1) + lit(radii(i))): _*)))
-        .withColumn("gid", explode(array(
-          centers.indices.map(i =>
-            when(element_at(col("dbs"), i + 1) - lit(radii(i)) <= col("ub"), lit(i))
-              .otherwise(lit(null))): _*)))
-        .where(col("gid").isNotNull)
-        .drop("dbs", "ub") // keep caller columns (the dmin pre-join rides through pass 2)
 
     def scored(df: DataFrame): DataFrame =
       withCands(df).join(broadcast(fine), Seq("gid"))
