@@ -235,6 +235,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_centroid_argmin"),
+      new ExpressionInfo(classOf[graft.expressions.CentroidArgminExpr].getName,
+        "graft_centroid_argmin"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // same literal-model plumbing as graft_coarse_prune: flattened
+        // c×dim centroids + per-centroid ‖c‖², null-element-checked
+        def dblLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): IndexedSeq[Double] =
+          e.eval() match {
+            case a: ArrayData =>
+              var i = 0
+              while (i < a.numElements()) {
+                if (a.isNullAt(i)) throw new IllegalArgumentException(
+                  s"graft_centroid_argmin: $what must be a non-null literal ARRAY<DOUBLE>, " +
+                    s"but element $i is NULL")
+                i += 1
+              }
+              a.toDoubleArray().toIndexedSeq
+            case other => throw new IllegalArgumentException(
+              s"graft_centroid_argmin: $what must be a non-null literal ARRAY<DOUBLE>, got ${
+                if (other == null) "NULL" else other}")
+          }
+        children match {
+          case Seq(vec, cs, ccs) if cs.foldable && ccs.foldable =>
+            graft.expressions.CentroidArgminExpr(vec,
+              dblLit(cs, "flat centroids"), dblLit(ccs, "centroid norms"))
+          case _ => throw new IllegalArgumentException(
+            "graft_centroid_argmin(vec, flat_centroids, centroid_norms) — model args must be literal arrays")
+        }
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_clf_score"),
       new ExpressionInfo(classOf[graft.expressions.ClfScoreExpr].getName, "graft_clf_score"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

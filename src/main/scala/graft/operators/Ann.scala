@@ -173,17 +173,27 @@ object Ann {
   }
 
   /** Nearest-centroid assignment: `cid` = argmin over C squared-L2
-    * distances, computed as C fused dot products per row (‖v‖² is common
-    * and drops out of the argmin: d_j = −2⟨v,c_j⟩ + ‖c_j‖²). */
+    * distances (‖v‖² is common and drops out of the argmin:
+    * d_j = −2⟨v,c_j⟩ + ‖c_j‖²), as ONE compiled loop per row
+    * ([[graft.expressions.CentroidArgminExpr]], `graft_centroid_argmin`).
+    * The former formulation — C inline distance expressions reduced by a
+    * C-wide `array_position(ds, array_min(ds))` — computed the identical
+    * values but generated whole-stage methods past HotSpot's JIT size
+    * ceiling even at C = 64, so the stage ran interpreted bytecode
+    * (round-14 factor-1000 finding: ~600 s for a 2M-row assignment the
+    * compiled loop does in seconds; same pathology and fix as
+    * [[assignCentroidPruned]]'s coarse level). The loop preserves the
+    * reference semantics bit-for-bit — same dot fold, first minimum under
+    * the SQL double ordering, duplicate-centroid ties to the lowest cid,
+    * NULL vector → NULL cid — pinned by AnnSpec's inline-formulation
+    * equality spec and `Probe --semdedup-cert` leg 1 at scale. */
   def assignCentroid(
       emb: DataFrame, centroids: Array[Array[Double]],
       vecCol: String = "embedding"): DataFrame = {
-    val dists = centroids.map { cj =>
-      val cc = cj.map(x => x * x).sum
-      lit(-2.0) * dotLit(col(vecCol), cj.toSeq) + lit(cc)
-    }
-    val ds = array(dists.toIndexedSeq: _*)
-    emb.withColumn("cid", (array_position(ds, array_min(ds)) - 1).cast("int"))
+    val flat = centroids.flatten.toSeq
+    val ccs  = centroids.map(cj => cj.map(x => x * x).sum).toSeq
+    emb.withColumn("cid", call_function("graft_centroid_argmin",
+      col(vecCol), typedLit(flat), typedLit(ccs)))
   }
 
   /**

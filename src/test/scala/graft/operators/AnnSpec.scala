@@ -371,6 +371,50 @@ class AnnSpec extends AnyFunSuite {
     assert(joinPlan.exceptAll(litPlan).count() === 0L)
   }
 
+  test("compiled argmin assignment is bit-identical to the inline array_min/array_position form") {
+    // Round 14: assignCentroid is ONE compiled loop (graft_centroid_argmin)
+    // because the inline form ran interpreted past HotSpot's JIT size
+    // ceiling. This spec RECONSTRUCTS the retired inline formulation —
+    // c distance expressions + array_position(ds, array_min(ds)) − 1 —
+    // and pins bit-equality on real data PLUS the adversarial cases the
+    // translation could miss: duplicate centroids (tie → lowest cid),
+    // exact-tie distances, and a NULL vector (NULL cid row on both).
+    import org.apache.spark.sql.functions._
+    import graft.functions.Similarity
+    import spark.implicits._
+    def inlineForm(df: org.apache.spark.sql.DataFrame,
+        centroids: Array[Array[Double]]): org.apache.spark.sql.DataFrame = {
+      val dists = centroids.map { cj =>
+        val cc = cj.map(x => x * x).sum
+        lit(-2.0) * Similarity.dotProduct(col("embedding"), typedLit(cj.toSeq)) + lit(cc)
+      }
+      val ds = array(dists.toIndexedSeq: _*)
+      df.withColumn("cid", (array_position(ds, array_min(ds)) - 1).cast("int"))
+    }
+    val emb = Tables.embeddings(spark, dir)
+    val cs  = Ann.ivfFit(emb, c = 16, iters = 3)
+    val a   = Ann.assignCentroid(emb, cs).select("vec_id", "cid")
+    val b   = inlineForm(emb, cs).select("vec_id", "cid")
+    assert(a.exceptAll(b).count() === 0L)
+    assert(b.exceptAll(a).count() === 0L)
+    // duplicate centroids + ties + NULL vector
+    val tricky = Seq(
+      (1L, Some(Seq(1.0f, 0.0f))),  // equidistant from duplicated centroids → cid 0
+      (2L, Some(Seq(0.0f, 1.0f))),
+      (3L, None: Option[Seq[Float]]), // NULL vector → NULL cid on both plans
+      (4L, Some(Seq(-1.0f, -1.0f)))
+    ).toDF("vec_id", "embedding")
+    val dupCs = Array(Array(0.5, 0.5), Array(0.5, 0.5), Array(-0.5, -0.5))
+    val ta = Ann.assignCentroid(tricky, dupCs).select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    val tb = inlineForm(tricky, dupCs).select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(ta === tb)
+    assert(ta(1L) === 0) // duplicate-centroid tie keeps the lowest cid
+    assert(ta(3L) === null)
+    assert(ta(4L) === 2)
+  }
+
   test("two-level pruned assignment is bit-identical to both flat plans") {
     // VERDICT r12 item 4: the c ∝ n production path — √c-cell triangle-
     // inequality pruning before the exact argmin — must agree exactly
