@@ -266,6 +266,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[graft.expressions.PqEncodeExpr].getName,
+        "graft_pq_encode"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def dblLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): IndexedSeq[Double] =
+          e.eval() match {
+            case a: ArrayData =>
+              var i = 0
+              while (i < a.numElements()) {
+                if (a.isNullAt(i)) throw new IllegalArgumentException(
+                  s"graft_pq_encode: $what must be a non-null literal ARRAY<DOUBLE>, " +
+                    s"but element $i is NULL")
+                i += 1
+              }
+              a.toDoubleArray().toIndexedSeq
+            case other => throw new IllegalArgumentException(
+              s"graft_pq_encode: $what must be a non-null literal ARRAY<DOUBLE>, got ${
+                if (other == null) "NULL" else other}")
+          }
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): Int =
+          e.eval() match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"graft_pq_encode: $what must be a literal INT, got ${
+                if (other == null) "NULL" else other}")
+          }
+        children match {
+          case Seq(vec, cb, m, k) if cb.foldable && m.foldable && k.foldable =>
+            graft.expressions.PqEncodeExpr(vec,
+              dblLit(cb, "flat codebooks"), intLit(m, "m"), intLit(k, "ksub"))
+          case _ => throw new IllegalArgumentException(
+            "graft_pq_encode(vec, flat_codebooks, m, ksub) — model args must be literals")
+        }
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_clf_score"),
       new ExpressionInfo(classOf[graft.expressions.ClfScoreExpr].getName, "graft_clf_score"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -358,16 +358,20 @@ object Ann {
   def pqEncode(
       emb: DataFrame, codebooks: Array[Array[Array[Double]]],
       vecCol: String = "embedding"): DataFrame = {
+    // ONE compiled loop over the m×ksub×dsub codebook literal
+    // (graft_pq_encode) — the former formulation built m·ksub
+    // squaredL2Distance columns, each an INTERPRETED zip_with+aggregate
+    // HOF (never in whole-stage codegen), which put the PQ trio at the
+    // top of the whole r14 bench (~34 µs/row). Identical codes: same
+    // per-subspace left-to-right (x−y)² fold, same first-min /
+    // array_position tie rule, same NULL-vector → NULL-codes and
+    // NULL-element → NULL-code_s degeneracies — pinned by AnnSpec's
+    // retired-formulation equality spec.
     val m    = codebooks.length
-    val dsub = codebooks.head.head.length
-    val codeCols = (0 until m).map { s =>
-      val sub = slice(col(vecCol), s * dsub + 1, dsub)
-      val ds  = array(codebooks(s).map(cb =>
-        Similarity.squaredL2Distance(sub, typedLit(cb.toSeq))).toIndexedSeq: _*)
-      (array_position(ds, array_min(ds)) - 1).cast("int")
-    }
+    val ksub = codebooks.head.length
+    val flat = codebooks.flatten.flatten.toSeq
     emb.withColumn("codes",
-      when(col(vecCol).isNotNull, array(codeCols: _*)))
+      call_function("graft_pq_encode", col(vecCol), typedLit(flat), lit(m), lit(ksub)))
   }
 
   /** The asymmetric-distance lookup table for `probeVec`: `tab(s)(j)` =

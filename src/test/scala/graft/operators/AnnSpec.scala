@@ -564,6 +564,54 @@ class AnnSpec extends AnyFunSuite {
     assert(!top.exists(_.getLong(0) === 9999L))
   }
 
+  test("compiled PQ encode is bit-identical to the retired HOF/array_position form") {
+    // Round 14: pqEncode is ONE compiled loop (graft_pq_encode) because
+    // the m·ksub squaredL2Distance columns were interpreted zip_with+
+    // aggregate HOFs. Reconstruct the retired formulation and pin
+    // bit-equality on real data plus the degeneracies the translation
+    // could miss: a NULL vector (NULL codes) and a NULL ELEMENT (nulls
+    // exactly that subspace's code — zip_with null-pad semantics).
+    import org.apache.spark.sql.functions._
+    import graft.functions.Similarity
+    import spark.implicits._
+    def retiredForm(df: org.apache.spark.sql.DataFrame,
+        codebooks: Array[Array[Array[Double]]]): org.apache.spark.sql.DataFrame = {
+      val m    = codebooks.length
+      val dsub = codebooks.head.head.length
+      val codeCols = (0 until m).map { s =>
+        val sub = slice(col("embedding"), s * dsub + 1, dsub)
+        val ds  = array(codebooks(s).map(cb =>
+          Similarity.squaredL2Distance(sub, typedLit(cb.toSeq))).toIndexedSeq: _*)
+        (array_position(ds, array_min(ds)) - 1).cast("int")
+      }
+      df.withColumn("codes", when(col("embedding").isNotNull, array(codeCols: _*)))
+    }
+    val emb   = Tables.embeddings(spark, dir)
+    val books = Ann.pqFit(emb, m = 8, ksub = 16, iters = 2)
+    val a = Ann.pqEncode(emb, books).select("vec_id", "codes")
+    val b = retiredForm(emb, books).select("vec_id", "codes")
+    assert(a.exceptAll(b).count() === 0L)
+    assert(b.exceptAll(a).count() === 0L)
+    // degenerate vectors: NULL vector, NULL element in subspace 1
+    val elems: Seq[Option[Float]] =
+      (0 until 64).map(i => if (i == 9) Option.empty[Float] else Some(i.toFloat))
+    val tricky = Seq(
+      (1L, Some((0 until 64).map(i => Some(i.toFloat)))),
+      (2L, Option.empty[Seq[Option[Float]]]),
+      (3L, Some(elems))
+    ).toDF("vec_id", "embedding")
+    val small = Array.fill(8)(Array(Array.fill(8)(0.0), Array.fill(8)(1.0)))
+    def codesOf(df: org.apache.spark.sql.DataFrame) = df.select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Any](1).toList)).toMap
+    val ta = codesOf(Ann.pqEncode(tricky, small))
+    val tb = codesOf(retiredForm(tricky, small))
+    assert(ta === tb)
+    assert(ta(2L) === null)                 // NULL vector → NULL codes
+    assert(ta(3L)(1) === null)              // NULL element nulls subspace 1 only
+    assert(ta(3L).count(_ != null) === 7)
+  }
+
   test("ADC equals the exact distance when vectors are codebook-reconstructible") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
