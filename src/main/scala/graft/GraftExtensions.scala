@@ -303,6 +303,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_adc"),
+      new ExpressionInfo(classOf[graft.expressions.AdcSumExpr].getName, "graft_adc"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def dblLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): IndexedSeq[Double] =
+          e.eval() match {
+            case a: ArrayData =>
+              var i = 0
+              while (i < a.numElements()) {
+                if (a.isNullAt(i)) throw new IllegalArgumentException(
+                  s"graft_adc: $what must be a non-null literal ARRAY<DOUBLE>, " +
+                    s"but element $i is NULL")
+                i += 1
+              }
+              a.toDoubleArray().toIndexedSeq
+            case other => throw new IllegalArgumentException(
+              s"graft_adc: $what must be a non-null literal ARRAY<DOUBLE>, got ${
+                if (other == null) "NULL" else other}")
+          }
+        children match {
+          case Seq(codes, tab, k) if tab.foldable && k.foldable =>
+            val ks = k.eval() match {
+              case i: Int => i
+              case other => throw new IllegalArgumentException(
+                s"graft_adc: ksub must be a literal INT, got ${
+                  if (other == null) "NULL" else other}")
+            }
+            graft.expressions.AdcSumExpr(codes, dblLit(tab, "flat adc table"), ks)
+          case _ => throw new IllegalArgumentException(
+            "graft_adc(codes, flat_table, ksub) — table args must be literals")
+        }
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_clf_score"),
       new ExpressionInfo(classOf[graft.expressions.ClfScoreExpr].getName, "graft_clf_score"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

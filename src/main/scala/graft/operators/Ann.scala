@@ -144,32 +144,42 @@ object Ann {
       (if (stride < 2) nonNull
        else nonNull.filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0))
         .persist()
-    try {
-      var centroids: Array[Array[Double]] =
-        train.orderBy(col(idCol)).limit(c)
-          .select(col(vecCol).cast("array<double>"))
-          .collect()
-          .map(_.getSeq[Double](0).toArray)
-      require(centroids.length == c,
-        s"ivfFit(c=$c) drew only ${centroids.length} training points — " +
-          "the corpus (or its sample) is smaller than the requested model; " +
-          "lower c or raise fitSample")
-      for (_ <- 1 to iters) {
-        // large-c regime (SemDeDup's c ∝ n): the broadcast-model-frame
-        // join assignment — c inline distance expressions stop being
-        // codegen-viable in the thousands; bit-identical by the
-        // semAssigned contract, so small-c fits are unchanged
-        val means = semAssigned(train, centroids, idCol, vecCol)
-          .select(col("cid"), posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
-          .groupBy("cid", "dim")
-          .agg(avg("x").as("m"))
-          .collect()
-        val next = centroids.map(_.clone())
-        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-        centroids = next // empty clusters keep their previous centroid
-      }
-      centroids
-    } finally train.unpersist(blocking = false)
+    try ivfFitFromTrain(train, c, iters, idCol, vecCol)
+    finally train.unpersist(blocking = false)
+  }
+
+  /** The Lloyd loop of [[ivfFit]] over an ALREADY-SAMPLED null-free train
+    * frame (caller persists/unpersists). Split out so [[pqFit]] can pay
+    * the corpus count + sample scan ONCE and run all m subspace fits
+    * against one cached sample — the per-subspace fit math (init rows,
+    * assignment fold, means) is byte-for-byte this code either way. */
+  private def ivfFitFromTrain(
+      train: DataFrame, c: Int, iters: Int,
+      idCol: String, vecCol: String): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] =
+      train.orderBy(col(idCol)).limit(c)
+        .select(col(vecCol).cast("array<double>"))
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+    require(centroids.length == c,
+      s"ivfFit(c=$c) drew only ${centroids.length} training points — " +
+        "the corpus (or its sample) is smaller than the requested model; " +
+        "lower c or raise fitSample")
+    for (_ <- 1 to iters) {
+      // large-c regime (SemDeDup's c ∝ n): the broadcast-model-frame
+      // join assignment — c inline distance expressions stop being
+      // codegen-viable in the thousands; bit-identical by the
+      // semAssigned contract, so small-c fits are unchanged
+      val means = semAssigned(train, centroids, idCol, vecCol)
+        .select(col("cid"), posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg(avg("x").as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next // empty clusters keep their previous centroid
+    }
+    centroids
   }
 
   /** Nearest-centroid assignment: `cid` = argmin over C squared-L2
@@ -309,12 +319,16 @@ object Ann {
    * shape: a 2M×64-float corpus becomes 2M×m bytes — the scan that ranks
    * candidates reads codes only, never raw vectors.
    *
-   * Each subspace fit REUSES [[ivfFit]] verbatim on the sliced subvector
-   * column — deterministic lowest-id init, bounded `fitSample`, Lloyd on
-   * the sample — so determinism, null handling, and the fit-cost bound are
-   * the certified IVF properties, m times. (The m fits each pay ivfFit's
-   * count + sample scan; at fit time that is m bounded passes, not m×iters
-   * corpus passes — quantizer quality saturates on the sample.)
+   * Each subspace fit REUSES [[ivfFit]]'s Lloyd loop verbatim on the
+   * sliced subvector column ([[ivfFitFromTrain]]) — deterministic
+   * lowest-id init, bounded `fitSample`, Lloyd on the sample — so
+   * determinism, null handling, and the fit-cost bound are the certified
+   * IVF properties, m times. The corpus count and the strided sample scan
+   * are paid ONCE and shared across all m fits (the stride depends only
+   * on n and ksub, and slicing commutes with sampling, so each subspace
+   * fit trains on byte-identical rows to a standalone ivfFit of its
+   * sliced column): one bounded pass, not m, and never m×iters corpus
+   * passes — quantizer quality saturates on the sample.
    *
    * Returns `codebooks(s)(j)` = the j-th centroid of subspace s.
    */
@@ -325,13 +339,26 @@ object Ann {
     val dim = firstVectorDim(emb, vecCol)
     require(dim % m == 0, s"PQ m=$m must divide the vector dim $dim")
     val dsub = dim / m
-    Array.tabulate(m) { s =>
-      ivfFit(
-        emb.select(col(idCol),
-          slice(col(vecCol), s * dsub + 1, dsub).as(vecCol)),
-        c = ksub, iters = iters, idCol = idCol, vecCol = vecCol,
-        fitSample = fitSample)
-    }
+    // ONE corpus count + ONE strided sample scan for all m subspace fits
+    // (round 14: the m separate ivfFit calls repeated both per subspace —
+    // pure scheduling overhead; a subvector is null iff the vector is, and
+    // slice-after-sample ≡ sample-after-slice row-for-row, so every
+    // subspace fit sees byte-identical training data and the books are
+    // bit-identical to the per-subspace-ivfFit formulation — AnnSpec's
+    // determinism and driver-replay specs pin it).
+    val nonNull   = emb.filter(col(vecCol).isNotNull)
+    val n         = nonNull.count()
+    val effSample = if (fitSample > 0) math.max(fitSample.toLong, 32L * ksub) else 0L
+    val stride    = if (effSample > 0) n / effSample else 0L
+    val train =
+      (if (stride < 2) nonNull
+       else nonNull.filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0))
+        .persist()
+    try Array.tabulate(m) { s =>
+      ivfFitFromTrain(
+        train.select(col(idCol), slice(col(vecCol), s * dsub + 1, dsub).as(vecCol)),
+        c = ksub, iters = iters, idCol = idCol, vecCol = vecCol)
+    } finally train.unpersist(blocking = false)
   }
 
   /** Dimensionality of the first non-null vector (pushed-limit 1-row scan). */
@@ -406,17 +433,19 @@ object Ann {
    * composes in front of this scan unchanged (filter nprobe cells, then
    * ADC-rank inside them) when even the code scan must be pruned.
    */
-  /** The ADC sum `Σ_s tab(s)(codes(s))` over a `codes` column: zip_with
-    * pairs codes(s) with tab(s); the 0.0-seeded left fold matches the
-    * oracle's list_aggregate order (m float adds, same sequence both
-    * engines). ONE shared definition for [[pqTopK]] / [[pqQueryIndex]] /
-    * [[ivfPqTopK]] — the literal-codebook replay depends on this exact
-    * float-op order, so the three paths must not drift apart. */
+  /** The ADC sum `Σ_s tab(s)(codes(s))` over a `codes` column as ONE
+    * compiled loop ([[graft.expressions.AdcSumExpr]], `graft_adc`): the
+    * 0.0-seeded left fold matches the oracle's list_aggregate order
+    * (m float adds, same sequence both engines). The former
+    * zip_with+aggregate formulation was two INTERPRETED higher-order
+    * functions per row in the one pass whose 100 TB story is "reads m
+    * bytes per row" (round-14 fix family). ONE shared definition for
+    * [[pqTopK]] / [[pqQueryIndex]] / [[ivfPqTopK]] — the literal-codebook
+    * replay depends on this exact float-op order, so the three paths must
+    * not drift apart. */
   private def adcColumn(tab: Array[Array[Double]]): Column =
-    aggregate(
-      zip_with(col("codes"), typedLit(tab.map(_.toSeq).toSeq),
-        (c, row) => element_at(row, c + 1)),
-      lit(0.0d), (acc, x) => acc + x)
+    call_function("graft_adc", col("codes"),
+      typedLit(tab.flatten.toSeq), lit(tab.head.length))
 
   def pqTopK(
       emb: DataFrame, probeId: Long, k: Int,

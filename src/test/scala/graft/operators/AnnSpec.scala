@@ -612,6 +612,42 @@ class AnnSpec extends AnyFunSuite {
     assert(ta(3L).count(_ != null) === 7)
   }
 
+  test("compiled ADC sum is bit-identical to the retired zip_with/aggregate form") {
+    // Round 14: adcColumn is one compiled loop (graft_adc). Reconstruct
+    // the retired HOF fold and pin equality over every corpus row's adc
+    // against probe 0's table, plus NULL-codes propagation.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb   = Tables.embeddings(spark, dir)
+    val books = Ann.pqFit(emb, m = 8, ksub = 16, iters = 2)
+    val tab   = Ann.pqAdcTable(books, Ann.probeVector(emb, 0L))
+    val codes = Ann.pqEncode(emb, books).select(col("vec_id"), col("codes"))
+    val a = codes.withColumn("adc",
+      call_function("graft_adc", col("codes"),
+        typedLit(tab.flatten.toSeq), lit(tab.head.length))).select("vec_id", "adc")
+    val b = codes.withColumn("adc",
+      aggregate(
+        zip_with(col("codes"), typedLit(tab.map(_.toSeq).toSeq),
+          (c, row) => element_at(row, c + 1)),
+        lit(0.0d), (acc, x) => acc + x)).select("vec_id", "adc")
+    assert(a.exceptAll(b).count() === 0L)
+    assert(b.exceptAll(a).count() === 0L)
+    // NULL codes array → NULL adc; NULL code element → NULL adc
+    val tricky = Seq(
+      (1L, Some(Seq[Option[Int]](Some(0), Some(1), Some(0), Some(1), Some(0), Some(1), Some(0), Some(1)))),
+      (2L, Option.empty[Seq[Option[Int]]]),
+      (3L, Some(Seq[Option[Int]](Some(0), None, Some(0), Some(0), Some(0), Some(0), Some(0), Some(0))))
+    ).toDF("vec_id", "codes").select(col("vec_id"), col("codes").cast("array<int>"))
+    val got = tricky.withColumn("adc",
+      call_function("graft_adc", col("codes"),
+        typedLit(tab.flatten.toSeq), lit(tab.head.length)))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(got(1L) !== null)
+    assert(got(2L) === null)
+    assert(got(3L) === null)
+  }
+
   test("ADC equals the exact distance when vectors are codebook-reconstructible") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
