@@ -22,8 +22,10 @@ import org.apache.spark.sql.types._
  * length-m mismatch yields NULL (zip_with null-pads the shorter side).
  * One deliberate divergence, reachable only by a foreign codes column
  * (encode never emits such a code): any out-of-range code yields NULL
- * here, where the HOF's `element_at` returned NULL past the end but
- * indexed FROM THE END for negatives — a misfeature not preserved.
+ * here, where the HOF's `element_at` returned NULL past the end, RAISED
+ * ("SQL array indices start at 1") for code −1 (the lookup computed
+ * `element_at(row, 0)`), and indexed from the end only for codes ≤ −2 —
+ * misfeatures not preserved.
  */
 case class AdcSumExpr(
     child: Expression,

@@ -316,8 +316,11 @@ object Ann {
    * compresses to `m` small codes (m·log₂ksub bits instead of D·32) while
    * distances remain computable in the COMPRESSED domain via per-subspace
    * lookup tables ([[pqTopK]]). This is the 100 TB embedding-serving
-   * shape: a 2M×64-float corpus becomes 2M×m bytes — the scan that ranks
-   * candidates reads codes only, never raw vectors.
+   * shape: a 2M×64-float corpus becomes 2M×m bytes, and in the PERSISTED
+   * serving pair ([[pqBuildIndex]]/[[pqQueryIndex]]) the scan that ranks
+   * candidates reads codes only, never raw vectors ([[pqTopK]], the
+   * compute-path variant, carries the raw vector through its ranking
+   * select — it is already scanning them to encode).
    *
    * Each subspace fit REUSES [[ivfFit]]'s Lloyd loop verbatim on the
    * sliced subvector column ([[ivfFitFromTrain]]) — deterministic
@@ -426,12 +429,15 @@ object Ann {
    * the best `shortlist` ids, then exact-cosine rerank only those against
    * the probe. Output schema `(vec_id, adc, sim)`, top-k by exact sim.
    *
-   * The ADC scan is the scale story: at 100 TB the ranking pass reads
-   * m bytes per row (the codes column — parquet prunes the raw vectors
-   * away) and the exact rerank touches `shortlist` rows, so recall is the
-   * only thing the compression trades; the certified IVF cell pruning
-   * composes in front of this scan unchanged (filter nprobe cells, then
-   * ADC-rank inside them) when even the code scan must be pruned.
+   * The ADC sum is the scale story, but the m-bytes-per-row ranking scan
+   * belongs to the PERSISTED pair ([[pqBuildIndex]]/[[pqQueryIndex]],
+   * which rank from the codes frame alone): this compute-path variant
+   * carries `vecCol` through the ranking select so the fused
+   * encode→rank→rerank plan needs no join back — it reads the raw
+   * vectors it is already encoding. The exact rerank touches `shortlist`
+   * rows either way, so recall is the only thing the compression trades;
+   * the certified IVF cell pruning composes in front of the scan
+   * unchanged (filter nprobe cells, then ADC-rank inside them).
    */
   /** The ADC sum `Σ_s tab(s)(codes(s))` over a `codes` column as ONE
     * compiled loop ([[graft.expressions.AdcSumExpr]], `graft_adc`): the
@@ -458,6 +464,7 @@ object Ann {
     pqEncode(emb, codebooks, vecCol)
       .where(col("codes").isNotNull)
       .select(col(idCol), adcColumn(tab).as("adc"), col(vecCol))
+      .where(col("adc").isNotNull) // a NULL code element nulls adc; such a row ranks nowhere
       .orderBy(col("adc"), col(idCol))
       .limit(shortlist)
       .select(col(idCol), round(col("adc"), 4).as("adc"),
@@ -494,6 +501,7 @@ object Ann {
     pqEncode(assignCentroid(emb, centroids, vecCol), codebooks, vecCol)
       .where(col("cid").isin(nearCids.toIndexedSeq: _*)) // null cid (null vec) never matches
       .select(col(idCol), adcColumn(tab).as("adc"), col(vecCol))
+      .where(col("adc").isNotNull) // a NULL code element nulls adc; such a row ranks nowhere
       .orderBy(col("adc"), col(idCol))
       .limit(shortlist)
       .select(col(idCol), round(col("adc"), 4).as("adc"),
@@ -572,6 +580,7 @@ object Ann {
     val sl = index
       .where(col("codes").isNotNull)
       .select(col(idCol), adcColumn(tab).as("adc"))
+      .where(col("adc").isNotNull) // see pqTopK: NULL-element codes rank nowhere
       .orderBy(col("adc"), col(idCol))
       .limit(shortlist)
       .collect()

@@ -591,7 +591,7 @@ object TextQueries {
           "dl", sum("tf").over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
       val idf = tf.where(col("term").isin(qterms: _*))
         .groupBy("term").agg(count(lit(1)).as("df"))
-        .crossJoin(stats)
+        .crossJoin(broadcast(stats))
         .select(col("term"),
           (log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))).as("idf"),
           col("avgdl"))
