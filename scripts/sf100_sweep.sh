@@ -112,20 +112,21 @@ SUBSET=$SUBSET,q_hnsw_del
 SUBSET=$SUBSET,q_tempmix
 # Round 14: perceptual dHash of every asset (5M-row output, linear
 # byte-replay oracle — the q_media_resize cost class), strict
-# row-compare. q_mediadup itself joins the quadratic-oracle exclusion
-# class (its oracle is the definitional all-pairs EXISTS at 5M assets);
-# its factor-1000 correctness is carried by q_phash here (the hashes the
-# banding consumes, checked corpus-wide) + the banding-duality and
-# pigeonhole-closure specs (MultimodalSpec). q_bpe_train has no SQL
-# oracle by declared contract; its factor-1000 witness is
-# `Probe --bpe-cert` (distributed trainer vs the definitional
-# single-node loop over the collected word-frequency table).
+# row-compare. q_bpe_train has no SQL oracle by declared contract; its
+# factor-1000 witness is `Probe --bpe-cert` (distributed trainer vs the
+# definitional single-node loop over the collected word-frequency table).
 SUBSET=$SUBSET,q_phash
 # Round 14: product-quantization ANN, its persisted serving pair, and the
 # IVFADC composition (10-row outputs; each oracle replays the m×ksub
 # encode argmin per vector — linear, ~1k flops/row over the 2M-vector
 # slice, well inside the one-box envelope), strict row-compare.
 SUBSET=$SUBSET,q_pq,q_pq_idx,q_ivfpq
+# Round 15: residual IVFADC, the persisted IVFADC serving pairs, and
+# quantized-index maintenance (10-row / 1-row outputs; same linear
+# encode-replay oracle class as q_pq — the residual adds one literal
+# subtraction per vector; the maintenance pair's oracles are count +
+# self-certified-equality rows), strict row-compare.
+SUBSET=$SUBSET,q_ivfpq_res,q_ivfpq_idx,q_ivfpq_res_idx,q_pq_incr,q_ivfpq_del
 
 # Digest-mode names: row-preserving 20M-300M-row outputs (full-content
 # order-independent hash compare; see header).
@@ -150,6 +151,13 @@ DIGEST=$DIGEST,q_dsir,q_perplexity
 # `Probe --substr-cert` (per-span-class dual-plan marking digests, full
 # coverage, + global token conservation) and the full sf10 sweep.
 DIGEST=$DIGEST,q_bpe_encode
+# Round 15 (VERDICT r14 task 4): q_mediadup joins the sweep — its oracle
+# was never the all-pairs EXISTS (the header's old exclusion note was
+# stale); it is the banded equi-join, now with the candidate side
+# collapsed to one min-id representative per (band, bval, dhash) class,
+# so the pair stream stays ~linear even though every ScaleUp asset has
+# factor× identical copies. ~5M-row row-preserving output → DIGEST.
+DIGEST=$DIGEST,q_mediadup
 
 SWEEP_SUBSET="$SUBSET" \
 DIGEST_SUBSET="$DIGEST" \

@@ -152,9 +152,29 @@ object Bench {
     // band was 129–136 s, and every judge had to re-derive that from
     // BASELINE.md prose). Contended medians still land in
     // BENCH_FULL_CONTENDED.json so no measurement is lost.
-    val loadAmbient = ambientLoad
-    val maxLoad     = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0").toDouble
-    val contended   = loadAmbient > maxLoad
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0").toDouble
+    // RETRY-UNTIL-IDLE (VERDICT r14 task 6): the driver's per-round bench
+    // has sampled the load envelope in 3 of the last 4 rounds — a
+    // contended record is a diversion artifact nobody can compare. Before
+    // accepting one, wait out the burst: bounded attempts × backoff,
+    // re-sampling the ambient gate each time (all driver-side sleeps,
+    // BEFORE the Spark session spins up, so the gate still measures the
+    // box and not this process). If every attempt is contended the run
+    // proceeds and self-certifies `"contended": true` with the attempt
+    // count — an explicit all-attempts-contended marker, never a silent
+    // idle-looking record.
+    val idleRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_RETRIES", "3").toInt
+    val idleBackoff = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_BACKOFF_SEC", "180").toDouble
+    var loadAmbient  = ambientLoad
+    var idleAttempts = 0
+    while (loadAmbient > maxLoad && idleAttempts < idleRetries) {
+      idleAttempts += 1
+      System.err.println(f"[bench] ambient load $loadAmbient%.2f > $maxLoad%.2f: " +
+        f"waiting $idleBackoff%.0f s for an idle box (attempt $idleAttempts/$idleRetries)")
+      Thread.sleep((idleBackoff * 1000).toLong)
+      loadAmbient = ambientLoad
+    }
+    val contended = loadAmbient > maxLoad
     val spark = GraftSession
       .configure(
         SparkSession.builder()
@@ -272,7 +292,7 @@ object Bench {
     // false + the measured ambient load), not by the absence of a field
     // (ADVICE r08: the committed floor couldn't self-certify)
     val contendedJson =
-      s""","contended":$contended,"load_ambient":${f3(loadAmbient)}"""
+      s""","contended":$contended,"load_ambient":${f3(loadAmbient)},"idle_wait_attempts":$idleAttempts"""
     // fixed-work calibration: median + per-pass samples. BASELINE.md's
     // normalization rule divides totals by this before cross-box-day
     // comparison (normalized_total = total × calib_ref / calib_s).

@@ -266,6 +266,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_residual"),
+      new ExpressionInfo(classOf[graft.expressions.ResidualExpr].getName,
+        "graft_residual"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // same literal-model plumbing as graft_centroid_argmin
+        def dblLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): IndexedSeq[Double] =
+          e.eval() match {
+            case a: ArrayData =>
+              var i = 0
+              while (i < a.numElements()) {
+                if (a.isNullAt(i)) throw new IllegalArgumentException(
+                  s"graft_residual: $what must be a non-null literal ARRAY<DOUBLE>, " +
+                    s"but element $i is NULL")
+                i += 1
+              }
+              a.toDoubleArray().toIndexedSeq
+            case other => throw new IllegalArgumentException(
+              s"graft_residual: $what must be a non-null literal ARRAY<DOUBLE>, got ${
+                if (other == null) "NULL" else other}")
+          }
+        children match {
+          case Seq(vec, cid, cs, d) if cs.foldable && d.foldable =>
+            val dim = d.eval() match {
+              case i: Int => i
+              case other => throw new IllegalArgumentException(
+                s"graft_residual: dim must be a literal INT, got ${
+                  if (other == null) "NULL" else other}")
+            }
+            graft.expressions.ResidualExpr(vec, cid, dblLit(cs, "flat centroids"), dim)
+          case _ => throw new IllegalArgumentException(
+            "graft_residual(vec, cid, flat_centroids, dim) — model args must be literals")
+        }
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[graft.expressions.PqEncodeExpr].getName,
         "graft_pq_encode"),

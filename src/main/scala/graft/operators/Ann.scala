@@ -484,9 +484,9 @@ object Ann {
    * scale: (nprobe/C of the corpus) × (m code bytes per row) for the
    * ranking pass, `shortlist` raw vectors for the rerank. Same output
    * schema and tie rules as [[pqTopK]]; both quantizers stay independent
-   * (codes are of RAW vectors, not residuals — the residual refinement is
-   * a documented variant, not implemented, because it would couple the
-   * two fits and break the per-model literal oracle replay).
+   * here (codes are of RAW vectors — [[ivfPqResTopK]] is the
+   * residual-refined variant Jégou §IV actually prescribes; this one is
+   * kept as the simpler composition whose oracle needs no chaining).
    */
   def ivfPqTopK(
       emb: DataFrame, probeId: Long, k: Int,
@@ -511,6 +511,113 @@ object Ann {
       .limit(k)
   }
 
+  // ----- residual IVFADC (Jégou et al. 2011 §IV, the full refinement) ------
+
+  /** The residual `v − centroid(cid)` as ONE compiled loop per row
+    * ([[graft.expressions.ResidualExpr]], `graft_residual`): float→double
+    * element promotion, NULL elements stay NULL (so the downstream encode
+    * nulls exactly the subspaces it would null on the raw vector), NULL
+    * vec/cid → NULL. Composes with `graft_pq_encode` inside one
+    * whole-stage span — each expression is a single method call, so the
+    * fused assign→subtract→encode stage stays JIT-compilable (the
+    * round-14 discipline). */
+  def residualColumn(vecCol: Column, cidCol: Column,
+      centroids: Array[Array[Double]]): Column =
+    call_function("graft_residual", vecCol, cidCol,
+      typedLit(centroids.flatten.toSeq), lit(centroids.head.length))
+
+  /** Driver-side probe residual w.r.t. one centroid (plain double
+    * subtraction — the exact arithmetic [[residualColumn]] applies per
+    * row, so the probe-side and corpus-side residuals share float-op
+    * semantics and the literal oracle can replay both). */
+  private def residualOf(probeVec: Array[Double], cent: Array[Double]): Array[Double] = {
+    val r = new Array[Double](probeVec.length)
+    var i = 0
+    while (i < r.length) { r(i) = probeVec(i) - cent(i); i += 1 }
+    r
+  }
+
+  /**
+   * PQ codebooks fitted on RESIDUALS `v − centroid(cid)` — the IVFADC
+   * refinement (Jégou et al. §IV): the coarse quantizer absorbs the
+   * coarse position, so the m·log₂ksub code bits are spent on the much
+   * tighter residual distribution and compressed-domain ranking keeps
+   * its accuracy as cells tighten (the c ∝ n regime). The fit is
+   * [[pqFit]] verbatim over the residual column — ONE pooled codebook
+   * set across all cells (the paper's memory-viable choice, vs per-cell
+   * books), one compiled assign→subtract projection in front, and the
+   * same shared-sample/one-count discipline.
+   */
+  def pqFitResidual(
+      emb: DataFrame, centroids: Array[Array[Double]], m: Int, ksub: Int,
+      iters: Int = 3, idCol: String = "vec_id", vecCol: String = "embedding",
+      fitSample: Int = 4096): Array[Array[Array[Double]]] =
+    pqFit(
+      assignCentroid(emb, centroids, vecCol)
+        .select(col(idCol), residualColumn(col(vecCol), col("cid"), centroids).as(vecCol)),
+      m, ksub, iters, idCol, vecCol, fitSample)
+
+  /** Per-probed-cell ADC tables for residual ranking: inside cell c the
+    * compressed-domain distance approximates ‖(q − centroid(c)) − r̂‖², so
+    * each of the `nprobe` visited lists gets its own table built from the
+    * PROBE's residual w.r.t. that list's centroid (Jégou §IV's per-list
+    * table — nprobe small driver-side computations on the m×ksub model).
+    * Returned in [[nearestCells]] order; public so the oracle builder can
+    * record the exact literals the engine ranks with. */
+  def residualAdcTables(
+      centroids: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      probeVec: Array[Double], nprobe: Int): Seq[(Int, Array[Array[Double]])] =
+    nearestCells(centroids, probeVec, nprobe)
+      .map(c => c -> pqAdcTable(codebooks, residualOf(probeVec, centroids(c))))
+
+  /** The per-cell ADC sum as a `when`-chain over the ≤nprobe visited
+    * cells — each branch ONE compiled `graft_adc` call, so the chain
+    * stays inside whole-stage codegen. A cid outside the chain (never
+    * produced: the cell filter precedes this) falls through to NULL and
+    * the shortlist's `adc IS NOT NULL` guard drops it. */
+  private def perCellAdc(tabs: Seq[(Int, Array[Array[Double]])]): Column =
+    tabs.tail.foldLeft(when(col("cid") === tabs.head._1, adcColumn(tabs.head._2))) {
+      case (acc, (c, t)) => acc.when(col("cid") === c, adcColumn(t))
+    }
+
+  /**
+   * Residual IVFADC top-k — [[ivfPqTopK]] with the §IV refinement: the
+   * nprobe cell cut is unchanged, but inside the visited lists the codes
+   * quantize RESIDUALS ([[pqFitResidual]]'s books) and each list ranks by
+   * its own probe-residual table ([[residualAdcTables]]). Same output
+   * schema, tie rules, and exact-cosine rerank as [[ivfPqTopK]]; same
+   * plan shape (assign → cell filter → fused subtract+encode projection →
+   * ADC scan → two TakeOrdereds, zero shuffles). The oracle chains
+   * literal-centroid assignment → literal subtraction → literal-codebook
+   * encode → per-cell literal-table ADC, so the whole refined path stays
+   * hash-checked downstream of the fits.
+   */
+  def ivfPqResTopK(
+      emb: DataFrame, probeId: Long, k: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nprobe: Int = 4, shortlist: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probeVec = probeVector(emb, probeId, idCol, vecCol)
+    val nearCids = nearestCells(centroids, probeVec, nprobe)
+    val tabs     = residualAdcTables(centroids, codebooks, probeVec, nprobe)
+    val probeLit = array(probeVec.toIndexedSeq.map(lit): _*)
+    pqEncode(
+      assignCentroid(emb, centroids, vecCol)
+        .where(col("cid").isin(nearCids.toIndexedSeq: _*)) // fused codegen encodes only survivors
+        .withColumn("_res", residualColumn(col(vecCol), col("cid"), centroids)),
+      codebooks, "_res")
+      .select(col(idCol), perCellAdc(tabs).as("adc"), col(vecCol))
+      .where(col("adc").isNotNull) // see pqTopK: NULL-element codes rank nowhere
+      .orderBy(col("adc"), col(idCol))
+      .limit(shortlist)
+      .select(col(idCol), round(col("adc"), 4).as("adc"),
+        round(Similarity.cosineSimilarity(col(vecCol).cast("array<double>"), probeLit), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /**
    * Persist half of the PQ serving pair: encode every vector once and emit
    * `(idCol, codes)` — the whole corpus at m·4 bytes of code payload per
@@ -524,6 +631,89 @@ object Ann {
       emb: DataFrame, codebooks: Array[Array[Array[Double]]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     pqEncode(emb, codebooks, vecCol).select(col(idCol), col("codes"))
+
+  // ----- quantized-index maintenance (append / delete / compaction) --------
+
+  /**
+   * Append a batch to a persisted [[pqBuildIndex]] codes frame under a
+   * FROZEN codebook: encoding is per-row and deterministic, so
+   * existing-codes ∪ encode(batch) is BIT-IDENTICAL to a from-scratch
+   * rebuild over the unioned corpus (certified by q_pq_incr) — no merge
+   * step, no re-fit, ONE narrow shuffle-free pass over the batch (the
+   * recurring-crawl shape: append cost ∝ batch, while a rebuild re-reads
+   * the corpus). The codebook stays frozen until drift warrants a re-fit,
+   * which is a full rebuild by construction (codes are meaningless across
+   * codebooks).
+   */
+  def pqAppendIndex(
+      index: DataFrame, batch: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    index.unionByName(pqBuildIndex(batch, codebooks, idCol, vecCol))
+
+  /** [[pqAppendIndex]] for the cid-partitioned [[ivfPqBuildIndex]] frame:
+    * assign + (optionally subtract) + encode the batch under the frozen
+    * coarse model and codebooks, union — same bit-equality-to-rebuild
+    * argument, and an appended write lands only in the cells the batch
+    * touches under the `partitionBy("cid")` layout. */
+  def ivfPqAppendIndex(
+      index: DataFrame, batch: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], residual: Boolean = false,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    index.unionByName(ivfPqBuildIndex(batch, centroids, codebooks, residual, idCol, vecCol))
+
+  /**
+   * Cell-local compaction of a persisted cid-partitioned
+   * [[ivfPqBuildIndex]] index: find the cells the tombstones actually
+   * hit (a broadcast left-semi over just the `(idCol, cid)` columns —
+   * column-pruned, the only whole-index pass), read ONLY those
+   * partitions back (the `isin` filter is partition pruning), drop the
+   * tombstoned rows, and overwrite ONLY those partition directories
+   * (dynamic partition overwrite; a cell whose every row was tombstoned
+   * gets its directory deleted explicitly, since dynamic overwrite only
+   * rewrites partitions present in the written data). Untouched cells'
+   * data files are never read or rewritten — compaction I/O ∝ hit
+   * cells, the [[nswCompactIndex]] discipline at the storage layer.
+   * Until compaction runs, serving masks deletes with a broadcast
+   * left-anti on the tombstone frame (q_ivfpq_del's serve leg).
+   * Returns the hit-cell ids (diagnostics; empty when no tombstone
+   * matched).
+   */
+  def ivfPqCompactCells(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      tombstones: DataFrame, idCol: String = "vec_id"): Seq[Int] = {
+    val index = spark.read.parquet(indexPath)
+    val hitCids = index.select(col(idCol), col("cid"))
+      .join(broadcast(tombstones.select(idCol)), Seq(idCol), "left_semi")
+      .select(col("cid").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    if (hitCids.isEmpty) return hitCids
+    val survivors = index
+      .where(col("cid").isin(hitCids: _*))
+      .join(broadcast(tombstones.select(idCol)), Seq(idCol), "left_anti")
+    val liveCids = survivors.select(col("cid").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors.write.mode("overwrite").partitionBy("cid").parquet(indexPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // fully-emptied cells: dynamic overwrite wrote nothing for them, so
+    // their stale directories must go explicitly
+    val emptied = hitCids.filterNot(liveCids)
+    if (emptied.nonEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      emptied.foreach { c =>
+        val p = new org.apache.hadoop.fs.Path(s"$indexPath/cid=$c")
+        val fs = p.getFileSystem(conf)
+        fs.delete(p, true)
+      }
+    }
+    hitCids
+  }
 
   /** The fitted codebooks as a 3-column frame `(sub, code, centroid)`. */
   def pqCodebooksToDF(spark: org.apache.spark.sql.SparkSession,
@@ -584,6 +774,18 @@ object Ann {
       .orderBy(col("adc"), col(idCol))
       .limit(shortlist)
       .collect()
+    rerankShortlist(corpus, sl, probeVec, k, idCol, vecCol)
+  }
+
+  /** The shared serving-path rerank tail: exact-cosine rerank of a
+    * collected `(id, adc)` shortlist against `corpus` through a pushed
+    * `In(id, …)` point filter — parquet row-group pruning, not a scan.
+    * ONE definition for [[pqQueryIndex]] and [[ivfPqQueryIndex]] so the
+    * literal oracle replays cannot drift between the two. */
+  private def rerankShortlist(
+      corpus: DataFrame, sl: Array[org.apache.spark.sql.Row],
+      probeVec: Array[Double], k: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val adcById  = sl.map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val probeLit = array(probeVec.toIndexedSeq.map(lit): _*)
     val lookupAdc = typedLit(adcById)
@@ -595,6 +797,80 @@ object Ann {
           .as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /**
+   * Persist the IVFADC index — the 100 TB serving composition the
+   * compute-path [[ivfPqTopK]]/[[ivfPqResTopK]] re-derive per query: ONE
+   * frame `(idCol, cid, codes)` meant to be written `partitionBy("cid")`
+   * (the [[ivfBuildIndex]] layout), so a query's nprobe cut is parquet
+   * PARTITION PRUNING at the scan and the ranking pass reads m·4 bytes of
+   * code payload per surviving row — the corpus's raw vectors are touched
+   * only by the ≤`shortlist` pushed-In rerank. With `residual = true` the
+   * codes quantize `v − centroid(cid)` ([[pqFitResidual]]'s books — pass
+   * books fitted the same way); assign + subtract + encode fuse into one
+   * compiled narrow projection either way, so the build is a single
+   * shuffle-free corpus pass.
+   */
+  def ivfPqBuildIndex(
+      emb: DataFrame, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], residual: Boolean = false,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val asg = assignCentroid(emb, centroids, vecCol)
+    val enc =
+      if (residual)
+        pqEncode(asg.withColumn("_res", residualColumn(col(vecCol), col("cid"), centroids)),
+          codebooks, "_res")
+      else pqEncode(asg, codebooks, vecCol)
+    enc.select(col(idCol), col("cid"), col("codes"))
+  }
+
+  /**
+   * Probe a prebuilt [[ivfPqBuildIndex]] index: rank the centroids
+   * driver-side (same fold as [[ivfQueryIndex]]), cut to `nprobe` cells —
+   * partition pruning under the `partitionBy("cid")` layout — rank the
+   * survivors by the ADC lookup sum over the CODES FRAME ALONE (per-cell
+   * residual tables when `residual = true`, one shared table otherwise),
+   * and exact-cosine rerank the collected shortlist against `corpus` via
+   * the shared pushed-In tail. With the same models and corpus this
+   * reproduces [[ivfPqTopK]]'s rows exactly (raw mode) /
+   * [[ivfPqResTopK]]'s (residual mode): same unrounded-adc shortlist cut,
+   * tie rules, and rerank fold — the [[pqQueryIndex]] discipline, with
+   * the cell cut in front.
+   */
+  def ivfPqQueryIndex(
+      index: DataFrame, corpus: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      probeVec: Array[Double], k: Int, nprobe: Int = 4, shortlist: Int = 50,
+      residual: Boolean = false,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rerankShortlist(corpus,
+      ivfPqShortlist(index, centroids, codebooks, probeVec, nprobe, shortlist,
+        residual, idCol).collect(),
+      probeVec, k, idCol, vecCol)
+
+  /** The LAZY ranking half of [[ivfPqQueryIndex]] — split out so the plan
+    * itself is inspectable (AnnSpec pins that the `cid` cut reaches the
+    * scan as PartitionFilters under the `partitionBy("cid")` layout; the
+    * collected result is bounded by `shortlist`). */
+  def ivfPqShortlist(
+      index: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      probeVec: Array[Double], nprobe: Int, shortlist: Int,
+      residual: Boolean, idCol: String = "vec_id"): DataFrame = {
+    val nearCids = nearestCells(centroids, probeVec, nprobe)
+    val adcExpr =
+      if (residual) perCellAdc(residualAdcTables(centroids, codebooks, probeVec, nprobe))
+      else adcColumn(pqAdcTable(codebooks, probeVec))
+    index
+      .where(col("cid").isin(nearCids.toIndexedSeq: _*)) // partition pruning under the cid layout
+      .where(col("codes").isNotNull)
+      .select(col(idCol), adcExpr.as("adc"))
+      .where(col("adc").isNotNull) // see pqTopK: NULL-element codes rank nowhere
+      .orderBy(col("adc"), col(idCol))
+      .limit(shortlist)
   }
 
   /**

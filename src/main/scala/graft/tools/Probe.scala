@@ -111,6 +111,34 @@ object Probe {
             p.durationMs.entrySet().toArray.mkString(" "))
         }
       }
+    } else if (args.headOption.contains("--nsw-scaling")) {
+      // NSW shard-size scaling experiment (VERDICT r14 task 7): per-probe
+      // beam-search cost vs single-shard n, measured single-threaded via
+      // the in-package bridge (no Spark job-launch overhead in the loop —
+      // ~100 ms/job would swamp ms-scale searches and bias the curve
+      // sublinear). The verdict's question: does search cost grow
+      // superlinearly past the maxShardRows cap (hierarchy needed), or
+      // ~log-linearly (the cap is a latency knob)? Sizes overridable:
+      //   Probe --nsw-scaling [n1 n2 ...]   (default 10k 40k 160k 640k)
+      import graft.operators.NswScalingProbe
+      val sizes = {
+        val ns = args.drop(1).flatMap(a => scala.util.Try(a.toInt).toOption)
+        if (ns.nonEmpty) ns.toSeq else Seq(10000, 40000, 160000, 640000)
+      }
+      val (m, ef, nProbes) = (12, 128, 32)
+      var prev: Option[(Int, Double)] = None
+      sizes.foreach { n =>
+        val (buildS, medMs, p90Ms, deg) =
+          NswScalingProbe.measure(n, dim = 64, m = m, ef = ef, nProbes, seed = 7)
+        val growth = prev.map { case (pn, pms) =>
+          // per-4x-size growth factor; log-linear search ⇒ ~1.1-1.3,
+          // linear ⇒ ratio of sizes
+          f"growth=${medMs / pms}%.2fx per ${n.toDouble / pn}%.0fx rows"
+        }.getOrElse("")
+        println(f"[nsw-scaling] n=$n%7d m=$m ef=$ef build=${buildS}%8.1f s " +
+          f"search_med=${medMs}%7.2f ms p90=${p90Ms}%7.2f ms deg=${deg}%5.1f $growth")
+        prev = Some((n, medMs))
+      }
     } else if (args.headOption.contains("--nsw-recall")) {
       // Per-probe NSW recall@10 vs the exact scan across (m, ef) combos —
       // the evidence base for the q_hnsw parameter choice at rehearsal

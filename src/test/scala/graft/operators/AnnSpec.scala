@@ -741,4 +741,182 @@ class AnnSpec extends AnyFunSuite {
     val sims = top.map(_.getDouble(2))
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
+
+  /** The planted-cluster corpus the residual/maintenance tests share. */
+  private def plantedCorpus(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      c <- 0 until 20
+      center = Array.fill(64)(rnd.nextGaussian().toFloat)
+      m <- 0 until 10
+    } yield ((c * 10 + m).toLong, center.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq)
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("compiled residual is bit-identical to the zip_with formulation (incl. null degeneracies)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = plantedCorpus()
+    // degenerate rows: a NULL vector (→ NULL cid → NULL residual) and a
+    // vector with one NULL element (→ residual keeps that element NULL)
+    val holed = (0 until 64).map(i => if (i == 7) null else java.lang.Double.valueOf(0.5 * i))
+    val edge = Seq(
+      (9000L, null.asInstanceOf[Seq[java.lang.Double]]),
+      (9001L, holed)
+    ).toDF("vec_id", "embedding")
+    val emb   = base.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(edge.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")))
+    val cents = Ann.ivfFit(base, c = 8, iters = 2)
+    val asg   = Ann.assignCentroid(emb, cents)
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    val viaHof = asg.withColumn("res",
+      zip_with(col("embedding").cast("array<double>"),
+        element_at(centLit, col("cid") + 1), (a, b) => a - b))
+      .select(col("vec_id"), col("res"))
+      .collect().map(r => (r.getLong(0), Option(r.getSeq[Any](1)).map(_.toList))).toMap
+    val viaExpr = asg.withColumn("res",
+      Ann.residualColumn(col("embedding"), col("cid"), cents))
+      .select(col("vec_id"), col("res"))
+      .collect().map(r => (r.getLong(0), Option(r.getSeq[Any](1)).map(_.toList))).toMap
+    assert(viaExpr.keySet === viaHof.keySet)
+    viaExpr.keySet.foreach { id =>
+      assert(viaExpr(id) === viaHof(id), s"residual diverged for vec_id=$id")
+    }
+    // the degeneracies actually exercised what they claim
+    assert(viaExpr(9000L).isEmpty, "NULL vector must have NULL residual")
+    assert(viaExpr(9001L).exists(_(7) == null), "NULL element must stay NULL")
+    assert(viaExpr(9001L).exists(l => l(6) != null && l(8) != null))
+  }
+
+  test("residual IVFADC recall >= raw IVFADC on planted clusters (the Jégou §IV claim)") {
+    val emb   = plantedCorpus()
+    val cents = Ann.ivfFit(emb, c = 16, iters = 3)
+    // deliberately coarse codebooks (ksub = 4) and a tight shortlist: the
+    // raw-vector codes must spend their 8×2 bits on the whole space while
+    // the residual codes cover only the within-cell spread — the paper's
+    // accuracy argument, made measurable
+    val rawBooks = Ann.pqFit(emb, m = 8, ksub = 4, iters = 3)
+    val resBooks = Ann.pqFitResidual(emb, cents, m = 8, ksub = 4, iters = 3)
+    val probes = Seq(0L, 55L, 111L, 190L)
+    def recall(f: Long => Array[org.apache.spark.sql.Row]): Double = {
+      val rs = probes.map { p =>
+        val exact = Ann.bruteForceTopK(emb, p, 10).collect().map(_.getLong(0)).toSet
+        val ids   = f(p).map(_.getLong(0)).toSet
+        exact.intersect(ids).size.toDouble / exact.size
+      }
+      rs.sum / rs.size
+    }
+    val rawRecall = recall(p =>
+      Ann.ivfPqTopK(emb, p, 10, cents, rawBooks, nprobe = 4, shortlist = 12).collect())
+    val resRecall = recall(p =>
+      Ann.ivfPqResTopK(emb, p, 10, cents, resBooks, nprobe = 4, shortlist = 12).collect())
+    assert(resRecall >= rawRecall,
+      s"residual recall $resRecall < raw recall $rawRecall")
+    assert(resRecall >= 0.9, s"residual recall $resRecall below floor")
+  }
+
+  test("IVFADC index: cid-partitioned persist/reload reproduces both compute paths with pruning") {
+    val emb   = plantedCorpus()
+    val cents = Ann.ivfFit(emb, c = 16, iters = 3)
+    for (residual <- Seq(false, true)) {
+      val books =
+        if (residual) Ann.pqFitResidual(emb, cents, m = 8, ksub = 16, iters = 2)
+        else Ann.pqFit(emb, m = 8, ksub = 16, iters = 2)
+      val out = graft.ScratchDirs.dir(s"ivfpq-idx-spec-$residual")
+      Ann.ivfPqBuildIndex(emb, cents, books, residual)
+        .write.mode("overwrite").partitionBy("cid").parquet(out)
+      val index = spark.read.parquet(out)
+      for (p <- Seq(0L, 55L, 190L)) {
+        val probe = Ann.probeVector(emb, p)
+        val fresh =
+          (if (residual) Ann.ivfPqResTopK(emb, p, 10, cents, books, nprobe = 4)
+           else Ann.ivfPqTopK(emb, p, 10, cents, books, nprobe = 4))
+            .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+        val viaIdx = Ann.ivfPqQueryIndex(index, emb, cents, books, probe, k = 10,
+            nprobe = 4, residual = residual)
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+        assert(viaIdx === fresh,
+          s"probe $p (residual=$residual): reloaded IVFADC index diverged")
+      }
+      // the nprobe cut reaches the scan as PARTITION pruning (inspect the
+      // LAZY ranking half — ivfPqQueryIndex collects it, so the returned
+      // frame is only the rerank)
+      val q = Ann.ivfPqShortlist(index, cents, books,
+        Ann.probeVector(emb, 0L), nprobe = 4, shortlist = 50, residual = residual)
+      val plan = q.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).nonEmpty,
+        s"cid filter did not become a partition filter (residual=$residual):\n$plan")
+    }
+  }
+
+  test("PQ append under a frozen codebook is bit-identical to a full rebuild") {
+    import org.apache.spark.sql.functions.col
+    val emb   = plantedCorpus()
+    val base  = emb.where(col("vec_id") < 180L)
+    val batch = emb.where(col("vec_id") >= 180L)
+    val books = Ann.pqFit(base, m = 8, ksub = 16, iters = 2)
+    val updated = Ann.pqAppendIndex(Ann.pqBuildIndex(base, books), batch, books)
+    val full    = Ann.pqBuildIndex(emb, books)
+    assert(updated.except(full).isEmpty && full.except(updated).isEmpty)
+    // same for the cid-partitioned composition
+    val cents = Ann.ivfFit(emb, c = 8, iters = 2)
+    val u2 = Ann.ivfPqAppendIndex(
+      Ann.ivfPqBuildIndex(base, cents, books, residual = true),
+      batch, cents, books, residual = true)
+    val f2 = Ann.ivfPqBuildIndex(emb, cents, books, residual = true)
+    assert(u2.except(f2).isEmpty && f2.except(u2).isEmpty)
+  }
+
+  test("cell-local compaction rewrites ONLY hit cells; emptied cells vanish; result equals rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb   = plantedCorpus()
+    val cents = Ann.ivfFit(emb, c = 8, iters = 2)
+    val books = Ann.pqFit(emb, m = 8, ksub = 16, iters = 2)
+    val out   = graft.ScratchDirs.dir("ivfpq-compact-spec")
+    Ann.ivfPqBuildIndex(emb, cents, books)
+      .write.mode("overwrite").partitionBy("cid").parquet(out)
+    // choose tombstones surgically: ALL of one cell (must vanish) and ONE
+    // row of another (must be rewritten); remaining cells must not move
+    val byCell = Ann.assignCentroid(emb, cents)
+      .select(col("cid"), col("vec_id")).collect()
+      .groupBy(_.getInt(0)).map { case (c, rs) => c -> rs.map(_.getLong(1)).sorted.toSeq }
+    val cells = byCell.keys.toSeq.sorted
+    assert(cells.size >= 3, s"corpus fell into only ${cells.size} cells")
+    val emptyCell   = cells.head
+    val partialCell = cells(1)
+    val tombIds     = byCell(emptyCell) :+ byCell(partialCell).head
+    val tombs       = tombIds.toDF("vec_id")
+    def fileStamps(): Map[String, (Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(out), true)
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          b += st.getPath.toString -> ((st.getLen, st.getModificationTime))
+      }
+      b.result()
+    }
+    val before = fileStamps()
+    val hit = Ann.ivfPqCompactCells(spark, out, tombs)
+    assert(hit.toSet === Set(emptyCell, partialCell), s"hit cells $hit")
+    val after = fileStamps()
+    // untouched cells: byte-identical files, never rewritten
+    val untouched = before.keys.filterNot(p =>
+      p.contains(s"cid=$emptyCell/") || p.contains(s"cid=$partialCell/"))
+    untouched.foreach { p =>
+      assert(after.get(p).contains(before(p)), s"untouched cell file rewritten: $p")
+    }
+    // the fully-tombstoned cell's directory is gone
+    assert(!after.keys.exists(_.contains(s"cid=$emptyCell/")),
+      s"emptied cell cid=$emptyCell still has files")
+    // and the on-disk result equals a from-scratch build over survivors
+    val survivors = emb.where(!col("vec_id").isin(tombIds: _*))
+    val rebuilt   = Ann.ivfPqBuildIndex(survivors, cents, books)
+    val reloaded  = spark.read.parquet(out).select("vec_id", "cid", "codes")
+    assert(reloaded.except(rebuilt).isEmpty && rebuilt.except(reloaded).isEmpty)
+  }
 }
