@@ -464,9 +464,15 @@ object Ann {
     pqEncode(emb, codebooks, vecCol)
       .where(col("codes").isNotNull)
       .select(col(idCol), adcColumn(tab).as("adc"), col(vecCol))
-      .where(col("adc").isNotNull) // a NULL code element nulls adc; such a row ranks nowhere
-      .orderBy(col("adc"), col(idCol))
+      // NULLS LAST + post-limit filter ≡ a pre-limit isNotNull filter
+      // (non-null rows fill the cut first), but the filter cannot be
+      // pushed through a limit — a pre-limit filter gets pushed BELOW the
+      // projection and re-evaluates the whole encode+ADC chain per row
+      // inside the scan predicate (plan-inspected, round 15). A NULL
+      // code element nulls adc; such a row ranks nowhere.
+      .orderBy(col("adc").asc_nulls_last, col(idCol))
       .limit(shortlist)
+      .where(col("adc").isNotNull)
       .select(col(idCol), round(col("adc"), 4).as("adc"),
         round(Similarity.cosineSimilarity(col(vecCol).cast("array<double>"), probeLit), 4)
           .as("sim"))
@@ -501,9 +507,15 @@ object Ann {
     pqEncode(assignCentroid(emb, centroids, vecCol), codebooks, vecCol)
       .where(col("cid").isin(nearCids.toIndexedSeq: _*)) // null cid (null vec) never matches
       .select(col(idCol), adcColumn(tab).as("adc"), col(vecCol))
-      .where(col("adc").isNotNull) // a NULL code element nulls adc; such a row ranks nowhere
-      .orderBy(col("adc"), col(idCol))
+      // NULLS LAST + post-limit filter ≡ a pre-limit isNotNull filter
+      // (non-null rows fill the cut first), but the filter cannot be
+      // pushed through a limit — a pre-limit filter gets pushed BELOW the
+      // projection and re-evaluates the whole encode+ADC chain per row
+      // inside the scan predicate (plan-inspected, round 15). A NULL
+      // code element nulls adc; such a row ranks nowhere.
+      .orderBy(col("adc").asc_nulls_last, col(idCol))
       .limit(shortlist)
+      .where(col("adc").isNotNull)
       .select(col(idCol), round(col("adc"), 4).as("adc"),
         round(Similarity.cosineSimilarity(col(vecCol).cast("array<double>"), probeLit), 4)
           .as("sim"))
@@ -608,9 +620,9 @@ object Ann {
         .withColumn("_res", residualColumn(col(vecCol), col("cid"), centroids)),
       codebooks, "_res")
       .select(col(idCol), perCellAdc(tabs).as("adc"), col(vecCol))
-      .where(col("adc").isNotNull) // see pqTopK: NULL-element codes rank nowhere
-      .orderBy(col("adc"), col(idCol))
+      .orderBy(col("adc").asc_nulls_last, col(idCol)) // see pqTopK's NULLS LAST note
       .limit(shortlist)
+      .where(col("adc").isNotNull)
       .select(col(idCol), round(col("adc"), 4).as("adc"),
         round(Similarity.cosineSimilarity(col(vecCol).cast("array<double>"), probeLit), 4)
           .as("sim"))
@@ -770,9 +782,9 @@ object Ann {
     val sl = index
       .where(col("codes").isNotNull)
       .select(col(idCol), adcColumn(tab).as("adc"))
-      .where(col("adc").isNotNull) // see pqTopK: NULL-element codes rank nowhere
-      .orderBy(col("adc"), col(idCol))
+      .orderBy(col("adc").asc_nulls_last, col(idCol)) // see pqTopK's NULLS LAST note
       .limit(shortlist)
+      .where(col("adc").isNotNull)
       .collect()
     rerankShortlist(corpus, sl, probeVec, k, idCol, vecCol)
   }
@@ -868,9 +880,9 @@ object Ann {
       .where(col("cid").isin(nearCids.toIndexedSeq: _*)) // partition pruning under the cid layout
       .where(col("codes").isNotNull)
       .select(col(idCol), adcExpr.as("adc"))
-      .where(col("adc").isNotNull) // see pqTopK: NULL-element codes rank nowhere
-      .orderBy(col("adc"), col(idCol))
+      .orderBy(col("adc").asc_nulls_last, col(idCol)) // see pqTopK's NULLS LAST note
       .limit(shortlist)
+      .where(col("adc").isNotNull)
   }
 
   /**
