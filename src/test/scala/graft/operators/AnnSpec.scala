@@ -919,4 +919,32 @@ class AnnSpec extends AnyFunSuite {
     val reloaded  = spark.read.parquet(out).select("vec_id", "cid", "codes")
     assert(reloaded.except(rebuilt).isEmpty && rebuilt.except(reloaded).isEmpty)
   }
+
+  test("the maintenance pair also serves the plain-IVF index layout (append + compaction)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ivfPqCompactCells and union-append are layout-generic: anything
+    // cid-partitioned and keyed by idCol — pin it on q_ivf_idx's
+    // (vec_id, embedding, cid) frame so the IVF index's maintenance
+    // story is certified, not implied
+    val emb   = plantedCorpus()
+    val cents = Ann.ivfFit(emb, c = 8, iters = 2)
+    val base  = emb.where(col("vec_id") < 180L)
+    val batch = emb.where(col("vec_id") >= 180L)
+    // append: assign-only-the-batch under the frozen model ≡ full rebuild
+    val updated = Ann.ivfBuildIndex(base, cents).unionByName(Ann.ivfBuildIndex(batch, cents))
+    val full    = Ann.ivfBuildIndex(emb, cents)
+    assert(updated.except(full).isEmpty && full.except(updated).isEmpty)
+    // delete: tombstone + cell-local compaction on the persisted layout
+    val out = graft.ScratchDirs.dir("ivf-compact-spec")
+    full.write.mode("overwrite").partitionBy("cid").parquet(out)
+    val tombs = Seq(3L, 57L, 111L).toDF("vec_id")
+    val hit   = Ann.ivfPqCompactCells(spark, out, tombs)
+    assert(hit.nonEmpty)
+    val rebuilt  = Ann.ivfBuildIndex(emb.where(!col("vec_id").isin(3L, 57L, 111L)), cents)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"), col("cid"))
+    val reloaded = spark.read.parquet(out)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"), col("cid"))
+    assert(reloaded.except(rebuilt).isEmpty && rebuilt.except(reloaded).isEmpty)
+  }
 }
