@@ -127,6 +127,10 @@ SUBSET=$SUBSET,q_pq,q_pq_idx,q_ivfpq
 # subtraction per vector; the maintenance pair's oracles are count +
 # self-certified-equality rows), strict row-compare.
 SUBSET=$SUBSET,q_ivfpq_res,q_ivfpq_idx,q_ivfpq_res_idx,q_pq_incr,q_ivfpq_del
+# Round 15: the compressed-domain batch k-NN join (50-row output; the
+# oracle's pair pass is the 2M×10 indexed-lookup cross join + window —
+# linear in corpus × probes, the q_pq oracle class).
+SUBSET=$SUBSET,q_knn_pq
 
 # Digest-mode names: row-preserving 20M-300M-row outputs (full-content
 # order-independent hash compare; see header).

@@ -371,6 +371,62 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_adc_table"),
+      new ExpressionInfo(classOf[graft.expressions.PqTableExpr].getName,
+        "graft_adc_table"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // same literal-model plumbing as graft_pq_encode
+        def dblLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): IndexedSeq[Double] =
+          e.eval() match {
+            case a: ArrayData =>
+              var i = 0
+              while (i < a.numElements()) {
+                if (a.isNullAt(i)) throw new IllegalArgumentException(
+                  s"graft_adc_table: $what must be a non-null literal ARRAY<DOUBLE>, " +
+                    s"but element $i is NULL")
+                i += 1
+              }
+              a.toDoubleArray().toIndexedSeq
+            case other => throw new IllegalArgumentException(
+              s"graft_adc_table: $what must be a non-null literal ARRAY<DOUBLE>, got ${
+                if (other == null) "NULL" else other}")
+          }
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): Int =
+          e.eval() match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"graft_adc_table: $what must be a literal INT, got ${
+                if (other == null) "NULL" else other}")
+          }
+        children match {
+          case Seq(vec, cb, m, k) if cb.foldable && m.foldable && k.foldable =>
+            graft.expressions.PqTableExpr(vec,
+              dblLit(cb, "flat codebooks"), intLit(m, "m"), intLit(k, "ksub"))
+          case _ => throw new IllegalArgumentException(
+            "graft_adc_table(vec, flat_codebooks, m, ksub) — model args must be literals")
+        }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_adc_dyn"),
+      new ExpressionInfo(classOf[graft.expressions.AdcDynExpr].getName,
+        "graft_adc_dyn"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        children match {
+          case Seq(codes, tab, k) if k.foldable =>
+            val ks = k.eval() match {
+              case i: Int => i
+              case other => throw new IllegalArgumentException(
+                s"graft_adc_dyn: ksub must be a literal INT, got ${
+                  if (other == null) "NULL" else other}")
+            }
+            graft.expressions.AdcDynExpr(codes, tab, ks)
+          case _ => throw new IllegalArgumentException(
+            "graft_adc_dyn(codes, tab, ksub) — ksub must be a literal INT")
+        }
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_clf_score"),
       new ExpressionInfo(classOf[graft.expressions.ClfScoreExpr].getName, "graft_clf_score"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

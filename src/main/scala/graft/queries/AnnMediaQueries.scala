@@ -60,6 +60,11 @@ object AnnMediaQueries {
   /** q_ivfpq_res_idx's recorded fits (separate slot, same shape). */
   @volatile private var ivfpqResIdxModel: Option[(Array[Array[Double]], Array[Array[Array[Double]]], Seq[(Int, Array[Array[Double]])])] = None
 
+  /** q_knn_pq's recorded codebooks (the batch path needs no probe table
+    * literals — the oracle rebuilds every probe's table from the
+    * codebook literals with the same fragments the encode replay uses). */
+  @volatile private var pqKnnModel: Option[Array[Array[Array[Double]]]] = None
+
   /** q_semdedup's parameters, defined ONCE and interpolated into both the
     * engine call and the generated oracle SQL (ADVICE r11: a tau literal
     * hardcoded in the SQL next to a separate tau literal in the call site
@@ -294,6 +299,51 @@ object AnnMediaQueries {
        |FROM sl, p ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  private def pqKnnOracleSql: Option[String] = pqKnnModel.map { books =>
+    val ksub            = books.head.length
+    val (dsCols, codes) = pqEncFragments(books)
+    // tab(s) for a probe IS the encode's per-subspace distance array
+    // ds_s computed on the probe vector, so the probe tables replay with
+    // the SAME fragments as the corpus encode — m indexed lookups, the
+    // explicit + chain matching the compiled 0.0-seeded left fold
+    // (0.0 + t0 is exact on doubles).
+    val adcChain = (0 until books.length)
+      .map(s => s"pt.ds_$s[c.codes[${s + 1}] + 1]")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |f AS (SELECT vec_id, v FROM e),
+       |enc AS (SELECT vec_id,
+       |  $dsCols
+       |  FROM f),
+       |cod AS (SELECT vec_id, $codes AS codes FROM enc),
+       |pt AS (SELECT probe_id,
+       |  $dsCols
+       |  FROM (SELECT vec_id AS probe_id, v FROM e WHERE vec_id < 10)),
+       |cand AS (SELECT pt.probe_id, c.vec_id,
+       |                $adcChain AS adc
+       |         FROM cod c CROSS JOIN pt WHERE c.vec_id <> pt.probe_id),
+       |sl AS (SELECT probe_id, vec_id FROM (
+       |         SELECT probe_id, vec_id, adc,
+       |                row_number() OVER (PARTITION BY probe_id
+       |                  ORDER BY adc, vec_id) AS arn
+       |         FROM cand)
+       |       WHERE arn <= $PqShortlist AND adc IS NOT NULL),
+       |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+       |sims AS (SELECT sl.probe_id, sl.vec_id,
+       |                round(list_dot_product(e.v, p.pv)
+       |                  / nullif(sqrt(list_dot_product(e.v, e.v))
+       |                           * sqrt(list_dot_product(p.pv, p.pv)), 0), 4) AS sim
+       |         FROM sl JOIN e ON e.vec_id = sl.vec_id
+       |                 JOIN p ON p.probe_id = sl.probe_id),
+       |r AS (SELECT probe_id, vec_id, sim,
+       |             row_number() OVER (PARTITION BY probe_id
+       |               ORDER BY sim DESC, vec_id) AS rn
+       |      FROM sims)
+       |SELECT probe_id, vec_id, sim, rn FROM r WHERE rn <= 5
+       |ORDER BY probe_id, rn""".stripMargin
+  }
+
   private def ivfReplaySql(cs: Array[Array[Double]]): String = {
     val values = cs.zipWithIndex.map { case (cv, cid) =>
       val cc = cv.map(x => x * x).sum
@@ -344,7 +394,7 @@ object AnnMediaQueries {
     * counts these as oracle-checked, matching the driver's view. */
   val dynamicOracleNames: Seq[String] =
     Seq("q_ivf", "q_ivf_idx", "q_semdedup", "q_pq", "q_pq_idx", "q_ivfpq",
-      "q_ivfpq_res", "q_ivfpq_idx", "q_ivfpq_res_idx")
+      "q_ivfpq_res", "q_ivfpq_idx", "q_ivfpq_res_idx", "q_knn_pq")
 
   /** `def`, not `val`: q_ivf's oracle is assembled from the model the run
     * records, so the registry must be re-materialized when Verify asks for
@@ -935,6 +985,30 @@ object AnnMediaQueries {
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
       Ann.knnJoin(emb, probes, k = 5)
+        .select("probe_id", "vec_id", "sim", "rn")
+        .orderBy("probe_id", "rn")
+    },
+
+    // batch PQ k-NN join — the COMPRESSED-DOMAIN shape of q_knn: every
+    // (row, probe) pair ranked by the ADC lookup sum (m adds vs a D-dim
+    // cosine — D/m ≈ 8× less pair math), per-probe 50-row shortlist,
+    // exact-cosine rerank only on the winners. The probe side stays
+    // distributed: each probe's m×ksub table is built IN the plan
+    // (graft_adc_table, one compiled loop) and broadcast with the
+    // frame; the pair shuffle carries (probe_id, id, adc) triples only,
+    // and the rerank re-enters the corpus through a broadcast join of
+    // the tiny shortlist. Oracle: the probe tables replay with the SAME
+    // encode fragments as the corpus codes (tab(s) on a probe IS ds_s
+    // of the probe vector), the adc as an explicit + chain in subspace
+    // order, both windows replayed — hash-checked bit-for-bit
+    // downstream of the recorded fit.
+    Declared("q_knn_pq", pqKnnOracleSql) { (spark, dir) =>
+      val emb   = Tables.embeddings(spark, dir)
+      val books = Ann.pqFit(emb, m = PqM, ksub = PqKsub, iters = 3)
+      pqKnnModel = Some(books)
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+      Ann.pqKnnJoin(emb, probes, k = 5, books, shortlist = PqShortlist)
         .select("probe_id", "vec_id", "sim", "rn")
         .orderBy("probe_id", "rn")
     },

@@ -920,6 +920,28 @@ class AnnSpec extends AnyFunSuite {
     assert(reloaded.except(rebuilt).isEmpty && rebuilt.except(reloaded).isEmpty)
   }
 
+  test("pqKnnJoin recovers the exact batch join's neighbors through the compressed pair pass") {
+    import org.apache.spark.sql.functions.col
+    val emb   = plantedCorpus()
+    val books = Ann.pqFit(emb, m = 8, ksub = 16, iters = 3)
+    val probes = emb.where(col("vec_id").isin(0L, 55L, 111L, 190L))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+    val approx = Ann.pqKnnJoin(emb, probes, k = 5, books).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val exact = Ann.knnJoin(emb, probes, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // contract: k rows per probe, no self-matches
+    approx.foreach { case (p, ids) =>
+      assert(ids.size === 5, s"probe $p returned ${ids.size} rows")
+      assert(!ids.contains(p), s"probe $p returned itself")
+    }
+    val recalls = exact.keys.toSeq.map { p =>
+      exact(p).intersect(approx.getOrElse(p, Set.empty)).size.toDouble / exact(p).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean batch recall@5 $mean (per-probe: $recalls)")
+  }
+
   test("the maintenance pair also serves the plain-IVF index layout (append + compaction)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
