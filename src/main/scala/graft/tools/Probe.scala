@@ -973,6 +973,33 @@ object Probe {
       assert(h.splitRel <= 0.05, s"HLL estimator-path split beyond bound at $dir")
       assert(qs.nonEmpty && qs.forall(_.ok(0.001)),
         s"approx_percentile rank guarantee violated at $dir")
+    } else if (args.headOption.contains("--pq-phases")) {
+      // Where does the PQ family's per-query time go? Times the model fits
+      // (ivfFit / pqFit / pqFitResidual — the driver-orchestrated Lloyd
+      // loops, each a chain of tiny collect jobs) against the serving scan
+      // (encode→ADC→rerank, one distributed plan), 3 rounds each, at the
+      // bench SF. The evidence base for the round-15 fit-parallelism work.
+      import graft.operators.Ann
+      import graft.Tables
+      val emb = Tables.embeddings(spark, dir)
+      for (r <- 1 to 3) {
+        var t0 = System.nanoTime()
+        val cents = Ann.ivfFit(emb, c = 16, iters = 3)
+        val tIvf = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val books = Ann.pqFit(emb, m = 8, ksub = 16, iters = 3)
+        val tPq = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val booksR = Ann.pqFitResidual(emb, cents, m = 8, ksub = 16, iters = 3)
+        val tPqRes = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        Ann.pqTopK(emb, probeId = 0L, k = 10, books, shortlist = 50)
+          .write.format("noop").mode("overwrite").save()
+        val tServe = (System.nanoTime() - t0) / 1e9
+        if (booksR.length != books.length) println("[pq-phases] impossible")
+        println(f"[pq-phases] r$r ivfFit=${tIvf}%6.2f s pqFit=${tPq}%6.2f s " +
+          f"pqFitRes=${tPqRes}%6.2f s pqTopK-serve=${tServe}%6.2f s")
+      }
     } else {
       (1 to 2).foreach { round =>
         names.foreach { n =>
