@@ -77,4 +77,84 @@ object Pack {
   def assignBins(df: DataFrame, orderCol: String, weightCol: String, budget: Long): DataFrame =
     assignOffsets(df, orderCol, weightCol)
       .withColumn("bin", expr(s"start_off div $budget"))
+
+  /**
+   * GROUPED two-pass prefix sum: `start_off` = the exclusive running sum of
+   * `weightCol` in ascending `orderCol` order WITHIN each `groupCol` value —
+   * exactly `sum() OVER (PARTITION BY group ORDER BY order)`, and
+   * value-identical to filtering per group and running [[assignOffsets]] on
+   * each slice. One range shuffle on (group, order) and one pass-1 totals
+   * job replace |groups| shuffles and |groups| driver round-trips — AND the
+   * caller's upstream plan executes once instead of once per group (the
+   * round-15 q_curate finding: its dedup→LSH→decontaminate chain re-ran
+   * per split branch). Mechanics are [[assignOffsets]]'s, generalized:
+   * per-partition totals are kept PER GROUP (groups are contiguous under
+   * the (group, order) range partitioning, but a partition may span several
+   * groups and a group several partitions), the driver prefix-sums each
+   * group's totals independently in partition order, and pass 2 reseeds the
+   * accumulator at every group change. `orderCol` must be unique within a
+   * group; `groupCol` values must be non-null.
+   */
+  def assignOffsetsBy(
+      df: DataFrame, groupCol: String, orderCol: String, weightCol: String,
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    require(df.schema(weightCol).dataType == LongType,
+      s"$weightCol must be LongType (cast before calling)")
+    val n = if (partitions > 0) partitions
+            else spark.sessionState.conf.numShufflePartitions
+    val ordered = df.repartitionByRange(n, col(groupCol), col(orderCol))
+      .sortWithinPartitions(groupCol, orderCol)
+    val rdd       = ordered.rdd // shared by both passes → one shuffle
+    val groupIdx  = ordered.schema.fieldIndex(groupCol)
+    val weightIdx = ordered.schema.fieldIndex(weightCol)
+
+    // pass 1: per-(partition, group) totals, group-contiguous within the
+    // partition, so insertion order IS the group order the range shuffle
+    // established
+    val partTotals = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        it.foreach { r =>
+          val g = r.get(groupIdx)
+          m.update(g, m.getOrElse(g, 0L) + r.getLong(weightIdx))
+        }
+        Iterator((pid, m.toVector))
+      }
+      .collect()
+      .sortBy(_._1)
+    // driver prefix: bases((pid, g)) = that group's total over partitions < pid
+    val running = scala.collection.mutable.HashMap.empty[Any, Long]
+    val bases: Map[(Int, Any), Long] = partTotals.flatMap { case (pid, gs) =>
+      gs.map { case (g, s) =>
+        val b = running.getOrElse(g, 0L)
+        running.update(g, b + s)
+        ((pid, g), b)
+      }
+    }.toMap
+    val basesB = spark.sparkContext.broadcast(bases)
+
+    val schema = StructType(ordered.schema.fields :+ StructField("start_off", LongType, nullable = false))
+    val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val bs = basesB.value
+      var cur: Any   = null
+      var started    = false
+      var acc        = 0L
+      it.map { r =>
+        val g = r.get(groupIdx)
+        if (!started || g != cur) { cur = g; started = true; acc = bs((pid, g)) }
+        val out = Row.fromSeq(r.toSeq :+ acc)
+        acc += r.getLong(weightIdx)
+        out
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** [[assignBins]] per group — see [[assignOffsetsBy]]. */
+  def assignBinsBy(
+      df: DataFrame, groupCol: String, orderCol: String, weightCol: String,
+      budget: Long): DataFrame =
+    assignOffsetsBy(df, groupCol, orderCol, weightCol)
+      .withColumn("bin", expr(s"start_off div $budget"))
 }

@@ -350,10 +350,13 @@ object PipelineQueries {
         .withColumn("split",
           when(prefix < "e6", "train").when(prefix < "f3", "val").otherwise("test"))
         .select("split", "doc_id", "n_tokens")
-      val packed = Seq("train", "val", "test")
-        .map(sp => Pack.assignBins(
-          withSplit.where(col("split") === sp), "doc_id", "n_tokens", budget = 2048L))
-        .reduce(_ unionByName _)
+      // ONE grouped prefix sum, not a union of three per-split assignBins:
+      // the per-split branches each re-executed the WHOLE upstream chain
+      // (window dedup → LSH pairs → decontamination joins) and paid their
+      // own range shuffle + driver totals round-trip (round-15 measurement;
+      // ~3× the upstream cost for identical per-split offsets — the grouped
+      // pass is value-identical by PackSpec's union-equality test).
+      val packed = Pack.assignBinsBy(withSplit, "split", "doc_id", "n_tokens", budget = 2048L)
       packed.groupBy("split")
         .agg(
           count(lit(1)).as("docs"),

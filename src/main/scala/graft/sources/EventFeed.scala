@@ -85,18 +85,33 @@ object EventFeed {
     import org.apache.spark.sql.functions._
     var df = graft.Tables.readEvents(spark, path)
     startingTimestamp.foreach(t => df = df.filter(col("ts") >= to_timestamp(lit(t))))
-    // envelope guard BEFORE the collect: the count is a cheap distributed
-    // aggregate; the collect it gates is the driver-side materialization
-    val n = df.count()
-    require(
-      n <= maxFeedRows,
-      s"eventfeed: '$path' holds $n events after filtering — above the " +
-        s"driver-side replay envelope of $maxFeedRows rows. This source " +
-        "materializes the whole feed on the driver (the single-node " +
-        "poll-loop emulation); for corpora beyond the envelope read the " +
-        "events table directly (graft.Tables.events) or raise the " +
-        "'maxFeedRows' source option.")
-    df.orderBy("ts", "event_id")
+    // envelope guard BEFORE the collect, from footer metadata (no job): the
+    // unfiltered file count bounds the filtered count from above, so a file
+    // within the envelope needs no distributed count at all — that count was
+    // one of three prelude jobs EVERY feed-based streaming query paid
+    // (round-15 measurement). Only an over-envelope file with a
+    // startingTimestamp filter still needs the real filtered count to decide.
+    val total = graft.Tables.parquetRowCount(spark, path)
+    if (total > maxFeedRows) {
+      val n = if (startingTimestamp.isEmpty) total else df.count()
+      require(
+        n <= maxFeedRows,
+        s"eventfeed: '$path' holds $n events after filtering — above the " +
+          s"driver-side replay envelope of $maxFeedRows rows. This source " +
+          "materializes the whole feed on the driver (the single-node " +
+          "poll-loop emulation); for corpora beyond the envelope read the " +
+          "events table directly (graft.Tables.events) or raise the " +
+          "'maxFeedRows' source option.")
+    }
+    // sort DRIVER-side, not via orderBy().collect(): the rows are collected
+    // either way (the whole point of this source is the single-node poll
+    // emulation), and a distributed sort of a driver-bound result pays a
+    // range-partitioning sampling pass plus a full shuffle per stream start.
+    // Identical order: ts is µs-precision on both paths (the getTime/getNanos
+    // fold below IS the µs value Spark's TimestampType comparator orders by),
+    // NULL ts sorts first exactly like Spark's asc_nulls_first default, and
+    // event_id breaks ties totally, so the permutation is unique.
+    val unsorted = df
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .collect()
       .map { r =>
@@ -107,6 +122,17 @@ object EventFeed {
          if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4)),
          r.getString(5))
       }
+    java.util.Arrays.sort(unsorted, new java.util.Comparator[FeedRow] {
+      override def compare(a: FeedRow, b: FeedRow): Int = {
+        val c =
+          if (a._2 == null && b._2 == null) 0
+          else if (a._2 == null) -1
+          else if (b._2 == null) 1
+          else java.lang.Long.compare(a._2.longValue(), b._2.longValue())
+        if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+      }
+    })
+    unsorted
   }
 }
 

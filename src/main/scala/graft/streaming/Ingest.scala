@@ -100,11 +100,12 @@ object Ingest {
    * Kafka's maxOffsetsPerTrigger.
    */
   def pacedBatchSize(spark: SparkSession, dir: String, targetBatches: Int = 2): Int = {
-    // readEvents, not a raw read: count() itself is encoding-agnostic, but
-    // a NANOS-encoded file fails schema inference without the nanosAsLong
-    // hatch the shared ingress sets — and "every events ingress routes
-    // through the one normalizer" should have no asterisks
-    val n = graft.Tables.readEvents(spark, s"$dir/events.parquet").count()
+    // footer metadata, not a count() job: the docstring's "no scan" promise
+    // was aspirational until round 15 — the readEvents(...).count() here was
+    // one full job round-trip in EVERY streaming query's prelude (~0.2 s ×
+    // ~21 queries × bench passes). Footer row counts are exact, and the ts
+    // normalization never changes row count, so the value is bit-identical.
+    val n = graft.Tables.parquetRowCount(spark, s"$dir/events.parquet")
     math.max(1000, math.ceil(n.toDouble / targetBatches).toInt)
   }
 
@@ -151,8 +152,15 @@ object Ingest {
         Ingest.ephemeralCheckpoint("graft-ingest-ckpt"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // micro-batch = the single-writer serialization point; events are
-        // already feed-ordered, re-assert order on the tiny batch
-        val rows = batch.orderBy("offset").collect()
+        // already feed-ordered, re-assert order on the tiny batch — DRIVER
+        // side, after the collect the sink needs anyway: orderBy().collect()
+        // paid a range-partitioning sampling pass + shuffle per micro-batch
+        // for rows that end on the driver regardless. Offsets are unique
+        // (dense event ids), so the sorted order is the identical unique
+        // permutation.
+        val rows = batch.collect()
+        java.util.Arrays.sort(rows, java.util.Comparator.comparingLong(
+          (r: org.apache.spark.sql.Row) => r.getLong(0)))
         rows.foreach { r =>
           if (log == null)
             log = new OffsetLog(r.getLong(0), segmentSize, maxRecordBytes)

@@ -42,6 +42,21 @@ class PackSpec extends AnyFunSuite {
     assert(bins === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("assignOffsetsBy equals per-group assignOffsets run on each slice") {
+    // groups deliberately unbalanced and interleaved in id order, several
+    // partitions, so groups both share partitions and span them
+    val df = (1 to 800).map { i =>
+      (i.toLong, Seq("train", "val", "test")(i % 7 % 3), ((i * 37) % 11 + 1).toLong)
+    }.toDF("id", "g", "w")
+    val got = Pack.assignOffsetsBy(df, "g", "id", "w", partitions = 5)
+      .select("g", "id", "start_off").as[(String, Long, Long)].collect().toSet
+    val want = Seq("train", "val", "test").map { g =>
+      Pack.assignOffsets(df.where($"g" === g), "id", "w", partitions = 5)
+        .select("g", "id", "start_off").as[(String, Long, Long)].collect().toSet
+    }.reduce(_ union _)
+    assert(got === want)
+  }
+
   test("non-long weight column is rejected") {
     val df = Seq((1L, 2)).toDF("id", "w") // w is IntegerType
     val e = intercept[IllegalArgumentException](Pack.assignOffsets(df, "id", "w"))
