@@ -382,25 +382,12 @@ object Ann {
     } finally train.unpersist(blocking = false)
   }
 
-  /** `Array.tabulate(n)(f)` with the n independent bodies submitted to a
-    * bounded thread pool (≤8 concurrent — tiny driver-side jobs; more adds
-    * scheduler contention, not throughput). Order-deterministic: slot i
-    * always holds f(i). Exceptions propagate unwrapped so callers keep the
-    * sequential error contract. */
+  /** `Array.tabulate(n)(f)` with the n independent bodies overlapped on a
+    * bounded thread pool — see [[graft.Par.tabulate]] (≤8 concurrent —
+    * tiny driver-side jobs; more adds scheduler contention, not
+    * throughput). Order-deterministic, sequential error contract. */
   private def parallelTabulate[A: scala.reflect.ClassTag](n: Int)(f: Int => A): Array[A] =
-    if (n <= 1) Array.tabulate(n)(f)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(n, 8))
-      try {
-        val futures = Array.tabulate(n) { i =>
-          pool.submit(new java.util.concurrent.Callable[A] { def call(): A = f(i) })
-        }
-        futures.map { fut =>
-          try fut.get()
-          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-        }
-      } finally pool.shutdown()
-    }
+    graft.Par.tabulate(n, maxPool = 8)(f)
 
   /** Dimensionality of the first non-null vector (pushed-limit 1-row scan). */
   private def firstVectorDim(emb: DataFrame, vecCol: String): Int =

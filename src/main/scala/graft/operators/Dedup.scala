@@ -531,16 +531,20 @@ object Dedup {
         .join(labels.select(col("id").as("v"), col("component").as("vc")), "v")
         .groupBy(col("u").as("id"))
         .agg(min("vc").as("nc"))
+      // carry the previous label THROUGH the checkpoint instead of joining
+      // labels back afterwards: the convergence count was a second
+      // shuffle-join job per round over the same rows the round just
+      // materialized (round 15; the filter over the checkpointed frame is
+      // a shuffle-free local scan). Labels and counts are unchanged —
+      // `prev` is projected away before the next round.
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("nc"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("nc"), col("component"))).as("component"),
+          col("component").as("prev"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("component", "prev"), "id")
-        .where(col("component") =!= col("prev"))
-        .count()
-      labels = next
+      changed = next.where(col("component") =!= col("prev")).count()
+      labels = next.select("id", "component")
       round += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")

@@ -549,8 +549,10 @@ object AnnMediaQueries {
     // run, everything downstream hash-checked bit-for-bit.
     Declared("q_ivfpq", ivfpqOracleSql) { (spark, dir) =>
       val emb   = Tables.embeddings(spark, dir)
-      val cents = Ann.ivfFit(emb, c = 16, iters = 3)
-      val books = Ann.pqFit(emb, m = PqM, ksub = PqKsub, iters = 3)
+      // raw-codes IVFADC: the two fits are independent — overlap (§2.6)
+      val (cents, books) = graft.Par.both(
+        Ann.ivfFit(emb, c = 16, iters = 3),
+        Ann.pqFit(emb, m = PqM, ksub = PqKsub, iters = 3))
       ivfpqModel = Some((cents, books, Ann.pqAdcTable(books, Ann.probeVector(emb, 0L))))
       Ann.ivfPqTopK(emb, probeId = 0L, k = 10, cents, books,
         nprobe = IvfPqNprobe, shortlist = PqShortlist)
@@ -598,8 +600,10 @@ object AnnMediaQueries {
     // point-lookup rerank) is hash-checked bit-for-bit.
     Declared("q_ivfpq_idx", ivfpqIdxOracleSql) { (spark, dir) =>
       val emb   = Tables.embeddings(spark, dir)
-      val cents = Ann.ivfFit(emb, c = 16, iters = 3)
-      val books = Ann.pqFit(emb, m = PqM, ksub = PqKsub, iters = 3)
+      // raw-codes IVFADC: the two fits are independent — overlap (§2.6)
+      val (cents, books) = graft.Par.both(
+        Ann.ivfFit(emb, c = 16, iters = 3),
+        Ann.pqFit(emb, m = PqM, ksub = PqKsub, iters = 3))
       ivfpqIdxModel = Some((cents, books, Ann.pqAdcTable(books, Ann.probeVector(emb, 0L))))
       val out = graft.ScratchDirs.dir("ivfpq-idx")
       Ann.ivfPqBuildIndex(emb, cents, books)
@@ -673,13 +677,20 @@ object AnnMediaQueries {
       val updated = Ann.pqAppendIndex(spark.read.parquet(out), incr, books).persist()
       val full    = Ann.pqBuildIndex(emb, books).persist()
       try {
-        val eq    = updated.except(full).isEmpty && full.except(updated).isEmpty
+        // independent certificate actions over the two persisted frames —
+        // overlapped (guide §2.6), values unchanged
         val probe = Ann.probeVector(emb, 0L)
-        val viaIdx = Ann.pqQueryIndex(updated, emb, books, probe, k = 10,
-            shortlist = PqShortlist)
-          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
-        val fresh = Ann.pqTopK(emb, probeId = 0L, k = 10, books, shortlist = PqShortlist)
-          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+        val ((eqA, eqB), (viaIdx, fresh)) = graft.Par.both(
+          graft.Par.both(
+            updated.except(full).isEmpty,
+            full.except(updated).isEmpty),
+          graft.Par.both(
+            Ann.pqQueryIndex(updated, emb, books, probe, k = 10,
+                shortlist = PqShortlist)
+              .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq,
+            Ann.pqTopK(emb, probeId = 0L, k = 10, books, shortlist = PqShortlist)
+              .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq))
+        val eq = eqA && eqB
         import spark.implicits._
         Seq((n, incrN, eq, viaIdx == fresh))
           .toDF("n", "incr_rows", "incr_equals_rebuild", "query_match")
@@ -715,32 +726,43 @@ object AnnMediaQueries {
       val n     = emb.count()
       val isDel = col("vec_id") % 10 === 3
       val nDel  = emb.where(isDel).count()
-      val cents = Ann.ivfFit(emb, c = 16, iters = 3)
-      val books = Ann.pqFit(emb, m = PqM, ksub = PqKsub, iters = 3)
+      // the two fits are independent (guide §2.6) — overlap them; each is
+      // internally the certified deterministic fit, so values are unchanged
+      val (cents, books) = graft.Par.both(
+        Ann.ivfFit(emb, c = 16, iters = 3),
+        Ann.pqFit(emb, m = PqM, ksub = PqKsub, iters = 3))
       val out   = graft.ScratchDirs.dir("ivfpq-del")
       Ann.ivfPqBuildIndex(emb, cents, books)
         .write.mode("overwrite").partitionBy("cid").parquet(s"$out/codes")
       val tombs = emb.where(isDel).select("vec_id")
       val probe = Ann.probeVector(emb, 0L) // 0 % 10 != 3: the probe survives
       val surv  = emb.where(!isDel)
-      val fresh = Ann.ivfPqTopK(surv, probeId = 0L, k = 10, cents, books,
-          nprobe = IvfPqNprobe, shortlist = PqShortlist)
-        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
-      val viaTomb = Ann.ivfPqQueryIndex(
-          spark.read.parquet(s"$out/codes")
-            .join(broadcast(tombs), Seq("vec_id"), "left_anti"),
-          surv, cents, books, probe, k = 10,
-          nprobe = IvfPqNprobe, shortlist = PqShortlist)
-        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      // fresh (compute path, never touches the on-disk index) and viaTomb
+      // (must read the codes BEFORE compaction rewrites them) are
+      // independent of each other — overlap; compaction stays strictly
+      // after viaTomb because it mutates $out/codes in place
+      val (fresh, viaTomb) = graft.Par.both(
+        Ann.ivfPqTopK(surv, probeId = 0L, k = 10, cents, books,
+            nprobe = IvfPqNprobe, shortlist = PqShortlist)
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq,
+        Ann.ivfPqQueryIndex(
+            spark.read.parquet(s"$out/codes")
+              .join(broadcast(tombs), Seq("vec_id"), "left_anti"),
+            surv, cents, books, probe, k = 10,
+            nprobe = IvfPqNprobe, shortlist = PqShortlist)
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq)
       Ann.ivfPqCompactCells(spark, s"$out/codes", tombs)
       val compacted = spark.read.parquet(s"$out/codes")
       val rebuilt   = Ann.ivfPqBuildIndex(surv, cents, books)
-      val eq = compacted.select("vec_id", "cid", "codes")
-        .except(rebuilt).isEmpty &&
-        rebuilt.except(compacted.select("vec_id", "cid", "codes")).isEmpty
-      val viaCompact = Ann.ivfPqQueryIndex(compacted, surv, cents, books, probe,
-          k = 10, nprobe = IvfPqNprobe, shortlist = PqShortlist)
-        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      // post-compaction certificates are mutually independent — overlap
+      val ((eqA, eqB), viaCompact) = graft.Par.both(
+        graft.Par.both(
+          compacted.select("vec_id", "cid", "codes").except(rebuilt).isEmpty,
+          rebuilt.except(compacted.select("vec_id", "cid", "codes")).isEmpty),
+        Ann.ivfPqQueryIndex(compacted, surv, cents, books, probe,
+            k = 10, nprobe = IvfPqNprobe, shortlist = PqShortlist)
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq)
+      val eq = eqA && eqB
       import spark.implicits._
       Seq((n, nDel, viaTomb == fresh, eq, viaCompact == fresh))
         .toDF("n", "n_deleted", "tomb_serve_match", "compact_equals_rebuild",
@@ -888,11 +910,22 @@ object AnnMediaQueries {
         spark.read.parquet(out), emb.where(col("vec_id") >= cut), nShards = s).persist()
       val full = Ann.nswBuildIndex(emb, shards = s).persist()
       try {
-        val eq = updated.except(full).isEmpty && full.except(updated).isEmpty
-        val viaIdx = Ann.nswQueryIndex(updated, Ann.probeVector(emb, 0L), k = 10)
-          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-        val fresh = Ann.nswTopK(emb, probeId = 0L, k = 10)
-          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        // the four certificate actions are mutually independent given the
+        // two persisted frames — overlap them (guide §2.6) instead of
+        // paying four sequential job round-trips, two of which are full
+        // graph constructions. Values unchanged; cached blocks are
+        // computed once under Spark's per-block lock.
+        val probe = Ann.probeVector(emb, 0L)
+        val ((eqA, eqB), (viaIdx, fresh)) = graft.Par.both(
+          graft.Par.both(
+            updated.except(full).isEmpty,
+            full.except(updated).isEmpty),
+          graft.Par.both(
+            Ann.nswQueryIndex(updated, probe, k = 10)
+              .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+            Ann.nswTopK(emb, probeId = 0L, k = 10)
+              .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq))
+        val eq = eqA && eqB
         import spark.implicits._
         Seq((n, incrN, eq, viaIdx == fresh))
           .toDF("n", "incr_rows", "incr_equals_rebuild", "query_match")
@@ -937,18 +970,30 @@ object AnnMediaQueries {
       val compacted = Ann.nswCompactIndex(tombstoned).persist()
       val rebuilt   = Ann.nswBuildIndex(emb.where(!isDel), shards = s).persist()
       try {
-        val eq = compacted.except(rebuilt).isEmpty && rebuilt.except(compacted).isEmpty
+        // six mutually independent certificate actions over the three
+        // persisted frames — two of them (fresh nswTopK, bruteForce) build
+        // or scan from the corpus independently. Overlap all of them
+        // (guide §2.6): the sequential chain was four full graph
+        // constructions + probe collects back-to-back, each using a
+        // fraction of the cores. Values unchanged.
         val probe = Ann.probeVector(emb, 0L)
-        val viaCompact = Ann.nswQueryIndex(compacted, probe, k = 10)
-          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-        val fresh = Ann.nswTopK(emb.where(!isDel), probeId = 0L, k = 10, shards = s)
-          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-        // serve THROUGH tombstones: no deleted id may surface, and the
-        // ids must still hit the exact survivor scan at the 0.8 floor
-        val viaTomb = Ann.nswQueryIndex(tombstoned, probe, k = 10)
-          .collect().map(_.getLong(0)).toSeq
-        val exactIds = Ann.bruteForceTopK(emb.where(!isDel), probeId = 0L, k = 10)
-          .collect().map(_.getLong(0)).toSet
+        val ((eqA, eqB), (viaCompact, fresh), (viaTomb, exactIds)) = graft.Par.all3(
+          graft.Par.both(
+            compacted.except(rebuilt).isEmpty,
+            rebuilt.except(compacted).isEmpty),
+          graft.Par.both(
+            Ann.nswQueryIndex(compacted, probe, k = 10)
+              .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+            Ann.nswTopK(emb.where(!isDel), probeId = 0L, k = 10, shards = s)
+              .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq),
+          // serve THROUGH tombstones: no deleted id may surface, and the
+          // ids must still hit the exact survivor scan at the 0.8 floor
+          graft.Par.both(
+            Ann.nswQueryIndex(tombstoned, probe, k = 10)
+              .collect().map(_.getLong(0)).toSeq,
+            Ann.bruteForceTopK(emb.where(!isDel), probeId = 0L, k = 10)
+              .collect().map(_.getLong(0)).toSet))
+        val eq = eqA && eqB
         val tombClean = viaTomb.size == 10 &&
           viaTomb.forall(_ % 10 != 3) && viaTomb.count(exactIds) >= 8
         import spark.implicits._
