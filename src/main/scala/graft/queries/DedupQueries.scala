@@ -408,9 +408,15 @@ object DedupQueries {
       val e = Tables.embeddings(spark, dir)
       val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
-      a.join(b, col("va") < col("vb"))
+      // both predicates written INTO the join condition, cheap test first:
+      // as a post-join filter the sim threshold was pushed into the BNLJ
+      // condition PREPENDED — `(cosine >= 0.45) AND (va < vb)` — so every
+      // ordered pair paid the 64-dim compiled loop, including the half the
+      // id test kills (plan-inspected, round 15; codegen ANDs
+      // short-circuit). Same predicate, same rows — only evaluation order.
+      a.join(b, col("va") < col("vb") &&
+          Similarity.cosineSimilarity(col("ea"), col("eb")) >= 0.45)
         .withColumn("sim", Similarity.cosineSimilarity(col("ea"), col("eb")))
-        .where(col("sim") >= 0.45)
         .select(col("va"), col("vb"), round(col("sim"), 4).as("sim"))
         .orderBy("va", "vb")
     }

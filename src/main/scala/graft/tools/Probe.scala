@@ -91,7 +91,9 @@ object Probe {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.streaming.Trigger
       import graft.streaming.Ingest
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // optional arg: state-partition count (default 8 — the shipped value)
+      val nStateParts = args.drop(1).headOption.flatMap(a => scala.util.Try(a.toInt).toOption).getOrElse(8)
+      spark.conf.set("spark.sql.shuffle.partitions", nStateParts.toString)
       for (r <- 1 to 3) {
         val t0 = System.nanoTime()
         val q = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
