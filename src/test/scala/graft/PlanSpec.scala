@@ -198,15 +198,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"unexpected SMJ on the probe path:\n$p")
   }
 
-  test("q_curate tail: 3-split union into two agg shuffles + final range sort") {
+  test("q_curate tail: ONE grouped prefix sum into two agg shuffles + final range sort") {
     // the dedup/LSH/decontam stages are materialized by Pack's prefix sum
     // before this plan exists — their shapes are pinned via the operators
     // the chain composes (q_minhash_lsh above, q_contamination's broadcast
-    // shingle join). The visible tail must stay: union of the 3 per-split
-    // packed RDDs → partial agg → countDistinct re-agg → ordered result,
-    // with no join and exactly 2 hash + 1 range exchanges.
+    // shingle join). Round 15 replaced the 3-per-split union (which
+    // re-executed the whole upstream chain once per split) with ONE
+    // grouped prefix sum (Pack.assignOffsetsBy — value equality pinned in
+    // PackSpec), so the visible tail must now be: a SINGLE packed RDD
+    // scan → partial agg → countDistinct re-agg → ordered result, with no
+    // join, NO union, and exactly 2 hash + 1 range exchanges.
     val p = plan("q_curate")
-    assert(p.contains("Union"), s"expected the 3-split union:\n$p")
+    assert(!p.contains("Union"),
+      s"the per-split union would re-run the upstream chain per split:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).size === 1,
+      s"expected exactly one packed prefix-sum scan:\n$p")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
       s"expected the split-agg + countDistinct shuffles only:\n$p")
     assert("Exchange rangepartitioning".r.findAllIn(p).size === 1,
