@@ -33,30 +33,30 @@ object Par {
     (ra, join(fb), join(fc))
   }
 
-  /** Evaluate four independent thunks concurrently; return all four. */
-  def all4[A, B, C, D](a: => A, b: => B, c: => C, d: => D): (A, B, C, D) = {
-    val fb = java.util.concurrent.CompletableFuture.supplyAsync(() => b)
-    val fc = java.util.concurrent.CompletableFuture.supplyAsync(() => c)
-    val fd = java.util.concurrent.CompletableFuture.supplyAsync(() => d)
-    val ra = a
-    (ra, join(fb), join(fc), join(fd))
-  }
-
   /** `Array.tabulate(n)(f)` with the n independent bodies submitted to a
     * bounded thread pool (≤`maxPool` concurrent). Order-deterministic:
     * slot i always holds f(i); exceptions propagate unwrapped so callers
-    * keep the sequential error contract. */
+    * keep the sequential error contract. On the first failure the
+    * not-yet-started siblings are cancelled (sequential code would never
+    * have reached them), and the pool threads are daemons so a wedged
+    * thunk cannot block JVM exit. */
   def tabulate[A: scala.reflect.ClassTag](n: Int, maxPool: Int = 8)(f: Int => A): Array[A] =
     if (n <= 1) Array.tabulate(n)(f)
     else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(n, maxPool))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(n, maxPool),
+        (r: Runnable) => { val t = new Thread(r, "graft-par"); t.setDaemon(true); t })
       try {
         val futures = Array.tabulate(n) { i =>
           pool.submit(new java.util.concurrent.Callable[A] { def call(): A = f(i) })
         }
         futures.map { fut =>
           try fut.get()
-          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              futures.foreach(_.cancel(false)) // queued siblings never start
+              throw e.getCause
+          }
         }
       } finally pool.shutdown()
     }

@@ -143,20 +143,23 @@ object Tables {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs   = root.getFileSystem(conf)
-    def sum(st: org.apache.hadoop.fs.FileStatus): Long =
-      if (st.isDirectory) fs.listStatus(st.getPath).map(sum).sum
+    def sum(st: org.apache.hadoop.fs.FileStatus, isRoot: Boolean): Long = {
+      // same visibility rule as Spark's file index, applied to FILES AND
+      // DIRECTORIES alike (a leftover _temporary/ from an interrupted
+      // write holds part-files Spark would never count): _metadata/
+      // _SUCCESS/_temporary/dot-entries are not data. The root itself is
+      // exempt — the caller named it explicitly.
+      val name = st.getPath.getName
+      if (!isRoot && (name.startsWith("_") || name.startsWith("."))) 0L
+      else if (st.isDirectory)
+        fs.listStatus(st.getPath).map(sum(_, isRoot = false)).sum
       else {
-        val name = st.getPath.getName
-        // same visibility rule as Spark's file index: _metadata/_SUCCESS/
-        // dot-files are not data
-        if (name.startsWith("_") || name.startsWith(".")) 0L
-        else {
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
-          val r  = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRecordCount finally r.close()
-        }
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val r  = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
       }
-    sum(fs.getFileStatus(root))
+    }
+    sum(fs.getFileStatus(root), isRoot = true)
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")

@@ -389,6 +389,55 @@ object Ann {
   private def parallelTabulate[A: scala.reflect.ClassTag](n: Int)(f: Int => A): Array[A] =
     graft.Par.tabulate(n, maxPool = 8)(f)
 
+  /**
+   * Fit the IVF coarse quantizer AND the PQ subspace codebooks from ONE
+   * shared persisted training sample — the raw-codes IVFADC queries need
+   * both models over the same corpus. Calling [[ivfFit]] then [[pqFit]]
+   * sequentially pays the sample scan twice; overlapping them naively is
+   * WORSE: with equal effective sample sizes the two train frames have the
+   * same canonicalized plan, Spark's CacheManager dedupes the cache entry,
+   * and whichever fit finishes first unpersists it mid-Lloyd for the other
+   * (round-15 review finding). Here the sample is persisted ONCE, the
+   * coarse fit and the m subspace fits all overlap against it
+   * ([[graft.Par.tabulate]]), and nothing unpersists until every fit is
+   * done. Requires the two standalone fits' effective sample sizes to
+   * coincide (they do whenever 32·c and 32·ksub are both ≤ fitSample —
+   * every current caller), so each fit trains on rows BYTE-IDENTICAL to
+   * its standalone form and the returned models are bit-identical
+   * (AnnSpec pins the equality).
+   */
+  def ivfPqFit(
+      emb: DataFrame, c: Int, m: Int, ksub: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      fitSample: Int = 4096): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val dim = firstVectorDim(emb, vecCol)
+    require(dim % m == 0, s"PQ m=$m must divide the vector dim $dim")
+    val dsub = dim / m
+    val effC = if (fitSample > 0) math.max(fitSample.toLong, 32L * c) else 0L
+    val effK = if (fitSample > 0) math.max(fitSample.toLong, 32L * ksub) else 0L
+    require(effC == effK,
+      s"ivfPqFit shares one sample across both fits, so their effective " +
+        s"sample sizes must coincide (got $effC for c=$c vs $effK for " +
+        s"ksub=$ksub); raise fitSample above 32*max(c, ksub) or fit separately")
+    val nonNull = emb.filter(col(vecCol).isNotNull)
+    val n       = nonNull.count()
+    val stride  = if (effC > 0) n / effC else 0L
+    val train =
+      (if (stride < 2) nonNull
+       else nonNull.filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0))
+        .persist()
+    try {
+      train.count() // materialize once before the fan-out (pqFit's rule)
+      val all = parallelTabulate(m + 1) { i =>
+        if (i == 0) ivfFitFromTrain(train, c, iters, idCol, vecCol)
+        else ivfFitFromTrain(
+          train.select(col(idCol), slice(col(vecCol), (i - 1) * dsub + 1, dsub).as(vecCol)),
+          c = ksub, iters = iters, idCol = idCol, vecCol = vecCol)
+      }
+      (all(0), all.drop(1))
+    } finally train.unpersist(blocking = false)
+  }
+
   /** Dimensionality of the first non-null vector (pushed-limit 1-row scan). */
   private def firstVectorDim(emb: DataFrame, vecCol: String): Int =
     emb.where(col(vecCol).isNotNull)

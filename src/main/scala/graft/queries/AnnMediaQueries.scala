@@ -549,10 +549,11 @@ object AnnMediaQueries {
     // run, everything downstream hash-checked bit-for-bit.
     Declared("q_ivfpq", ivfpqOracleSql) { (spark, dir) =>
       val emb   = Tables.embeddings(spark, dir)
-      // raw-codes IVFADC: the two fits are independent — overlap (§2.6)
-      val (cents, books) = graft.Par.both(
-        Ann.ivfFit(emb, c = 16, iters = 3),
-        Ann.pqFit(emb, m = PqM, ksub = PqKsub, iters = 3))
+      // both models from ONE shared persisted sample, fits overlapped,
+      // single unpersist after all of them (Ann.ivfPqFit — bit-identical
+      // to the sequential ivfFit + pqFit by AnnSpec; naive overlap of the
+      // standalone fits raced on a deduped cache entry, round-15 review)
+      val (cents, books) = Ann.ivfPqFit(emb, c = 16, m = PqM, ksub = PqKsub, iters = 3)
       ivfpqModel = Some((cents, books, Ann.pqAdcTable(books, Ann.probeVector(emb, 0L))))
       Ann.ivfPqTopK(emb, probeId = 0L, k = 10, cents, books,
         nprobe = IvfPqNprobe, shortlist = PqShortlist)
@@ -600,10 +601,8 @@ object AnnMediaQueries {
     // point-lookup rerank) is hash-checked bit-for-bit.
     Declared("q_ivfpq_idx", ivfpqIdxOracleSql) { (spark, dir) =>
       val emb   = Tables.embeddings(spark, dir)
-      // raw-codes IVFADC: the two fits are independent — overlap (§2.6)
-      val (cents, books) = graft.Par.both(
-        Ann.ivfFit(emb, c = 16, iters = 3),
-        Ann.pqFit(emb, m = PqM, ksub = PqKsub, iters = 3))
+      // both models from the one shared sample — see q_ivfpq's comment
+      val (cents, books) = Ann.ivfPqFit(emb, c = 16, m = PqM, ksub = PqKsub, iters = 3)
       ivfpqIdxModel = Some((cents, books, Ann.pqAdcTable(books, Ann.probeVector(emb, 0L))))
       val out = graft.ScratchDirs.dir("ivfpq-idx")
       Ann.ivfPqBuildIndex(emb, cents, books)
@@ -726,11 +725,8 @@ object AnnMediaQueries {
       val n     = emb.count()
       val isDel = col("vec_id") % 10 === 3
       val nDel  = emb.where(isDel).count()
-      // the two fits are independent (guide §2.6) — overlap them; each is
-      // internally the certified deterministic fit, so values are unchanged
-      val (cents, books) = graft.Par.both(
-        Ann.ivfFit(emb, c = 16, iters = 3),
-        Ann.pqFit(emb, m = PqM, ksub = PqKsub, iters = 3))
+      // both models from the one shared sample — see q_ivfpq's comment
+      val (cents, books) = Ann.ivfPqFit(emb, c = 16, m = PqM, ksub = PqKsub, iters = 3)
       val out   = graft.ScratchDirs.dir("ivfpq-del")
       Ann.ivfPqBuildIndex(emb, cents, books)
         .write.mode("overwrite").partitionBy("cid").parquet(s"$out/codes")

@@ -8,6 +8,24 @@ class AnnSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("ivfPqFit is bit-identical to the standalone ivfFit + pqFit pair") {
+    // the shared-sample combined fit (round 15) must train each model on
+    // rows byte-identical to its standalone form — centroids AND all m
+    // codebooks compare exactly, element for element
+    val emb = Tables.embeddings(spark, dir)
+    val (cents, books) = Ann.ivfPqFit(emb, c = 16, m = 8, ksub = 16, iters = 3)
+    val centsAlone = Ann.ivfFit(emb, c = 16, iters = 3)
+    val booksAlone = Ann.pqFit(emb, m = 8, ksub = 16, iters = 3)
+    assert(cents.map(_.toSeq).toSeq === centsAlone.map(_.toSeq).toSeq)
+    assert(books.map(_.map(_.toSeq).toSeq).toSeq ===
+      booksAlone.map(_.map(_.toSeq).toSeq).toSeq)
+    // the shared-sample contract fails loudly when the effective sample
+    // sizes diverge instead of silently training on different rows
+    val e = intercept[IllegalArgumentException](
+      Ann.ivfPqFit(emb, c = 200, m = 8, ksub = 16, iters = 1, fitSample = 64))
+    assert(e.getMessage.contains("sample"))
+  }
+
   test("brute-force top-k: probe itself ranks first with sim 1") {
     val top = Ann.bruteForceTopK(Tables.embeddings(spark, dir), probeId = 0L, k = 10).collect()
     assert(top.length === 10)
