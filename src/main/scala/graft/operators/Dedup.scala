@@ -396,40 +396,56 @@ object Dedup {
   /** Production dup marking — substrDedupAgg's first-occurrence stage
     * (see that operator's scaladoc for the skew/collision analysis).
     *
-    * First occurrence = min of the PACKED (id, pos) long, not
-    * `min(struct(id, pos))`: struct aggregation buffers are not
-    * UnsafeRow-mutable, so Catalyst plans a struct-min as a SortAggregate
-    * — a full sort of every span row, which is exactly the window plan's
-    * cost this operator exists to avoid (the assignCentroidJoin lesson;
-    * the factor-1000 cert run caught it as a disk-filling spill). The
-    * primitive min hash-aggregates with REAL map-side partials: a hot
-    * boilerplate span's copies collapse to one candidate per map
-    * partition before the shuffle, as the scale contract claims. */
+    * ROUND-16 SHAPE (guide §2.3, "shuffle keys and metadata instead of
+    * payloads"): the corpus-wide aggregation is keyed on the 64-BIT SPAN
+    * HASH, never the span string — per (map partition, distinct span) the
+    * exchange carries (hash, partial count) = 16 bytes instead of a
+    * ~k-token string, and everything string-typed downstream is sized by
+    * the DUPLICATED subset, not the corpus:
+    *
+    *  1. `dupHashes`: groupBy(__h) → count, filtered to __n > 1 — the
+    *     candidate hash set (true dup spans plus any hash-colliding
+    *     strangers). Hash-keyed partial aggregation: a hot boilerplate
+    *     span's copies still collapse to one row per map partition before
+    *     the shuffle, and the shuffled row is fixed-width.
+    *  2. `candidates`: segs semi-joined to the candidate hashes (AQE
+    *     broadcasts the dup-sized build side — the span stream itself
+    *     never shuffles; a pathologically duplicated corpus degrades to a
+    *     shuffled/skew-split join on a side smaller than segs by exactly
+    *     its duplication). Rows joining nothing are __dup=false by
+    *     absence: removeSpans only consumes `when(__dup, pos)`, and its
+    *     docs LEFT join re-admits every document.
+    *  3. `candFirsts`: the EXACT first occurrence per span STRING over
+    *     candidates only — min of the PACKED (id, pos) long (not
+    *     `min(struct)`: struct agg buffers are not UnsafeRow-mutable, so
+    *     Catalyst would plan a SortAggregate — the disk-filling full sort
+    *     the factor-1000 cert run caught). Partial aggregation again
+    *     collapses hot spans map-side; the string-keyed shuffle is
+    *     dup-sized.
+    *  4. join back on the span string itself (exact equality — no
+    *     collision exposure anywhere: a unique span swept into a
+    *     candidate hash group mins over its own rows only and stays
+    *     __dup=false) and flag every occurrence that is not its span's
+    *     packed minimum.
+    *
+    * Value-identical to the retired string-keyed single-aggregate form:
+    * a span with ≥2 occurrences has all its rows in `candidates` (its
+    * hash count is ≥2), so its packed min is the true corpus-wide first;
+    * DedupSpec pins both plans against substrDedup and the definitional
+    * any-length reference. */
   private[graft] def markDupAgg(segs0: DataFrame, idCol: String): DataFrame = {
     val segs   = segs0.withColumn("__h", xxhash64(col("span")))
     val packed = col(idCol).cast("long") * PosShift + col("pos")
-    // join back ONLY the spans that can mark a dup (count > 1): on a
-    // lightly-duplicated corpus the unique-span firsts frame is nearly as
-    // large as the span stream itself (factor 1000: 215M of 225M spans
-    // unique), and joining segs against it planned as either a sort-merge
-    // (re-sorting every span row — the disk-filling cost the packed-min
-    // aggregate just eliminated) or a shuffled-hash with ~20 GB of build
-    // maps. The __n > 1 filter shrinks the build side to the DUP-span set
-    // (~the duplicate count), which AQE then broadcasts — the 225M-row
-    // segs side never shuffles for the join at all; a pathologically
-    // duplicated corpus degrades to a shuffled-hash/skew-split join on a
-    // side that is small RELATIVE to segs by exactly its duplication.
-    // Rows joining nothing are __dup=false by absence: removeSpans only
-    // consumes `when(__dup, pos)`, and its docs LEFT join re-admits every
-    // document, so dropping non-dup span rows here is semantics-free
-    // (the marking-digest certificate compares __dup rows only).
-    val firsts = segs.groupBy("span")
-      .agg(min(packed).as("__first"), count(lit(1)).as("__n"))
+    val dupHashes = segs.groupBy("__h")
+      .agg(count(lit(1)).as("__n"))
       .where(col("__n") > 1)
-      .select(xxhash64(col("span")).as("__fh"), col("span").as("__fspan"), col("__first"))
-    segs.join(firsts, col("__h") === col("__fh"))
-      .withColumn("__dup",
-        col("span") === col("__fspan") && packed =!= col("__first"))
+      .select("__h")
+    val candidates = segs.join(dupHashes, Seq("__h"), "left_semi")
+    val candFirsts = candidates.groupBy("span")
+      .agg(min(packed).as("__first"))
+      .select(col("span").as("__fspan"), col("__first"))
+    candidates.join(candFirsts, col("span") === col("__fspan"))
+      .withColumn("__dup", packed =!= col("__first"))
   }
 
   def substrDedup(
@@ -439,19 +455,12 @@ object Dedup {
 
   /**
    * Skew-robust production plan of [[substrDedup]] — SAME output, same
-   * oracle. First occurrence per span via a partial-aggregatable
-   * `min(struct(id, pos))` (map-side combine collapses each partition's
-   * copies of a hot boilerplate span to ONE candidate row before the
-   * shuffle), joined back on the 64-bit span hash — fixed-width shuffle
-   * keys, and a REAL exchange on the firsts side so AQE's
-   * OptimizeSkewedJoin can split a hot span's partition (the
-   * [[lineDedupAgg]] analysis, verbatim: joining on `span` itself would
-   * reuse the aggregation's partitioning and AQE only splits
-   * ENSURE_REQUIREMENTS exchanges). Hash equality is not span equality,
-   * so exact span equality is part of the `__dup` flag evaluated inside
-   * the downstream aggregate — a collision row contributes NULL to
-   * collect_list and vanishes, never a filter the optimizer could fold
-   * into the join keys.
+   * oracle. The corpus-wide pass is a HASH-KEYED count aggregate
+   * (fixed-width shuffle rows, map-side partials collapse hot spans —
+   * see [[markDupAgg]] for the full four-stage shape); span STRINGS only
+   * shuffle within the duplicated subset, and exact span equality is
+   * re-established there by aggregating and joining on the string itself,
+   * so a 64-bit hash collision can never mark a false duplicate.
    */
   def substrDedupAgg(
       docs: DataFrame, idCol: String, textCol: String, k: Int = 10): DataFrame =

@@ -93,11 +93,24 @@ object Pack {
    * groups and a group several partitions), the driver prefix-sums each
    * group's totals independently in partition order, and pass 2 reseeds the
    * accumulator at every group change. `orderCol` must be unique within a
-   * group; `groupCol` values must be non-null.
+   * group; `groupCol` values must be non-null (ENFORCED in pass 1 — a null
+   * group would otherwise silently form an undocumented null group via
+   * reference-equality quirks instead of failing loudly).
+   *
+   * DRIVER-STATE BOUND (VERDICT r15): pass 1 collects one (group, total)
+   * entry per (partition, group-overlapping-it) — ≤ groups + partitions
+   * entries when groups are contiguous (each partition adds at most one
+   * boundary-spanning group), but still O(groups) driver memory. That is
+   * the scheme's contract: group cardinality must be model-artifact-sized
+   * (splits, shards, tenants), NEVER data-sized. `maxDriverEntries` makes
+   * the contract loud: beyond it the call fails with instructions instead
+   * of silently OOMing the driver at 100 TB. A data-sized `groupCol`
+   * belongs in the per-group window formulation (one partition per group)
+   * or a re-keyed pipeline, not here.
    */
   def assignOffsetsBy(
       df: DataFrame, groupCol: String, orderCol: String, weightCol: String,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0, maxDriverEntries: Long = 4L * 1000 * 1000): DataFrame = {
     val spark = df.sparkSession
     require(df.schema(weightCol).dataType == LongType,
       s"$weightCol must be LongType (cast before calling)")
@@ -117,12 +130,22 @@ object Pack {
         val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
         it.foreach { r =>
           val g = r.get(groupIdx)
+          require(g != null,
+            s"assignOffsetsBy: null $groupCol value (partition $pid) — " +
+              "the grouped prefix sum requires non-null groups")
           m.update(g, m.getOrElse(g, 0L) + r.getLong(weightIdx))
         }
         Iterator((pid, m.toVector))
       }
       .collect()
       .sortBy(_._1)
+    val driverEntries = partTotals.iterator.map(_._2.size.toLong).sum
+    require(driverEntries <= maxDriverEntries,
+      s"assignOffsetsBy: pass-1 collected $driverEntries (partition, group) " +
+        s"totals — above the $maxDriverEntries driver-state bound. " +
+        s"'$groupCol' looks data-sized; use a per-group window (one " +
+        "partition per group) or re-key the pipeline instead of the " +
+        "grouped prefix sum, whose driver state is O(groups).")
     // driver prefix: bases((pid, g)) = that group's total over partitions < pid
     val running = scala.collection.mutable.HashMap.empty[Any, Long]
     val bases: Map[(Int, Any), Long] = partTotals.flatMap { case (pid, gs) =>

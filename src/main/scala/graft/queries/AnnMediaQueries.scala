@@ -660,10 +660,13 @@ object AnnMediaQueries {
       )
     ) { (spark, dir) =>
       val emb   = Tables.embeddings(spark, dir)
-      val n     = emb.count()
       // cut by ID SPAN, not row count (the q_hnsw_incr rule: ScaleUp
-      // strides ids by 1e7, so a row-count cut would not split slices)
-      val maxId = emb.agg(max(col("vec_id").cast("long"))).first().getLong(0)
+      // strides ids by 1e7, so a row-count cut would not split slices).
+      // ONE prelude aggregate folds the count and max jobs (round 16) —
+      // same values, one driver round-trip fewer.
+      val c0    = emb.agg(count(lit(1)), max(col("vec_id").cast("long"))).first()
+      val n     = c0.getLong(0)
+      val maxId = c0.getLong(1)
       val cut   = (maxId + 1L) * 9L / 10L
       val incr  = emb.where(col("vec_id") >= cut)
       val incrN = incr.count()
@@ -722,9 +725,12 @@ object AnnMediaQueries {
       )
     ) { (spark, dir) =>
       val emb   = Tables.embeddings(spark, dir)
-      val n     = emb.count()
       val isDel = col("vec_id") % 10 === 3
-      val nDel  = emb.where(isDel).count()
+      // ONE prelude aggregate for both scalar counts (round 16) — same
+      // values as the two separate count jobs, one round-trip fewer
+      val c0    = emb.agg(count(lit(1)), count(when(isDel, lit(1)))).first()
+      val n     = c0.getLong(0)
+      val nDel  = c0.getLong(1)
       // both models from the one shared sample — see q_ivfpq's comment
       val (cents, books) = Ann.ivfPqFit(emb, c = 16, m = PqM, ksub = PqKsub, iters = 3)
       val out   = graft.ScratchDirs.dir("ivfpq-del")
@@ -889,14 +895,16 @@ object AnnMediaQueries {
       )
     ) { (spark, dir) =>
       val emb = Tables.embeddings(spark, dir)
-      val n   = emb.count()
       // cut by ID SPAN, not row count (ADVICE r10): ScaleUp slices stride
       // ids by 1e7, so `vec_id < n*9/10` would select only copy 0 there
       // and the reported incr_rows would not be the appended row count.
       // floor(0.9·(max_id+1)) splits the actual id space — for dense
       // 0..n-1 ids it degenerates to the old n*9/10 — and incr_rows below
       // is the REAL appended count, mirrored exactly by the oracle.
-      val maxId = emb.agg(max(col("vec_id").cast("long"))).first().getLong(0)
+      // ONE prelude aggregate folds the count and max jobs (round 16).
+      val c0    = emb.agg(count(lit(1)), max(col("vec_id").cast("long"))).first()
+      val n     = c0.getLong(0)
+      val maxId = c0.getLong(1)
       val cut   = (maxId + 1L) * 9L / 10L
       val incrN = emb.where(col("vec_id") >= cut).count()
       // pin the FULL corpus's shard count on both paths so the equality
@@ -959,9 +967,12 @@ object AnnMediaQueries {
       )
     ) { (spark, dir) =>
       val emb = Tables.embeddings(spark, dir)
-      val n   = emb.count()
       val isDel = col("vec_id") % 10 === 3
-      val nDel  = emb.where(isDel).count()
+      // ONE prelude aggregate for both scalar counts (round 16) — same
+      // values as the two separate count jobs, one round-trip fewer
+      val c0   = emb.agg(count(lit(1)), count(when(isDel, lit(1)))).first()
+      val n    = c0.getLong(0)
+      val nDel = c0.getLong(1)
       // pin the FULL corpus's shard count on both paths (the q_hnsw_incr
       // rule): the compacted index keeps the build's layout, so the
       // from-scratch rebuild must not re-shard by the shrunken count

@@ -158,13 +158,17 @@ object Ingest {
         // for rows that end on the driver regardless. Offsets are unique
         // (dense event ids), so the sorted order is the identical unique
         // permutation.
+        // resolve ordinals by NAME, not position: a future reorder of the
+        // upstream select must not silently mis-sort and mis-seed the log
+        val offIdx = batch.schema.fieldIndex("offset")
+        val valIdx = batch.schema.fieldIndex("value")
         val rows = batch.collect()
         java.util.Arrays.sort(rows, java.util.Comparator.comparingLong(
-          (r: org.apache.spark.sql.Row) => r.getLong(0)))
+          (r: org.apache.spark.sql.Row) => r.getLong(offIdx)))
         rows.foreach { r =>
           if (log == null)
-            log = new OffsetLog(r.getLong(0), segmentSize, maxRecordBytes)
-          log.write(r.getString(1).getBytes("UTF-8")) match {
+            log = new OffsetLog(r.getLong(offIdx), segmentSize, maxRecordBytes)
+          log.write(r.getString(valIdx).getBytes("UTF-8")) match {
             case Left(_)  => rejected += 1
             case Right(_) => ()
           }

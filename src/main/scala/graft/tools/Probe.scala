@@ -113,6 +113,83 @@ object Probe {
             p.durationMs.entrySet().toArray.mkString(" "))
         }
       }
+    } else if (args.headOption.contains("--join-floor")) {
+      // Where does the stream-stream join family's per-query time go?
+      // Runs the q_stream_join shape (self-join of the feed, watermarked
+      // both sides, AvailableNow) 3×, printing per-micro-batch durationMs
+      // and the lifecycle wall segments — the round-16 evidence base for
+      // the largest remaining streaming block (~13 s across 5 join
+      // queries). Optional arg: state-partition count (shipped value 4).
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.Ingest
+      val nStateParts = args.drop(1).headOption.flatMap(a => scala.util.Try(a.toInt).toOption).getOrElse(4)
+      spark.conf.set("spark.sql.shuffle.partitions", nStateParts.toString)
+      for (r <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val feed = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
+        val errors = feed
+          .where(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id").as("eu"), col("ts").as("ets"))
+          .withWatermark("ets", "1 hour")
+        val purchases = feed
+          .where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts"))
+          .withWatermark("pts", "1 hour")
+        val q = errors.join(purchases,
+            col("eu") === col("pu") &&
+              col("pts") >= col("ets") &&
+              col("pts") < col("ets") + expr("INTERVAL 10 MINUTE"))
+          .select("error_id", "purchase_id")
+          .writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
+          .format("memory").queryName(s"probe_jfloor_$r")
+          .option("checkpointLocation", Ingest.ephemeralCheckpoint("probe-jfloor"))
+          .start()
+        val tStart = System.nanoTime()
+        q.awaitTermination()
+        val tDrain = System.nanoTime()
+        spark.table(s"probe_jfloor_$r").collect()
+        val tRead = System.nanoTime()
+        val trigSum = q.recentProgress
+          .map(p => Option(p.durationMs.get("triggerExecution")).map(_.longValue()).getOrElse(0L)).sum
+        println(f"[jfloor] r$r start=${(tStart - t0) / 1e6}%6.0f ms drain=${(tDrain - tStart) / 1e6}%6.0f ms " +
+          f"read=${(tRead - tDrain) / 1e6}%6.0f ms batches=${q.recentProgress.length} " +
+          f"trigSum=$trigSum ms gap=${(tDrain - tStart) / 1e6 - trigSum}%6.0f ms")
+        q.recentProgress.foreach { p =>
+          println(s"[jfloor]   batch=${p.batchId} rows=${p.numInputRows} " +
+            p.durationMs.entrySet().toArray.mkString(" "))
+          p.stateOperators.foreach { so =>
+            println(s"[jfloor]     state op=${so.operatorName} rowsUpd=${so.numRowsUpdated} " +
+              s"updMs=${so.allUpdatesTimeMs} rmMs=${so.allRemovalsTimeMs} " +
+              s"commitMs=${so.commitTimeMs} mem=${so.memoryUsedBytes}")
+          }
+        }
+      }
+    } else if (args.headOption.contains("--substr-phases")) {
+      // Where does q_substrdedup's time go? Times the stages of the
+      // production plan separately with the noop sink: span generation
+      // alone, the first-occurrence marking aggregate, and the full
+      // operator — 3 rounds each at the bench SF (round-16 evidence base
+      // for the hashed-span aggregation rework).
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      import graft.Tables
+      val docs = Tables.documents(spark, dir)
+      for (r <- 1 to 3) {
+        var t0 = System.nanoTime()
+        Dedup.spanRows(docs, "doc_id", "text", 10)
+          .write.format("noop").mode("overwrite").save()
+        val tSpan = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        Dedup.markDupAgg(Dedup.spanRows(docs, "doc_id", "text", 10), "doc_id")
+          .write.format("noop").mode("overwrite").save()
+        val tMark = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        Dedup.substrDedupAgg(docs, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+        val tFull = (System.nanoTime() - t0) / 1e9
+        println(f"[substr-phases] r$r spanGen=${tSpan}%6.2f s markAgg=${tMark}%6.2f s full=${tFull}%6.2f s")
+      }
     } else if (args.headOption.contains("--nsw-scaling")) {
       // NSW shard-size scaling experiment (VERDICT r14 task 7): per-probe
       // beam-search cost vs single-shard n, measured single-threaded via

@@ -62,4 +62,21 @@ class PackSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Pack.assignOffsets(df, "id", "w"))
     assert(e.getMessage.contains("LongType"))
   }
+
+  test("assignOffsetsBy: a null group fails loudly (the stated contract, enforced)") {
+    val df = Seq((1L, "a", 2L), (2L, null.asInstanceOf[String], 3L), (3L, "b", 1L))
+      .toDF("id", "g", "w")
+    val e = intercept[org.apache.spark.SparkException](
+      Pack.assignOffsetsBy(df, "g", "id", "w", partitions = 2).collect())
+    assert(e.getMessage.contains("null g") || e.getCause != null)
+  }
+
+  test("assignOffsetsBy: data-sized group cardinality trips the driver-state bound") {
+    // every row its own group: (partition, group) entries == rows, far
+    // over a tiny bound — the guard must name the problem, not OOM later
+    val df = (1 to 200).map(i => (i.toLong, s"g$i", 1L)).toDF("id", "g", "w")
+    val e = intercept[IllegalArgumentException](
+      Pack.assignOffsetsBy(df, "g", "id", "w", partitions = 4, maxDriverEntries = 50L))
+    assert(e.getMessage.contains("driver-state bound"))
+  }
 }
