@@ -260,6 +260,10 @@ object StatefulStreamingQueries {
       )
     ) { (spark, dir) =>
       val table = s"graft_stream_join_${runId.incrementAndGet()}"
+      // INNER join: rows emit only while a data batch processes a matching
+      // pair; the trailing no-data batch would only evict state the stream
+      // stop discards — suppress it (StreamRun.withoutNoDataBatches)
+      StreamRun.withoutNoDataBatches(spark) {
       withStatePartitions(spark, 4) {
         // stream SELF-join: both sides derive from one feed, so the source
         // cursor/offset tracking is shared (two independent sources would
@@ -286,6 +290,7 @@ object StatefulStreamingQueries {
           .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-ssjoin-ckpt"))
           .start()
         q.awaitTermination()
+      }
       }
       spark.table(table).orderBy("error_id", "purchase_id")
     },
@@ -417,6 +422,11 @@ object StatefulStreamingQueries {
       )
     ) { (spark, dir) =>
       val table = s"graft_stream_semijoin_${runId.incrementAndGet()}"
+      // LEFT SEMI: an error emits on its first match, during a data batch;
+      // watermark eviction emits nothing — suppress the trailing no-data
+      // batch (StreamRun.withoutNoDataBatches). The oracle note above
+      // already proves the drained set needs no watermark cut.
+      StreamRun.withoutNoDataBatches(spark) {
       withStatePartitions(spark, 4) {
         val feed = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
         val errors = feed
@@ -441,6 +451,7 @@ object StatefulStreamingQueries {
           .option("checkpointLocation", Ingest.ephemeralCheckpoint("graft-sssemi-ckpt"))
           .start()
         q.awaitTermination()
+      }
       }
       spark.table(table).orderBy("error_id")
     },

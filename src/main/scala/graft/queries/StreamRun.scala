@@ -24,6 +24,30 @@ private[queries] object StreamRun {
     try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Suppress the trailing NO-DATA micro-batch for replays where that batch
+    * provably emits nothing (round 16: it cost a full batch cycle — ~0.5 s
+    * of planning + state-store commit across every partition — per query at
+    * the bench SF, measured in `Probe --join-floor` as a rows=0 batch).
+    * The no-data batch exists to act on a watermark advance after the last
+    * data batch; it changes OUTPUT only for operators that EMIT on
+    * watermark closure (append-mode windows/sessions, outer-join
+    * null-extension, event-time timers) — those queries keep it (the
+    * GraftSession default stays enabled). For an INNER or LEFT SEMI
+    * stream-stream join, rows emit only while a data batch processes a
+    * matching pair, and for a watermark-spanning dedup the final batch
+    * evicts nothing — in both cases the trailing batch's only effect is
+    * evicting state the stream stop then discards, so the drained sink is
+    * row-identical with or without it. Session conf, restored after. */
+  def withoutNoDataBatches[A](spark: SparkSession)(f: => A): A = {
+    val key  = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Detach a drained memory-sink table from its MemoryPlan. A memory
     * sink's rows are embedded in the logical plan, so every downstream
     * stage re-ships them inside its serialized task binary — the session

@@ -337,6 +337,12 @@ object StreamingQueries {
       )
     ) { (spark, dir) =>
       val table = s"graft_stream_dedupwm_${runId.incrementAndGet()}"
+      // the 3650-day delay spans the whole bounded replay, so the trailing
+      // no-data batch evicts nothing and the complete-mode agg just
+      // rewrites the identical table — suppress it
+      // (StreamRun.withoutNoDataBatches); a live pipeline with a real
+      // eviction horizon keeps no-data batches on.
+      StreamRun.withoutNoDataBatches(spark) {
       withStatePartitions(spark, 8) {
         val q = Ingest.feed(spark, dir, maxBatchSize = Ingest.pacedBatchSize(spark, dir))
           .select("ts", "user_id", "event_type")
@@ -353,6 +359,7 @@ object StreamingQueries {
             Ingest.ephemeralCheckpoint("graft-dedupwm-ckpt"))
           .start()
         q.awaitTermination()
+      }
       }
       spark.table(table).orderBy("event_type")
     },

@@ -71,6 +71,36 @@ object EventFeed {
   /** One materialized feed row: (event_id, ts_micros, user_id, event_type, value, props). */
   type FeedRow = (Long, java.lang.Long, java.lang.Long, String, java.lang.Double, String)
 
+  /** One-shot PREFETCH of [[load]], started on a daemon thread the moment
+    * the source table is constructed (i.e. at `readStream.load()` time):
+    * the feed collect is driver-blocking Spark work that is independent of
+    * everything between table construction and the stream's first batch —
+    * checkpoint/WAL initialization, stream-thread spawn, batch-0 planning
+    * — so running it concurrently takes it off the replay's critical path
+    * (guide §2.6). NOT a cache: each table construction (= each stream
+    * start) triggers its own full load from parquet; the thunk merely
+    * hands the one in-flight result to the one stream that consumes it.
+    * Failures surface at consumption, exactly where the inline load threw. */
+  def prefetch(
+      path: String,
+      startingTimestamp: Option[String],
+      maxFeedRows: Long): () => Array[FeedRow] = {
+    val session = SparkSession.active // capture on the constructing thread
+    val fut = new java.util.concurrent.FutureTask[Array[FeedRow]](() => {
+      SparkSession.setActiveSession(session)
+      load(path, startingTimestamp, maxFeedRows)
+    })
+    val t = new Thread(fut, "graft-feed-prefetch")
+    t.setDaemon(true)
+    t.start()
+    () =>
+      try fut.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException if e.getCause != null =>
+          throw e.getCause
+      }
+  }
+
   /** Load + order the feed driver-side (the poll-loop emulation).
     * Ingress goes through [[graft.Tables.readEvents]] — the ONE
     * schema-adaptive ts normalizer — so this source can never disagree with
@@ -137,17 +167,31 @@ object EventFeed {
 }
 
 class EventFeedTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  // start the feed load NOW, on the thread constructing the table (i.e. at
+  // readStream.load() time, with the caller's active session): by the time
+  // the stream's first micro-batch needs rows, checkpoint init + WAL +
+  // batch-0 planning have run CONCURRENTLY with the collect instead of
+  // after it — see [[EventFeed.prefetch]]. One prefetch per table = per
+  // stream start; a table whose stream never starts wastes one bounded load.
+  private val prefetched: () => Array[EventFeed.FeedRow] =
+    EventFeed.prefetch(
+      Option(options.get("path")).getOrElse(
+        throw new IllegalArgumentException("eventfeed: 'path' option is required")),
+      Option(options.get("startingTimestamp")),
+      Option(options.get("maxFeedRows")).map(_.toLong).getOrElse(EventFeed.DefaultMaxFeedRows))
   override def name(): String = s"event_feed(${options.get("path")})"
   override def schema(): StructType = EventFeed.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new EventFeedScan(opts)
+      override def build(): Scan = new EventFeedScan(opts, Some(prefetched))
     }
 }
 
-class EventFeedScan(options: CaseInsensitiveStringMap) extends Scan {
+class EventFeedScan(
+    options: CaseInsensitiveStringMap,
+    prefetched: Option[() => Array[EventFeed.FeedRow]] = None) extends Scan {
   override def readSchema(): StructType = EventFeed.Schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new EventFeedMicroBatchStream(
@@ -157,7 +201,8 @@ class EventFeedScan(options: CaseInsensitiveStringMap) extends Scan {
         Option(options.get("maxBatchSize")).map(_.toInt).getOrElse(EventFeed.DefaultMaxBatchSize),
       startingTimestamp = Option(options.get("startingTimestamp")),
       maxFeedRows =
-        Option(options.get("maxFeedRows")).map(_.toLong).getOrElse(EventFeed.DefaultMaxFeedRows)
+        Option(options.get("maxFeedRows")).map(_.toLong).getOrElse(EventFeed.DefaultMaxFeedRows),
+      prefetched = prefetched
     )
 }
 
@@ -170,11 +215,12 @@ class EventFeedMicroBatchStream(
     path: String,
     maxBatchSize: Int,
     startingTimestamp: Option[String],
-    maxFeedRows: Long = EventFeed.DefaultMaxFeedRows
+    maxFeedRows: Long = EventFeed.DefaultMaxFeedRows,
+    prefetched: Option[() => Array[EventFeed.FeedRow]] = None
 ) extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private lazy val rows: Array[EventFeed.FeedRow] =
-    EventFeed.load(path, startingTimestamp, maxFeedRows)
+    prefetched.map(_()).getOrElse(EventFeed.load(path, startingTimestamp, maxFeedRows))
 
   /** The materialized feed ships to executors ONCE via TorrentBroadcast
     * (chunked through the block manager); partitions carry only [start,end)
